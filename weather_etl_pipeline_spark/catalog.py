@@ -1,0 +1,54 @@
+"""Table loading over the driver test parquet.
+
+Thin typed accessors so operators never hard-code paths. Reads are plain
+``spark.read.parquet`` — columnar scan, predicate pushdown and column
+pruning all arrive via Catalyst for free (SURVEY.md section 4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+
+from .schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos
+# timestamp type and refuses the read by default. We read them as raw
+# int64 nanos (legacy.parquet.nanosAsLong) and truncate to microseconds,
+# which is exactly what DuckDB does when it surfaces them as TIMESTAMP
+# (the test data's nanos are micros*1000, so truncation is lossless).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    # the caller may be an external driver with its own session: pin the
+    # two runtime confs correctness depends on (UTC so timestamps agree
+    # with the UTC-naive DuckDB oracle on any host TZ; nanos-as-long so
+    # parquet TIMESTAMP(NANOS) columns are readable at all)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in nanos_cols:
+        # integer division keeps full precision (nanos ~1.7e18 would lose
+        # microseconds through a double divide)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for the SQL API path)."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,322 @@
+"""Deduplication operators (LLM-pipeline surface: exact + near-dup).
+
+Four strategies, in increasing sophistication — the standard toolbox for
+pre-training-corpus dedup:
+
+- exact: hash-groupBy on content (map-side combinable, one shuffle);
+- n-gram Jaccard: token-set overlap via an inverted-index join, blocked
+  by (lang, source) so the candidate space never goes quadratic in the
+  corpus — the blocking key is the knob that keeps this sub-O(n²) at
+  100 TB (swap in coarser shards/buckets as needed);
+- MinHash + LSH: shingle → K minhashes → banded bucket join; candidate
+  pairs only form inside a bucket, verification joins back to token
+  sets. Sub-quadratic by construction; hash-function-specific so no SQL
+  oracle (pytest golden covers it);
+- SimHash: 64-bit signature via HOF fold (no explode), banded into
+  16-bit chunks for candidate generation, hamming-distance verify.
+
+All JVM-side built-ins — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# --- exact dedup: canonical row per content ----------------------------------
+# Deterministic survivor (min doc_id) so both engines agree row-for-row.
+
+
+@register(
+    "dedup_exact_canonical",
+    oracle="""
+SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# --- exact dedup: keep-first full row (window variant) -----------------------
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) t WHERE rn = 1
+""",
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# --- n-gram Jaccard near-dup pairs (oracle-verified) -------------------------
+# Inverted index on distinct tokens, blocked by (lang, source); pair
+# candidates share ≥1 token inside a block; Jaccard from exact integer
+# set sizes (|A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|), one double
+# division, round(6).
+
+_JACCARD_T = 0.6
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         len(list_distinct(string_split(text, ' '))) AS n_tok,
+         UNNEST(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_tok AS n_a, b.n_tok AS n_b, COUNT(*) AS n_shared
+  FROM toks a JOIN toks b
+    ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_tok, b.n_tok
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) AS jaccard
+FROM pairs
+WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {_JACCARD_T}
+"""
+
+
+@register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE, headline=True)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens"))
+    inv = toks.select(
+        "doc_id", "lang", "source", "n_tok", F.explode("tokens").alias("token")
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_tok").alias("n_a"),
+            F.col("b.n_tok").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return (
+        pairs.filter(jac >= _JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH near-dup (scale path; rows-only + pytest golden) ----------
+# K=32 minhashes from xxhash64(seed, shingle); 8 bands × 4 rows. A pair
+# collides iff some band signature matches → candidate set is ~linear in
+# corpus size for bounded near-dup density. Verification = exact Jaccard
+# on distinct 3-token shingles.
+
+_MH_K = 32
+_MH_BANDS = 8
+_MH_ROWS = _MH_K // _MH_BANDS
+_MH_VERIFY_T = 0.5
+
+
+def _shingles(text_col: str = "text", n: int = 3):
+    """Distinct n-token shingles via HOF — no explode needed."""
+    toks = F.split(text_col, " ")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws("", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.array_distinct(F.when(k > 0, sh).otherwise(F.array(F.lit(""))))
+
+
+def _seeded_hash(seed: int):
+    # closure factory — keeps the transform lambda single-argument
+    return lambda s: F.xxhash64(F.lit(seed), s)
+
+
+def minhash_signatures(docs: DataFrame, k: int = _MH_K) -> DataFrame:
+    """doc_id + k-vector of minhashes over 3-token shingles."""
+    sh = docs.select("doc_id", _shingles().alias("shingles"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), _seeded_hash(i))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("sig"), "shingles")
+
+
+@register("dedup_minhash_lsh", oracle=None, headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH; columns (doc_a, doc_b, jaccard_shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    # band signature = hash of the band's slice of the minhash vector
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * _MH_ROWS + r] for r in range(_MH_ROWS)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.withColumn("jaccard_shingles", F.round(jac, 6))
+        .filter(F.col("jaccard_shingles") >= _MH_VERIFY_T)
+        .select("doc_a", "doc_b", "jaccard_shingles")
+    )
+
+
+# --- SimHash near-dup (scale path; rows-only + pytest golden) ----------------
+# 62-bit simhash folded with HOFs (aggregate/zip_with) — no explode, no
+# UDF. Candidates share one of four 16-bit chunks; verify hamming ≤ 6.
+
+_SH_BITS = 62
+_SH_CHUNKS = 4
+
+
+def _token_bits(t):
+    """±1 bit vector of a token's 64-bit hash (bit positions unrolled in
+    Python — F.shiftright needs a literal shift amount)."""
+    h = F.xxhash64(t)
+    return F.array(
+        *[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for j in range(_SH_BITS)
+        ]
+    )
+
+
+def bitvec_expr():
+    toks = F.array_distinct(F.split("text", " "))
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), _SH_BITS),
+        lambda acc, t: F.zip_with(acc, _token_bits(t), lambda x, y: x + y),
+    )
+
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """doc_id + 62-bit simhash. Two projection steps so the expensive
+    fold is evaluated once, not per sign-bit."""
+    bv = docs.select("doc_id", bitvec_expr().alias("bv"))
+    signature = F.aggregate(
+        F.zip_with(
+            F.col("bv"),
+            # powers of two, position-aligned with the bit vector
+            F.array(*[F.lit(1 << j).cast("long") for j in range(_SH_BITS)]),
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return bv.select("doc_id", signature.alias("simhash"))
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via SimHash banding; (doc_a, doc_b, hamming)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash_df(docs)
+    chunk_w = 16
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * chunk_w)
+                        .bitwiseAND(F.lit((1 << chunk_w) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(_SH_CHUNKS)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,169 @@
+"""Join operators (extension surface X-join-*, SURVEY.md §2.9).
+
+The reference performs no data-table joins (SURVEY.md §2.3) — its only
+join-shaped op is the incremental anti-join (relational.py). The driver's
+star-schema corpus mandates full join coverage; every plan here is
+written for the 100 TB shape:
+
+- dimension tables (region/nation/supplier/part/customer) are broadcast —
+  at production scale they stay orders of magnitude below
+  ``spark.sql.autoBroadcastJoinThreshold``'s sensible setting, so the
+  big fact table never shuffles for them;
+- fact-to-fact joins (lineitem ⨝ orders) shuffle on the join key — at
+  scale the win is bucketing both tables on orderkey at write time
+  (see sources/parquet_io.py), which Catalyst turns into a zero-shuffle
+  sort-merge join; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import MONEY, RATE, davg, oracle_davg, oracle_dsum
+from ..registry import register
+
+# --- star join: revenue per region/nation ------------------------------------
+# lineitem ⨝ orders (fact-fact, shuffle on orderkey) then customer →
+# nation → region (all broadcast). Catalyst reorders + broadcasts
+# automatically; we hint broadcast() to make the plan explicit.
+
+
+@register(
+    "star_join_revenue",
+    oracle=f"""
+SELECT
+  r.r_name AS region_name,
+  n.n_name AS nation_name,
+  CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l.l_discount AS DECIMAL(13,6))) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    headline=True,
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast(MONEY) * (
+        (F.lit(1) - F.col("l_discount").cast(RATE)).cast("decimal(8,6)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- broadcast equi-join: brand-level part pricing ---------------------------
+
+
+@register(
+    "join_part_pricing",
+    oracle=f"""
+SELECT
+  p.p_brand AS brand,
+  {oracle_dsum("l.l_quantity")} AS sum_qty,
+  {oracle_davg("l.l_extendedprice")} AS avg_price,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def join_part_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    from ..functions.exact import dsum
+
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- semi join: EXISTS --------------------------------------------------------
+# Orders that contain at least one high-quantity line. LEFT SEMI keeps
+# the probe side only — no row multiplication, dedup-free.
+
+
+@register(
+    "semi_join_orders",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+)
+""",
+)
+def semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45)
+    return orders.join(
+        big, orders.o_orderkey == big.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+# --- outer join with null handling -------------------------------------------
+# Customer order stats including order-less customers (LEFT OUTER +
+# coalesce): the dim side is the probe here, fact side aggregated first
+# (pre-aggregate before the join = the scalable shape; joining raw
+# lineitem then grouping would shuffle the full fact table twice).
+
+
+@register(
+    "outer_join_customer_orders",
+    oracle=f"""
+SELECT
+  c.c_custkey,
+  c.c_mktsegment,
+  COALESCE(os.n_orders, 0) AS n_orders,
+  COALESCE(os.total_spent, 0.0) AS total_spent
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         {oracle_dsum("o_totalprice")} AS total_spent
+  FROM orders GROUP BY o_custkey
+) os ON c.c_custkey = os.o_custkey
+""",
+)
+def outer_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions.exact import dsum
+
+    os_agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_spent"),
+    )
+    return cust.join(os_agg, cust.c_custkey == os_agg.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+    )

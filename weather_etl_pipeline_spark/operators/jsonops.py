@@ -1,0 +1,64 @@
+"""JSON extraction operators (extension surface X-json).
+
+The reference flattens JSON driver-side with pandas (``bronze.py:15``);
+the engine-native form is ``get_json_object`` / ``from_json`` evaluated
+JVM-side inside codegen. At 100 TB, prefer ``from_json`` with a declared
+schema once per pipeline (parse-once, then columnar) over repeated
+path extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+
+# --- path extraction + aggregate ---------------------------------------------
+
+
+@register(
+    "json_extract_agg",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round(F.sum(k).cast("double") / F.count(k), 6).alias("avg_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- declared-schema parse (from_json) + filter ------------------------------
+
+_PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+@register(
+    "json_schema_filter",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+""",
+)
+def json_schema_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("_props", F.from_json("props", _PROPS_SCHEMA))
+    return (
+        parsed.filter(F.col("_props.k") > 80)
+        .select("event_id", "event_type", F.col("_props.k").alias("k"))
+    )

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing (LLM-pipeline surface).
+
+Real pipelines carry image/audio/video as opaque ``binary`` columns with
+typed metadata structs and run decode / feature-extraction as
+Arrow-batched pandas functions over ``mapInPandas``. The decode codecs
+(PIL/ffmpeg/torchaudio) are NOT in this container, so the codec call is
+stubbed behind ``decode_blob`` — but everything Spark-side is real and
+tested: the binary column, the metadata struct, the mapInPandas batch
+iteration, the output schema, and the partition-preserving plan shape.
+
+The driver test corpus has no binary table, so blobs are synthesized
+deterministically from ``documents.text`` (utf-8 encode). The
+``multimodal_featurize`` query is fully oracle-verified: its features
+(byte length, 16-byte header checksum, format sniff) are computable in
+SQL on the DuckDB side, which differentially tests the entire
+Arrow → pandas → Arrow round trip.
+
+Scale notes: mapInPandas streams Arrow batches — memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob
+sizes; no shuffle is introduced (narrow op); at 100 TB the binary
+payload stays columnar end-to-end and never hits the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+
+HEADER_BYTES = 16
+
+
+def decode_blob(blob: bytes) -> object:
+    """Codec stub — the container has no image/audio libs.
+
+    In production this dispatches on the sniffed format to PIL /
+    soundfile / pyav and returns a decoded ndarray.
+    """
+    raise NotImplementedError("codec libs not available in this environment")
+
+
+def sniff_format(blob: bytes) -> str:
+    """Magic-number sniff over the first bytes (deterministic, real)."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if blob[:4] == b"RIFF":
+        return "riff"
+    return "bin"
+
+
+def featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: blob → (n_bytes, header_sum, format_guess).
+
+    header_sum is a toy stand-in for the decode+embed step (deterministic
+    so the oracle can verify the plumbing); swap in decode_blob() +
+    model inference in production.
+    """
+    for pdf in batches:
+        blobs = pdf["blob"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": blobs.map(len),
+                "header_sum": blobs.map(lambda b: int(sum(b[:HEADER_BYTES]))),
+                "format_guess": blobs.map(sniff_format),
+            }
+        )
+
+
+_FEATURIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("header_sum", T.LongType()),
+        T.StructField("format_guess", T.StringType()),
+    ]
+)
+
+# DuckDB twin: byte length + sum of the first 16 code points (the text is
+# ASCII so code point == byte value) + the sniff (always 'bin' for text).
+_FEATURIZE_ORACLE = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(1, {HEADER_BYTES + 1}),
+                                    i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT)
+         AS header_sum,
+       'bin' AS format_guess
+FROM documents
+"""
+
+
+@register("multimodal_featurize", oracle=_FEATURIZE_ORACLE)
+def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_blob = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("blob"),
+        F.struct(
+            F.length("text").alias("n_chars"),
+            F.lit("synthetic/utf8").alias("content_type"),
+        ).alias("meta"),
+    )
+    return with_blob.mapInPandas(featurize_batches, schema=_FEATURIZE_SCHEMA)

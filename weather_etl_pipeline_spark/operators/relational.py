@@ -1,0 +1,246 @@
+"""Reference-surface relational operators (SURVEY.md §2.1-2.7).
+
+The reference's query surface is DuckDB SQL over a Hive-partitioned
+parquet lake: scan → project/cast/rename → null-filter → groupBy-agg →
+partitioned write (reference ``silver.py:26-40``, ``gold.py:69-82``), plus
+partition-listing DISTINCT (``silver.py:8-12``), COUNT validation gates
+(``silver.py:42-44``), equality partition filters (``silver.py:37-38``),
+STRPTIME parsing (``silver.py:31``), and the incremental anti-join
+work-list (``silver.py:66-69``). Each is re-expressed here as a
+declarative DataFrame plan over the driver test tables so Catalyst gets
+pushdown/pruning for free; scale notes per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import MONEY, RATE, davg, dsum, oracle_davg, oracle_dsum
+from ..registry import register
+
+# --- flagship: TPC-H-Q1-shaped pricing summary -------------------------------
+# The gold layer's avg/min/max/count groupBy (reference gold.py:70-81)
+# scaled up to the classic 8-aggregate pricing summary. At 100 TB this is
+# a pure map-side-partial + 32-way final agg on a low-cardinality key
+# (|groups| ~ 6): no skew risk, no broadcast needed, scan-bound.
+
+# NB the oracle's decimal widths are chosen ≥19 digits so DuckDB picks
+# its INT128 multiplication path (narrow widths overflow its INT64
+# internal); the *values* are exact and identical to Spark's either way.
+_DISC_PRICE_DEC = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(20,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(13,6))) AS DECIMAL(25,8))"
+)
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {oracle_dsum("l_quantity")} AS sum_qty,
+  {oracle_dsum("l_extendedprice")} AS sum_base_price,
+  CAST(ROUND(SUM(CAST({_DISC_PRICE_DEC} AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST({_DISC_PRICE_DEC} * (1 + CAST(l_tax AS DECIMAL(13,6))) AS DECIMAL(34,14))), 2) AS DOUBLE) AS sum_charge,
+  {oracle_davg("l_quantity")} AS avg_qty,
+  {oracle_davg("l_extendedprice")} AS avg_price,
+  {oracle_davg("l_discount", "DECIMAL(9,6)")} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_ORACLE, headline=True)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast(MONEY)
+    # (1 ± rate) must be cast back to a tight decimal: Spark widens the
+    # subtraction to decimal(17,6), and a (14,2)*(17,6)*(17,6) product
+    # needs precision 50 → Spark silently drops scale to 6 (precision
+    # loss), desyncing from the exact oracle. (8,6) keeps the triple
+    # product at (32,14) — exact.
+    disc1 = (F.lit(1) - F.col("l_discount").cast(RATE)).cast("decimal(8,6)")
+    tax1 = (F.lit(1) + F.col("l_tax").cast(RATE)).cast("decimal(8,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            # round the exact decimal to scale 2 BEFORE the double cast:
+            # DuckDB's decimal→double conversion is only correctly
+            # rounded while the scaled integer fits in 2^53, which a
+            # scale-14 sum exceeds. Both engines round the identical
+            # exact decimal half-up → identical doubles.
+            F.round(F.sum(ext * disc1), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(ext * disc1 * tax1), 2).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", RATE).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- Q-proj / Q-cast / F-strptime: the silver cleaning projection ------------
+# Mirrors silver.py:28-35: one declared projection that re-types and
+# renames every column, plus the STRPTIME round-trip ('%Y-%m-%dT%H:%M' →
+# "yyyy-MM-dd'T'HH:mm") and the null-rejection filter (silver.py:39).
+# Narrow transform: no shuffle, fully codegen'd, filters/columns pushed
+# into the parquet scan.
+
+
+@register(
+    "silver_clean_events",
+    oracle="""
+SELECT
+  event_id,
+  STRPTIME(STRFTIME(ts, '%Y-%m-%dT%H:%M'), '%Y-%m-%dT%H:%M') AS event_minute,
+  CAST(user_id AS INTEGER) AS user_id,
+  event_type,
+  CAST(value AS DOUBLE) AS metric
+FROM events
+WHERE value IS NOT NULL AND event_type IS NOT NULL
+""",
+)
+def silver_clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm")
+    return ev.filter(F.col("value").isNotNull() & F.col("event_type").isNotNull()).select(
+        "event_id",
+        F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm").alias("event_minute"),
+        F.col("user_id").cast("int").alias("user_id"),
+        "event_type",
+        F.col("value").cast("double").alias("metric"),
+    )
+
+
+# --- Q-groupagg: the gold daily rollup ---------------------------------------
+# Twin of gold.py:70-81 (avg/max/min/count per (city, date)) on the
+# events table: per (event_type, day). Low-cardinality group key →
+# map-side partial agg collapses ~everything before the shuffle.
+
+
+@register(
+    "gold_daily_rollup",
+    oracle=f"""
+SELECT
+  event_type,
+  CAST(ts AS DATE) AS event_date,
+  {oracle_davg("value", "DECIMAL(14,2)")} AS avg_value,
+  MAX(value) AS max_value,
+  MIN(value) AS min_value,
+  COUNT(*) AS record_count
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+""",
+    headline=True,
+)
+def gold_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("event_date")
+    ).agg(
+        davg("value").alias("avg_value"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.count(F.lit(1)).alias("record_count"),
+    )
+
+
+# --- Q-distinct: partition discovery -----------------------------------------
+# silver.py:8-12's SELECT DISTINCT city, date — the partition work-list
+# scan. At scale, prefer catalog listing over a data scan; as a query it
+# is a shuffle on (event_type, day) with partial dedup map-side.
+
+
+@register(
+    "distinct_partitions",
+    oracle="SELECT DISTINCT event_type, CAST(ts AS DATE) AS event_date FROM events",
+)
+def distinct_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_type", F.col("ts").cast("date").alias("event_date")).distinct()
+
+
+# --- Q-filter-eq: partition-pruned point lookup ------------------------------
+# silver.py:37-38's WHERE city=? AND date=? — on a partitioned lake these
+# predicates prune at the file level (PartitionFilters); here they push
+# into the parquet row-group scan (PushedFilters).
+
+
+@register(
+    "filter_point_lookup",
+    oracle="""
+SELECT event_id, ts, user_id, value
+FROM events
+WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-05'
+""",
+)
+def filter_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts").cast("date") == F.lit("2024-01-05").cast("date"))
+    ).select("event_id", "ts", "user_id", "value")
+
+
+# --- Q-count: scalar validation count ----------------------------------------
+# The empty-partition guard (silver.py:42-47) is a COUNT(*); returned as
+# a 1-row DataFrame so the driver can hash it.
+
+
+@register("count_validation", oracle="SELECT COUNT(*) AS n_rows FROM lineitem")
+def count_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --- Q-nullcheck: aggregate-sanity gate --------------------------------------
+# gold.py:53-56's SELECT COUNT(*) WHERE avg IS NULL, generalized: count
+# null / non-null metric values per event_type.
+
+
+@register(
+    "null_check_gate",
+    oracle="""
+SELECT event_type,
+       COUNT(*) - COUNT(value) AS n_null,
+       COUNT(value) AS n_ok
+FROM events GROUP BY event_type
+""",
+)
+def null_check_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
+        F.count("value").alias("n_ok"),
+    )
+
+
+# --- Q-antijoin: the incremental work-list -----------------------------------
+# The reference computes "available − processed" as a Python set diff
+# (silver.py:66-69); distributed form is a LEFT ANTI join. Catalyst
+# broadcasts the processed side when small (the common case: one row per
+# partition). Demonstrated as customers with no orders.
+
+
+@register(
+    "incremental_antijoin",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+""",
+)
+def incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    processed = orders.filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        processed, cust.c_custkey == processed.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")

@@ -1,0 +1,188 @@
+"""Similarity search over embeddings (LLM-pipeline surface X-simsearch).
+
+Three tiers:
+
+- brute-force top-k for a bounded query set: queries × corpus is linear
+  in corpus size per query — the exact baseline (oracle-verified);
+- label-blocked near-dup pairs: IVF-style coarse partition (here the
+  pre-assigned ``label`` plays the centroid-assignment role) keeps the
+  pair space at Σ|cell|² instead of n² (oracle-verified);
+- sign-LSH bucketed ANN: 8 deterministic hyperplane signs → 256 buckets;
+  probe only the query's bucket. Sub-linear candidate sets at scale;
+  recall measured against brute force in pytest (rows-only check here).
+
+Dot products fold left-to-right over double-cast elements (see
+functions/vectors.py) so Spark and DuckDB produce identical doubles;
+ranking orders by the rounded cosine with a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import as_double, cosine
+from ..registry import register
+
+_N_QUERIES = 8  # vec_id < 8 are the probe vectors
+_TOP_K = 5
+
+# DuckDB twin of functions/vectors.py: same cast-to-double, same
+# left-to-right fold (list_reduce with prepended 0.0 accumulator).
+_DD = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _dd_cos(a: str, b: str) -> str:
+    dot = _DD.format(a=a, b=b)
+    na = _DD.format(a=a, b=a)
+    nb = _DD.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_dd_cos("q.qe", "e.embedding")}, 6) AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) t WHERE rk <= {_TOP_K}
+"""
+
+
+@register("simsearch_knn_bruteforce", oracle=_KNN_ORACLE, headline=True)
+def simsearch_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("ce")
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qe")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+# --- label-blocked near-dup pairs (IVF-style coarse cells) -------------------
+
+# the synthetic corpus has no true near-dups (max within-label cosine
+# ≈0.45 at sf0.01), so the demo threshold sits where a handful of pairs
+# qualify; production near-dup dedup would use ~0.95
+_NEARDUP_T = 0.4
+
+_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_dd_cos("a.embedding", "b.embedding")}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_dd_cos("a.embedding", "b.embedding")} >= {_NEARDUP_T}
+"""
+
+
+@register("simsearch_neardup_blocked", oracle=_NEARDUP_ORACLE)
+def simsearch_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _NEARDUP_T)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+# --- sign-LSH bucketed ANN (scale path; rows-only + pytest recall) -----------
+# 8 deterministic ±1 hyperplanes (pattern on dimension index — no RNG,
+# reproducible across engines/runs). bucket = 8-bit sign signature.
+# Search probes only the query's bucket: at N vectors / 256 buckets the
+# candidate set is ~N/256 per query. Multi-probe (hamming-1 buckets)
+# would raise recall at 3× probe cost — noted, not needed for the demo.
+
+_LSH_PLANES = 8
+
+
+def _plane_weight(p: int, d: int) -> int:
+    return 1 if ((d * 2654435761 + p * 40503) % 7) < 3 else -1
+
+
+def _bucket_expr(vec_col: str, dim: int):
+    bits = []
+    for p in range(_LSH_PLANES):
+        proj = None
+        for d in range(dim):
+            w = _plane_weight(p, d)
+            term = F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(float(w))
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@register("simsearch_ann_lsh", oracle=None)
+def simsearch_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN top-k; (query_id, neighbor_id, cos_sim, rk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    bucketed = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("e"),
+        _bucket_expr("embedding", dim).alias("bucket"),
+    )
+    queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = F.broadcast(queries).join(
+        bucketed,
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

@@ -1,0 +1,250 @@
+"""Text-analysis operators (extension surface X-text; LLM-pipeline ops).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen): split/explode for tokenization, higher-order
+functions (aggregate/transform) for per-document folds, regexp for
+BPE-ish token counting. No Python UDFs anywhere — at 100 TB these run
+entirely inside codegen'd stages; explode fan-out is bounded by document
+length and the token aggregation is a map-side-combinable groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# --- term frequency per language ---------------------------------------------
+# tokenize → explode → count per (lang, token). Vocabulary is small, so
+# map-side partial aggregation collapses the exploded stream before the
+# shuffle; at 100 TB this is the canonical word-count shape.
+
+
+@register(
+    "text_term_frequency",
+    oracle="""
+SELECT lang, token, COUNT(*) AS tf
+FROM (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS token
+  FROM documents
+) t
+WHERE token <> ''
+GROUP BY lang, token
+""",
+    headline=True,
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+# --- per-document stats / quality score --------------------------------------
+# Length/token/structure features — the standard pre-training quality
+# heuristics (length, mean token length, type-token ratio). Pure
+# narrow projection: no shuffle at all.
+# avg_token_len = (chars - spaces) / n_tokens, single FP division.
+
+
+@register(
+    "text_doc_stats",
+    oracle="""
+SELECT
+  doc_id,
+  n_chars,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+  ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS avg_token_len,
+  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS type_token_ratio
+FROM documents
+""",
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        F.round(
+            (F.length("text") - (n_tokens - 1)).cast("double") / n_tokens, 6
+        ).alias("avg_token_len"),
+        F.round(n_unique.cast("double") / n_tokens, 6).alias("type_token_ratio"),
+    )
+
+
+# --- corpus rollup per (lang, source) ----------------------------------------
+
+
+@register(
+    "text_lang_source_rollup",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars), 6) AS avg_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def text_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 6).alias(
+            "avg_chars"
+        ),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --- BPE-ish token counting ---------------------------------------------------
+# Counts letter-runs, digit-runs, and single non-alnum marks — the
+# regex-class approximation of a BPE pre-tokenizer. regexp_extract_all
+# is codegen'd JVM regex; no Python in the loop.
+
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       len(string_split(text, ' ')) AS n_ws_tokens
+FROM documents
+""",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+# --- document fingerprint (rolling hash) -------------------------------------
+# Polynomial rolling hash over tokens, folded with a higher-order
+# aggregate — exact int64 arithmetic with a per-step modulus, so the
+# fingerprint is engine-independent. Token contribution mixes first-char
+# codepoint and token length. This is the order-sensitive cousin of the
+# exact-dedup hash: equal fingerprints ⇒ (almost surely) equal token
+# streams.
+
+_MOD = 1_000_000_007
+_P = 31
+
+
+@register(
+    "text_doc_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(
+           CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
+         (acc, x) -> (acc * {_P} + x) % {_MOD}
+       ) AS fingerprint
+FROM documents
+""",
+)
+def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    token_codes = F.transform(
+        F.split("text", " "),
+        lambda t: (F.ascii(t) * 131 + F.length(t)).cast("long"),
+    )
+    fp = F.aggregate(
+        token_codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * _P + x) % _MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# --- language-ID heuristic -----------------------------------------------------
+# Marker-token scoring: count hits against small per-language marker
+# lexicons, predict argmax (deterministic tie-break by language code).
+# The lexicons here are demo-sized; a production profile would be a
+# broadcast trigram-frequency table joined the same way — the plan shape
+# (narrow scan + codegen'd scoring + no shuffle) is the point.
+
+_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+}
+
+
+def _token_eq(marker: str):
+    # closure factory: F.filter inspects lambda arity, so the predicate
+    # must be a genuine single-argument lambda (a default-arg second
+    # param would make Spark pass the element index into it)
+    return lambda t: t == F.lit(marker)
+
+
+def _hit_count_expr(markers: list[str]):
+    toks = F.split("text", " ")
+    expr = F.lit(0)
+    for m in markers:
+        expr = expr + F.size(F.filter(toks, _token_eq(m)))
+    return expr
+
+
+def _oracle_hits(markers: list[str]) -> str:
+    parts = [
+        f"len(list_filter(string_split(text, ' '), t -> t = '{m}'))" for m in markers
+    ]
+    return " + ".join(parts)
+
+
+_LANGID_ORACLE = f"""
+SELECT doc_id, lang,
+  CASE
+    WHEN {_oracle_hits(_MARKERS['de'])} > {_oracle_hits(_MARKERS['en'])}
+     AND {_oracle_hits(_MARKERS['de'])} > {_oracle_hits(_MARKERS['es'])}
+     AND {_oracle_hits(_MARKERS['de'])} > {_oracle_hits(_MARKERS['fr'])}
+      THEN 'de'
+    WHEN {_oracle_hits(_MARKERS['es'])} > {_oracle_hits(_MARKERS['en'])}
+     AND {_oracle_hits(_MARKERS['es'])} > {_oracle_hits(_MARKERS['fr'])}
+      THEN 'es'
+    WHEN {_oracle_hits(_MARKERS['fr'])} > {_oracle_hits(_MARKERS['en'])}
+      THEN 'fr'
+    WHEN {_oracle_hits(_MARKERS['en'])} > 0 THEN 'en'
+    ELSE 'unk'
+  END AS predicted_lang
+FROM documents
+"""
+
+
+@register("text_langid_markers", oracle=_LANGID_ORACLE)
+def text_langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    de = _hit_count_expr(_MARKERS["de"])
+    en = _hit_count_expr(_MARKERS["en"])
+    es = _hit_count_expr(_MARKERS["es"])
+    fr = _hit_count_expr(_MARKERS["fr"])
+    pred = (
+        F.when((de > en) & (de > es) & (de > fr), "de")
+        .when((es > en) & (es > fr), "es")
+        .when(fr > en, "fr")
+        .when(en > 0, "en")
+        .otherwise("unk")
+    )
+    return docs.select("doc_id", "lang", pred.alias("predicted_lang"))

@@ -1,0 +1,190 @@
+"""Window-function operators (extension surface X-window / X-topk).
+
+Not present in the reference (SURVEY.md §2.5 — grep-verified none);
+mandated by the extension surface. Scale notes: a window over
+``partitionBy(k)`` shuffles once on k and sorts within partitions —
+fine when per-key cardinality is bounded (orders per customer, events
+per user). Global ORDER BY ... LIMIT is implemented as top-k per
+partition + merge (Spark's TakeOrderedAndProject), never a full sort.
+
+Determinism: every ORDER BY carries a unique tiebreaker column so
+ranking is total; running sums use exact decimal arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import MONEY
+from ..registry import register
+
+# --- top-k per group via row_number ------------------------------------------
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rk
+  FROM orders
+) t
+WHERE rk <= 3
+""",
+    headline=True,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# --- rank / dense_rank --------------------------------------------------------
+
+
+@register(
+    "window_rank_customers_by_balance",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS bal_rank,
+       DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS bal_dense_rank
+FROM customer
+""",
+)
+def window_rank_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+# --- lag / lead ---------------------------------------------------------------
+# Per-user event deltas: the change-point shape (value vs previous
+# value). Unique tiebreaker event_id makes lag/lead deterministic.
+
+
+@register(
+    "window_lag_lead_events",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+# --- running total (frame: unbounded preceding → current) --------------------
+# Exact decimal running sum → bit-stable across engines.
+
+
+@register(
+    "window_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend
+FROM orders
+""",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(MONEY)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# --- moving average (bounded row frame) --------------------------------------
+# 3-row trailing mean of event values per user: exact decimal sum over
+# the frame, one double division, round(6) — deterministic cross-engine.
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT event_id, user_id, ts,
+       ROUND(
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+         / COUNT(value) OVER w, 6) AS moving_avg_3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(
+            F.sum(F.col("value").cast(MONEY)).over(w).cast("double")
+            / F.count("value").over(w),
+            6,
+        ).alias("moving_avg_3"),
+    )
+
+
+# --- global top-k (TakeOrderedAndProject, not a full sort) -------------------
+
+
+@register(
+    "global_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference opens one in-process DuckDB connection per run
+(``main.py:28`` in the reference); our equivalent entry point is a
+SparkSession configured for the cluster-shaped execution model:
+
+- AQE on (runtime coalescing, skew-join splitting) — the 100 TB posture
+  assumes data-dependent re-planning rather than hand-tuned plans.
+- ``spark.sql.shuffle.partitions`` sized to the local core count; on a
+  real cluster this would be ~2-3x total executor cores (AQE coalesces
+  down, so erring high is safe).
+- dynamic partition overwrite — the reference's per-partition
+  ``COPY ... OVERWRITE TRUE`` (``silver.py:50-54``) replaces only the
+  partitions being written; Spark's static mode would clobber the whole
+  zone, so this conf is load-bearing for correctness.
+- UTC session timezone so timestamps compare cleanly against the
+  UTC-naive DuckDB oracle.
+- Arrow enabled for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Local core budget: $SPARK_GRAFT_CPUS, else all visible CPUs."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "weather-etl-pipeline-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,177 @@
+"""Event-time windows (extension surface X-stream).
+
+The reference approximates streaming with scheduled batch re-runs
+(SURVEY.md §2.8 — no watermarks/windows exist there); the Spark-native
+upgrade is Structured Streaming. Every window shape is implemented as a
+BATCH plan over the static events table (so the DuckDB oracle can verify
+the semantics) and the streaming variant is the same plan behind
+``readStream`` + ``withWatermark`` (see ``stream_events`` below, tested
+in pytest with the memory sink).
+
+Window semantics notes (both engines must agree):
+- tumbling/sliding windows are epoch-aligned: start = floor(epoch/slide)
+  — the DuckDB twin uses the same epoch arithmetic;
+- session windows: a new session starts when gap >= 30 min (Spark
+  windows are [start, end) with end = last_ts + gap); the oracle is the
+  classic gaps-and-islands formulation with the same >= comparison.
+
+Scale: windowed aggregation shuffles on (window, key) — the state is
+bounded by watermark horizon × key cardinality in streaming; in batch,
+map-side partial aggregation applies as usual. Exact decimal sums keep
+the cross-engine hash stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import MONEY, davg, dsum
+from ..registry import register
+
+# --- tumbling window ----------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    headline=True,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- sliding window -----------------------------------------------------------
+# 1 h width, 30 min slide → each event lands in 2 windows. The oracle
+# replays the same assignment: window starts are the two 30-min grid
+# points in (ts - 1h, ts].
+
+
+@register(
+    "stream_sliding_windows",
+    oracle="""
+SELECT make_timestamp(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800) * 1000000) AS window_start,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             / COUNT(value), 6) AS avg_value
+FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+GROUP BY 1
+""",
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg("value").alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+# --- session window -----------------------------------------------------------
+
+_GAP_MIN = 30
+
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL {_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {_GAP_MIN} MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, sess_id
+"""
+
+
+@register("stream_session_windows", oracle=_SESSION_ORACLE, headline=True)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(MONEY)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- true streaming variant (pytest-driven; not oracle-checkable) ------------
+
+
+def stream_events_windowed(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+):
+    """readStream → watermark → tumbling agg → memory sink.
+
+    Returns the StreamingQuery; caller runs processAllAvailable() and
+    reads the ``stream_out`` view. Late data beyond 10 min of watermark
+    is dropped — the semantics the reference's batch re-runs emulate.
+    """
+    import os
+
+    from ..schemas import TESTDATA_TABLES  # noqa: F401  (schema source below)
+
+    static = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_out")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
