@@ -1,0 +1,121 @@
+"""Operator golden tests — the non-SQL-expressible ops (minhash, simhash,
+ANN) that only get the driver's rows-only check, plus plan-shape
+assertions for the scale posture (broadcasts, pushdown)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from weather_etl_pipeline_spark.catalog import load_table
+from weather_etl_pipeline_spark.operators.dedup import (
+    dedup_jaccard_pairs,
+    dedup_minhash_lsh,
+    minhash_signatures,
+    simhash_df,
+)
+from weather_etl_pipeline_spark.operators.multimodal import multimodal_featurize
+from weather_etl_pipeline_spark.operators.simsearch import (
+    simsearch_ann_lsh,
+    simsearch_knn_bruteforce,
+)
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark):
+    """Exact duplicate texts must always collide in every band and
+    survive verification with jaccard 1.0."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    dup_groups = (
+        docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    )
+    expected_pairs = set()
+    for g in dup_groups:
+        ids = sorted(g["ids"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expected_pairs.add((ids[i], ids[j]))
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    assert expected_pairs <= found, "minhash-LSH missed exact duplicates"
+
+
+def test_minhash_signature_deterministic(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    s1 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    s2 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert s1 == s2
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = simhash_df(docs)
+    joined = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("a.text") == F.col("b.text"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+    sh_a = sh.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    sh_b = sh.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    diff = (
+        joined.join(sh_a, "da").join(sh_b, "db")
+        .filter(F.col("ha") != F.col("hb"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_ann_lsh_recall_against_bruteforce(spark):
+    """Bucketed ANN must recover a reasonable share of the true top-5.
+    (Single-probe LSH on synthetic uniform-ish vectors — modest bar.)"""
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch_knn_bruteforce(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch_ann_lsh(spark, SF_SMOKE).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+
+
+def test_jaccard_pairs_symmetric_bound(spark):
+    rows = dedup_jaccard_pairs(spark, SF_SMOKE).collect()
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_multimodal_featurize_roundtrip(spark):
+    """The Arrow→pandas→Arrow plumbing produces exact byte-level features."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    feats = {r["doc_id"]: r for r in multimodal_featurize(spark, SF_SMOKE).collect()}
+    sample = docs.limit(5).collect()
+    for row in sample:
+        blob = row["text"].encode("utf-8")
+        f = feats[row["doc_id"]]
+        assert f["n_bytes"] == len(blob)
+        assert f["header_sum"] == sum(blob[:16])
+        assert f["format_guess"] == "bin"
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    from weather_etl_pipeline_spark.operators.joins import star_join_revenue
+
+    plan = star_join_revenue(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "dimension joins must broadcast"
+
+
+def test_point_lookup_pushes_filters(spark):
+    from weather_etl_pipeline_spark.operators.relational import filter_point_lookup
+
+    plan = filter_point_lookup(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:200], (
+        "equality predicate should reach the parquet scan"
+    )

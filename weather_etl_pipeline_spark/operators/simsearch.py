@@ -126,13 +126,13 @@ def simsearch_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- sign-LSH bucketed ANN (scale path; rows-only + pytest recall) -----------
-# 8 deterministic ±1 hyperplanes (pattern on dimension index — no RNG,
-# reproducible across engines/runs). bucket = 8-bit sign signature.
-# Search probes only the query's bucket: at N vectors / 256 buckets the
-# candidate set is ~N/256 per query. Multi-probe (hamming-1 buckets)
-# would raise recall at 3× probe cost — noted, not needed for the demo.
+# 6 deterministic ±1 hyperplanes (pattern on dimension index — no RNG,
+# reproducible across engines/runs). bucket = 6-bit sign signature (64
+# buckets). Queries MULTI-PROBE: their own bucket plus every hamming-1
+# neighbor (7 of 64 buckets) — the standard recall/cost dial; at N
+# vectors the candidate set is ~7N/64 per query instead of N.
 
-_LSH_PLANES = 8
+_LSH_PLANES = 6
 
 
 def _plane_weight(p: int, d: int) -> int:
@@ -164,14 +164,21 @@ def simsearch_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.col("embedding")).alias("e"),
         _bucket_expr("embedding", dim).alias("bucket"),
     )
-    queries = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("bucket").alias("qbucket"),
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(_LSH_PLANES)]
+    )
+    queries = (
+        bucketed.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(probes).alias("probe_bucket"),
+        )
     )
     cand = F.broadcast(queries).join(
         bucketed,
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        (F.col("bucket") == F.col("probe_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
     )
     scored = cand.select(
         "query_id",

@@ -27,6 +27,13 @@ WEATHER_BRONZE_FILE = T.StructType(
     ]
 )
 
+# Bronze + the city tag the ingestion side attaches before the write
+# (date is derived from `time` at landing). Built as a fresh StructType —
+# StructType.add() mutates in place, so never call it on a shared schema.
+WEATHER_BRONZE_WITH_CITY = T.StructType(
+    list(WEATHER_BRONZE_FILE.fields) + [T.StructField("city", T.StringType())]
+)
+
 # Silver: cleaned/typed (reference silver.py:28-35 projection).
 WEATHER_SILVER = T.StructType(
     [

@@ -154,13 +154,24 @@ def stream_events_windowed(
     is dropped — the semantics the reference's batch re-runs emulate.
     """
     import os
+    import shutil
+    import tempfile
 
-    from ..schemas import TESTDATA_TABLES  # noqa: F401  (schema source below)
-
-    static = load_table(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    # raw on-disk schema (ts = int64 nanos under nanosAsLong), converted
+    # to a proper timestamp after the streaming read — same recipe as
+    # catalog.load_table
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src).schema
+    # the file-stream source needs a directory; stage the events file
+    # into one (in production this is the landing dir new files drop into)
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    shutil.copy(src, stage)
     stream = (
-        spark.readStream.schema(static.schema)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        spark.readStream.schema(raw_schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")
