@@ -150,43 +150,65 @@ _MH_ROWS = _MH_K // _MH_BANDS
 _MH_VERIFY_T = 0.5
 
 
-def _shingles(text_col: str = "text", n: int = 3):
-    """Distinct n-token shingles via HOF — no explode needed."""
-    toks = F.split(text_col, " ")
-    k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws("", *[F.element_at(toks, i + j + 1) for j in range(n)])
+def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-token shingles, one row per (doc_id, shingle).
+
+    posexplode + lead() window — the linear, codegen'd shape. (A
+    higher-order-function formulation re-evaluates split() per element
+    access: quadratic per document. Exploded rows also feed map-side
+    partial aggregation downstream — the shape that survives 100 TB.)
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
-    return F.array_distinct(F.when(k > 0, sh).otherwise(F.array(F.lit(""))))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(
+            "", *["tok"] + [F.lead("tok", j).over(w) for j in range(1, n)]
+        ).alias("s"),
+        F.lead("tok", n - 1).over(w).alias("_last"),
+    )
+    # keep only complete n-grams
+    return sh.filter(F.col("_last").isNotNull()).select("doc_id", "s").distinct()
 
 
-def _seeded_hash(seed: int):
-    # closure factory — keeps the transform lambda single-argument
-    return lambda s: F.xxhash64(F.lit(seed), s)
+def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + array of distinct n-token shingles (for verification)."""
+    return shingle_rows(docs, n).groupBy("doc_id").agg(
+        F.collect_set("s").alias("shingles")
+    )
 
 
 def minhash_signatures(docs: DataFrame, k: int = _MH_K) -> DataFrame:
-    """doc_id + k-vector of minhashes over 3-token shingles."""
-    sh = docs.select("doc_id", _shingles().alias("shingles"))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), _seeded_hash(i))).alias(f"mh{i}")
-            for i in range(k)
-        ]
+    """doc_id + k-vector of minhashes over 3-token shingles.
+
+    Shape: shingle rows hashed k ways as flat columns, hash-aggregated
+    mins per doc — whole-stage codegen with map-side partial mins; the
+    shuffle carries one k-column row per doc.
+    """
+    sr = shingle_rows(docs)
+    mins = sr.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(k)]
     )
-    return sh.select("doc_id", sig.alias("sig"), "shingles")
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig")
+    )
 
 
 @register("dedup_minhash_lsh", oracle=None, headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MinHash-LSH; columns (doc_a, doc_b, jaccard_shingles)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # cache the signature table: it is tiny (one 32-long vector per doc)
+    # and both sides of the band self-join derive from it — without the
+    # cache Spark recomputes the whole shingle+hash pipeline twice
+    sigs = minhash_signatures(docs).cache()
     # band signature = hash of the band's slice of the minhash vector
     bands = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -200,7 +222,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -213,16 +235,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # verification: exact shingle-set Jaccard, joined in by doc_id
+    sets = shingle_sets(docs)
+    sh_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
     return (
-        cand.withColumn("jaccard_shingles", F.round(jac, 6))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard_shingles", F.round(jac, 6))
         .filter(F.col("jaccard_shingles") >= _MH_VERIFY_T)
         .select("doc_a", "doc_b", "jaccard_shingles")
     )
