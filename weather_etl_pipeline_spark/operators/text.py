@@ -177,6 +177,32 @@ def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+# --- normalization (cleaning projection for text) ----------------------------
+# The text twin of the silver cleaning layer: lowercase, strip
+# non-alphanumerics, collapse whitespace. Pure codegen'd string ops.
+
+
+@register(
+    "text_normalize",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g')) AS norm_text
+FROM documents
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm_text"))
+
+
 # --- language-ID heuristic -----------------------------------------------------
 # Marker-token scoring: count hits against small per-language marker
 # lexicons, predict argmax (deterministic tie-break by language code).

@@ -1,0 +1,74 @@
+"""Pandas-UDF surface (extension X-udf) — the sanctioned slow path.
+
+Demonstrates the two Arrow-batched shapes with ORACLE-VERIFIED
+semantics (rare for UDF code — possible here because the kernels are
+integer-ranking / single-FP-op, so cross-engine determinism holds):
+
+- ``applyInPandas`` grouped-map: per-user event ranking. The pandas
+  kernel sorts and ranks inside each group; the oracle is the window
+  ROW_NUMBER twin. Integer output → exact match.
+- scalar ``pandas_udf``: halving is a single FP op (exact in binary
+  floating point), so Spark-via-Arrow and DuckDB agree bit-for-bit.
+
+Scale: both run as Arrow batches on executors — memory bounded by
+maxRecordsPerBatch, no driver involvement. applyInPandas shuffles on
+the group key; per-group state must fit one executor (true for
+per-user event streams; use salted sub-groups otherwise).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# --- grouped-map applyInPandas: per-user rank --------------------------------
+
+_RANK_SCHEMA = (
+    "user_id bigint, event_id bigint, value double, value_rank int"
+)
+
+
+def _rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+    pdf = pdf.assign(value_rank=range(1, len(pdf) + 1))
+    return pdf
+
+
+@register(
+    "udf_group_rank",
+    oracle="""
+SELECT user_id, event_id, value,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY user_id ORDER BY value DESC, event_id
+       ) AS INTEGER) AS value_rank
+FROM events
+""",
+)
+def udf_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(_rank_group, schema=_RANK_SCHEMA)
+
+
+# --- scalar pandas_udf: vectorized per-value transform -----------------------
+
+
+@register(
+    "udf_scalar_halve",
+    oracle="""
+SELECT event_id, value * 0.5 AS half_value FROM events
+""",
+)
+def udf_scalar_halve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # defined inside the call: decorating at module import would need an
+    # active SparkSession to parse the return type
+    @F.pandas_udf("double")
+    def _halve(s: pd.Series) -> pd.Series:
+        return s * 0.5
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", _halve("value").alias("half_value"))

@@ -56,7 +56,9 @@ def load_all() -> dict[str, Query]:
     """Import every operator module so all @register decorators run."""
     from .operators import (  # noqa: F401
         approx,
+        asof,
         dedup,
+        grouping,
         joins,
         jsonops,
         multimodal,
@@ -64,6 +66,8 @@ def load_all() -> dict[str, Query]:
         setops,
         simsearch,
         text,
+        udfs,
+        views,
         windows,
     )
     from .streaming import windows as streaming_windows  # noqa: F401
