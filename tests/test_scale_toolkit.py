@@ -1,0 +1,79 @@
+"""Scale-toolkit tests: bucketed zero-exchange joins, salted-join
+equivalence, and the stateful streaming accumulator's convergence to
+its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from weather_etl_pipeline_spark.catalog import load_table
+from weather_etl_pipeline_spark.sources.bucketing import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    write_bucketed(orders, "orders_b", "o_orderkey", 8)
+    write_bucketed(li, "lineitem_b", "l_orderkey", 8)
+    # disable broadcast so the fact-fact (at-scale) join strategy shows:
+    # at test scale AQE would happily broadcast the 1500-row orders side
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(
+            spark, "lineitem_b", "orders_b", ("l_orderkey", "o_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == li.count()  # FK: every lineitem has its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_join_equivalence(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey")
+    salted = salted_join(li, orders, "l_orderkey", n_salts=4)
+    assert salted.count() == plain.count()
+    a = plain.agg(F.sum("l_quantity"), F.sum("o_totalprice")).collect()[0]
+    b = salted.agg(F.sum("l_quantity"), F.sum("o_totalprice")).collect()[0]
+    assert a[0] == b[0]
+
+
+def test_stateful_stream_converges_to_batch(spark, tmp_path):
+    from weather_etl_pipeline_spark.streaming.stateful import (
+        stream_user_totals,
+        user_totals_batch,
+    )
+
+    q = stream_user_totals(spark, SF_SMOKE, checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM user_totals").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in user_totals_batch(spark, SF_SMOKE).collect()
+    }
+    assert set(streamed) == set(batch)
+    for uid, (n, total) in batch.items():
+        sn, st = streamed[uid]
+        assert sn == n
+        assert abs(st - total) < 1e-6

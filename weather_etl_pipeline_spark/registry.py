@@ -70,6 +70,7 @@ def load_all() -> dict[str, Query]:
         views,
         windows,
     )
+    from .streaming import stateful as streaming_stateful  # noqa: F401
     from .streaming import windows as streaming_windows  # noqa: F401
 
     return REGISTRY

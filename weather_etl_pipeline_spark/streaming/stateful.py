@@ -1,0 +1,97 @@
+"""Custom stateful streaming operator: per-user running counters via
+``applyInPandasWithState`` (SURVEY.md §2.8 — the Spark-native upgrade
+path the reference's batch re-runs approximate).
+
+The operator keeps (n_events, total_value) per user across micro-
+batches and emits the updated totals each batch — the canonical
+"profile accumulator" shape for feature pipelines. State lives in the
+state store (checkpointed, bounded by key cardinality); processing is
+Arrow-batched pandas per group.
+
+Batch-checkable: ``user_totals_batch`` computes the same result as a
+plain aggregation (oracle-able); the streaming variant must converge to
+it after all input is processed — asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..catalog import load_table
+from ..functions.exact import dsum
+from ..registry import register
+
+_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_user_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stream_user_totals(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+):
+    """readStream → applyInPandasWithState accumulator → memory sink.
+
+    Returns the StreamingQuery; final state per user (after
+    processAllAvailable) must equal the batch aggregation.
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_state_")
+    shutil.copy(src, stage)
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    out = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.outputMode("update").format("memory").queryName("user_totals")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+@register(
+    "stateful_user_totals_batch",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch twin the streaming accumulator must converge to."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
