@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot, norm
 from ..registry import register
 
 _N_QUERIES = 8  # vec_id < 8 are the probe vectors
@@ -61,11 +61,18 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 @register("simsearch_knn_bruteforce", oracle=_KNN_ORACLE, headline=True)
 def simsearch_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms are precomputed once per vector (the pairwise stage then does
+    # one dot product per pair instead of three) — same values as the
+    # oracle's inline sqrt(dot(a,a)) since it is the identical expression
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("ce")
-    )
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qe")
+    ).withColumn("cn", norm(F.col("ce")))
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qe")
+        )
+        .withColumn("qn", norm(F.col("qe")))
     )
     scored = (
         F.broadcast(queries)
@@ -73,7 +80,9 @@ def simsearch_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -106,10 +115,10 @@ WHERE {_dd_cos("a.embedding", "b.embedding")} >= {_NEARDUP_T}
 def simsearch_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("e")
-    )
+    ).withColumn("n", norm(F.col("e")))
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = cosine(F.col("a.e"), F.col("b.e"))
+    cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))
     return (
         a.join(
             b,
@@ -184,7 +193,7 @@ def simsearch_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
-    )
+    )  # ANN candidate sets are small post-bucketing; inline cosine is fine
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )

@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # local-mode scan parallelism: the test parquet is a handful of
+        # small files, so the default 128 MB split puts a whole table in
+        # one task and idles the other 31 cores. 8 MB splits spread the
+        # scan. On a real cluster (many files, HDFS/S3 block sizes) keep
+        # the 128 MB default — override via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
         .config("spark.ui.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",
@@ -61,7 +70,7 @@ def get_spark(
                 os.path.join(tempfile.gettempdir(), "spark-warehouse"),
             ),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
