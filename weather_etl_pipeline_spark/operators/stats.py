@@ -1,0 +1,100 @@
+"""Statistical aggregates with exact-moment determinism (extension).
+
+corr/stddev/covar are order-dependent when summed in floating point, so
+the naive forms can't hash-match across engines. These compute the
+raw moments (Σx, Σy, Σx², Σy², Σxy, n) in EXACT decimal arithmetic,
+round them to integer scale (keeping the scaled value under 2^53 so
+both engines' decimal→double casts are exact), then evaluate the
+closed-form formula in identical double expression order. The result
+is a bit-stable Pearson r / population stddev.
+
+Scale: one map-side-combinable aggregation — moments are the textbook
+distributed-statistics shape (they merge associatively across
+partitions, which is also WHY they can be exact here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def _m(col: Column, typ: str) -> Column:
+    """Exact decimal moment, rounded to scale 0, surfaced as double."""
+    return F.round(F.sum(col.cast(typ)), 0).cast("double")
+
+
+_QTY = "decimal(18,2)"
+_QTY2 = "decimal(28,4)"
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sx,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sy,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sxx,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS syy,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS qty_price_corr,
+       ROUND(sqrt((sxx - sx * sx / n) / n), 6) AS qty_stddev_pop
+FROM m
+"""
+
+
+@register("stats_corr_moments", oracle=_CORR_ORACLE)
+def stats_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_QTY)
+    y = F.col("l_extendedprice").cast(_QTY)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _m(F.col("l_quantity"), _QTY).alias("sx"),
+        _m(F.col("l_extendedprice"), _QTY).alias("sy"),
+        F.round(F.sum(x * x), 0).cast("double").alias("sxx"),
+        F.round(F.sum(y * y), 0).cast("double").alias("syy"),
+        F.round(F.sum(x * y), 0).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    stddev = F.sqrt((sxx - sx * sx / n) / n)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 6).alias("qty_price_corr"),
+        F.round(stddev, 6).alias("qty_stddev_pop"),
+    )
+
+
+# --- histogram / binning ------------------------------------------------------
+
+
+@register(
+    "stats_value_histogram",
+    oracle="""
+SELECT CAST(floor(value / 20.0) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(MIN(value) AS DOUBLE) AS bin_min,
+       CAST(MAX(value) AS DOUBLE) AS bin_max
+FROM events
+GROUP BY CAST(floor(value / 20.0) AS BIGINT)
+""",
+)
+def stats_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 20.0).cast("long")
+    return ev.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").cast("double").alias("bin_min"),
+        F.max("value").cast("double").alias("bin_max"),
+    )

@@ -65,6 +65,8 @@ def load_all() -> dict[str, Query]:
         relational,
         setops,
         simsearch,
+        stats,
+        subqueries,
         text,
         udfs,
         views,
