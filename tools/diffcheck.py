@@ -25,6 +25,26 @@ from weather_etl_pipeline_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from weather_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 
+# spark simpleString / duckdb DESCRIBE type → common vocabulary, so the
+# dtype compare flags int32-vs-int64 style drift the value compare hides
+_CANON_TYPE = {
+    "bigint": "i64",
+    "int": "i32",
+    "integer": "i32",
+    "smallint": "i16",
+    "double": "f64",
+    "float": "f32",
+    "string": "str",
+    "varchar": "str",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "timestamp_ns": "ts",
+    "date": "date",
+    "boolean": "bool",
+    "hugeint": "i128",
+}
+
+
 def canon(val) -> str:
     import datetime
     import math
@@ -89,6 +109,16 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            stypes = dict(zip(sdf.columns, [f.dataType.simpleString() for f in sdf.schema.fields]))
+            otypes = {
+                r[0]: r[1] for r in con.execute(f"DESCRIBE {q.oracle}").fetchall()
+            }
+            for c in scols:
+                st = _CANON_TYPE.get(stypes[c], stypes[c])
+                ot = _CANON_TYPE.get(str(otypes[c]).lower(), str(otypes[c]).lower())
+                if st != ot:
+                    problems.append(f"dtype {c}: spark={stypes[c]} oracle={otypes[c]}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:

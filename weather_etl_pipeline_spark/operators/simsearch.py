@@ -89,7 +89,7 @@ def simsearch_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
@@ -198,7 +198,7 @@ def simsearch_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )

@@ -75,8 +75,8 @@ def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "n_chars",
-        n_tokens.alias("n_tokens"),
-        n_unique.alias("n_unique_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_unique.cast("long").alias("n_unique_tokens"),
         F.round(
             (F.length("text") - (n_tokens - 1)).cast("double") / n_tokens, 6
         ).alias("avg_token_len"),
@@ -132,8 +132,8 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("long").alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
     )
 
 

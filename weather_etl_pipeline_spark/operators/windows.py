@@ -45,7 +45,7 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rk", F.row_number().over(w))
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
@@ -70,8 +70,8 @@ def window_rank_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFr
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
     )
 
 
