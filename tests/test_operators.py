@@ -119,3 +119,38 @@ def test_point_lookup_pushes_filters(spark):
     assert "event_type" in plan.split("PushedFilters")[1][:200], (
         "equality predicate should reach the parquet scan"
     )
+
+
+def test_ivf_kmeans_assignment_is_nearest(spark):
+    """Every vector's assigned cell must be its true nearest centroid."""
+    import numpy as np
+
+    from weather_etl_pipeline_spark.functions.vectors import as_double
+    from weather_etl_pipeline_spark.operators.ivf import build_ivf, kmeans_centroids
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    centroids = np.array(
+        [r["centroid"] for r in kmeans_centroids(emb).orderBy("cell").collect()]
+    )
+    assigned = {r["vec_id"]: r["cell"] for r in build_ivf(spark, SF_SMOKE).collect()}
+    vecs = {r["vec_id"]: np.array(r["e"]) for r in emb.collect()}
+    for vid, v in list(vecs.items())[:100]:
+        d = ((centroids - v) ** 2).sum(axis=1)
+        assert assigned[vid] == int(d.argmin())
+
+
+def test_ivf_search_recall(spark):
+    from weather_etl_pipeline_spark.operators.ivf import simsearch_ivf_kmeans
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch_knn_bruteforce(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch_ivf_kmeans(spark, SF_SMOKE).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"

@@ -1,0 +1,132 @@
+"""IVF index build via mini k-means (iterative algorithm surface).
+
+The scale path for similarity search is an inverted-file (IVF) index:
+k-means centroids partition the corpus into cells; queries probe the
+nearest cell(s) only. This module builds that index with Lloyd's
+algorithm — the canonical ITERATIVE Spark workload shape:
+
+- centroids are a tiny DataFrame (k rows), broadcast-joined against the
+  corpus each iteration; distance is one generic higher-order-function
+  expression (NOT k×dim unrolled literals — that bloats codegen into
+  tens of seconds of compile time);
+- assignment = row_number over (vec, distance) — one window;
+- centroid update = one aggregation with map-side partial sums;
+- iteration count is fixed and small — at 100 TB run the iterations on
+  a sample, then one final assignment pass over everything.
+
+Deterministic: init = the first k vectors by vec_id; assignment ties
+break toward the lower cell id. Non-SQL-expressible (driver records
+rows-only); pytest asserts assignment optimality + search recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import as_double, cosine
+from ..registry import register
+
+_K = 8
+_ITERS = 3
+_DIM = 64
+
+
+def _dist2(a, b):
+    """Squared L2 distance between two array<double> columns (HOF fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast join + window argmin."""
+    d = emb.join(F.broadcast(cent)).withColumn(
+        "_d2", _dist2(F.col("e"), F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("_d2", "cell")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "e", "cell")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame, k: int = _K, iters: int = _ITERS, dim: int = _DIM
+) -> DataFrame:
+    """Lloyd's iterations; returns a (cell, centroid array<double>) DataFrame.
+
+    Centroid state round-trips through the driver between iterations
+    (k×dim doubles — bytes, not data), re-broadcast each pass.
+    """
+    spark = emb.sparkSession
+    first = emb.orderBy("vec_id").limit(k).collect()
+    rows = [(i, [float(x) for x in r["e"]]) for i, r in enumerate(first)]
+    cent = spark.createDataFrame(rows, "cell int, centroid array<double>")
+    for _ in range(iters):
+        assigned = _assign(emb, cent)
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("e", d + 1)).alias(f"s{d}") for d in range(dim)],
+        )
+        got = {r["cell"]: r for r in sums.collect()}
+        rows = [
+            (
+                i,
+                [got[i][f"s{d}"] / got[i]["n"] for d in range(dim)]
+                if i in got
+                else rows[i][1],  # empty cluster keeps its old centroid
+            )
+            for i in range(k)
+        ]
+        cent = spark.createDataFrame(rows, "cell int, centroid array<double>")
+    return cent
+
+
+def build_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell) assignment table — the IVF index."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    cent = kmeans_centroids(emb)
+    return _assign(emb, cent).select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
+@register("simsearch_ivf_kmeans", oracle=None)
+def simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed top-k: build cells, then search only the query's cell.
+
+    Output (query_id, neighbor_id, cos_sim, rk) — same shape as the
+    brute-force baseline; recall vs brute force asserted in pytest.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    cent = kmeans_centroids(emb)
+    cells = _assign(emb, cent)
+    queries = cells.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("cell").alias("qcell"),
+    )
+    cand = F.broadcast(queries).join(
+        cells,
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

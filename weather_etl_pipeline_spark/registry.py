@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
         asof,
         dedup,
         grouping,
+        ivf,
         joins,
         jsonops,
         multimodal,
