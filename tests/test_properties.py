@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis): operator semantics vs driver-side
+reference implementations on randomized inputs. Spark round-trips are
+expensive, so examples are few but adversarially shrunk."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# --- as-of join vs naive reference -------------------------------------------
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 3600),  # ts offset seconds
+        st.sampled_from(["purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_events)
+@settings(**_SETTINGS)
+def test_asof_join_matches_naive(spark, ev):
+    from weather_etl_pipeline_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(seconds=s), kind)
+        for i, (u, s, kind) in enumerate(ev)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    left = df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = df.filter(F.col("event_type") == "error").select("user_id", "ts")
+    got = {
+        r["event_id"]: r["asof_ts"]
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts", carry="ts"
+        ).collect()
+    }
+    # naive reference
+    for i, u, ts, kind in rows:
+        if kind != "purchase":
+            continue
+        cands = [t for (_, u2, t, k2) in rows if u2 == u and k2 == "error" and t <= ts]
+        expected = max(cands) if cands else None
+        assert got[i] == expected, (i, got[i], expected)
+
+
+# --- session windows vs naive gaps-and-islands -------------------------------
+
+
+@given(
+    st.lists(st.integers(0, 7200), min_size=1, max_size=30),
+)
+@settings(**_SETTINGS)
+def test_session_window_matches_naive(spark, offsets):
+    gap = 600  # 10 minutes
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(sorted(offsets))]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = sorted(
+        (r["start"], r["end"], r["n"])
+        for r in df.groupBy(F.session_window("ts", f"{gap} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), F.col("w.end").alias("end"), "n")
+        .collect()
+    )
+    # naive reference
+    sessions = []
+    cur = [rows[0][1], rows[0][1], 1]
+    for _, ts in rows[1:]:
+        if (ts - cur[1]).total_seconds() >= gap:
+            sessions.append((cur[0], cur[1] + dt.timedelta(seconds=gap), cur[2]))
+            cur = [ts, ts, 1]
+        else:
+            cur[1] = ts
+            cur[2] += 1
+    sessions.append((cur[0], cur[1] + dt.timedelta(seconds=gap), cur[2]))
+    assert got == sorted(sessions)
+
+
+# --- metadata upsert uniqueness under arbitrary op sequences -----------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["silver", "gold"]),
+            st.sampled_from(["Delhi", "London"]),
+            st.integers(0, 2),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_metadata_upsert_unique_under_any_sequence(spark, tmp_path_factory, ops):
+    from weather_etl_pipeline_spark.plans.metadata import (
+        mark_processed,
+        read_metadata,
+    )
+
+    meta = str(tmp_path_factory.mktemp("meta") / "pipeline_metadata")
+    for layer, city, day in ops:
+        parts = spark.createDataFrame(
+            [(city, dt.date(2026, 2, 10 + day))], "city string, date date"
+        )
+        mark_processed(spark, meta, layer, parts)
+    rows = read_metadata(spark, meta).collect()
+    keys = [(r["layer"], r["city"], r["date"]) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate (layer, city, date) keys"
+    assert set(keys) == {
+        (layer, city, dt.date(2026, 2, 10 + day)) for layer, city, day in ops
+    }
