@@ -203,6 +203,134 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", norm.alias("norm_text"))
 
 
+# --- quality score (composite) ------------------------------------------------
+# The pre-training quality heuristic: length saturation + lexical
+# diversity + stopword plausibility, combined with fixed weights. All
+# integer counts → two FP ops in a fixed order → deterministic.
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains({list(_STOPWORDS)!r}, x))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * (CAST(n_uniq AS DOUBLE) / n_tok)
+             + 0.2 * least(4.0 * CAST(n_stop AS DOUBLE) / n_tok, 1.0), 6)
+         AS quality
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    quality = (
+        0.4 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        + 0.4 * (n_uniq.cast("double") / n_tok)
+        + 0.2 * F.least(4.0 * n_stop.cast("double") / n_tok, F.lit(1.0))
+    )
+    return docs.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+# --- language-ID: trigram profile ---------------------------------------------
+# The real LID shape: a (trigram, lang) profile table broadcast-joined
+# against exploded character trigrams; score = hit count per language;
+# prediction = argmax with deterministic tie-break. Profiles here are
+# demo lexicons — production swaps in learned trigram weights, the plan
+# is unchanged (broadcast join + pivoted conditional counts).
+
+_TRIGRAM_PROFILE = {
+    "en": ["the", "ing", "ion", "ent"],
+    "de": ["der", "sch", "ein", "und"],
+    "es": ["que", "los", "ado", "nte"],
+    "fr": ["les", "des", "eur", "ait"],
+}
+
+
+def _trigram_values_sql() -> str:
+    rows = [
+        f"('{t}', '{lang}')"
+        for lang, tris in _TRIGRAM_PROFILE.items()
+        for t in tris
+    ]
+    return ", ".join(rows)
+
+
+_TRIGRAM_ORACLE = f"""
+WITH profile(tri, plang) AS (VALUES {_trigram_values_sql()}),
+tris AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, greatest(length(text) - 1, 2)),
+                                       i -> substr(text, CAST(i AS INTEGER), 3))) AS tri
+  FROM documents
+),
+scores AS (
+  SELECT t.doc_id,
+         COUNT(*) FILTER (WHERE p.plang = 'en') AS s_en,
+         COUNT(*) FILTER (WHERE p.plang = 'de') AS s_de,
+         COUNT(*) FILTER (WHERE p.plang = 'es') AS s_es,
+         COUNT(*) FILTER (WHERE p.plang = 'fr') AS s_fr
+  FROM tris t LEFT JOIN profile p ON t.tri = p.tri
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+  CASE
+    WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+    WHEN s_es > s_en AND s_es > s_fr THEN 'es'
+    WHEN s_fr > s_en THEN 'fr'
+    WHEN s_en > 0 THEN 'en'
+    ELSE 'unk'
+  END AS predicted_lang
+FROM scores
+"""
+
+
+@register("text_langid_trigram", oracle=_TRIGRAM_ORACLE)
+def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    profile_rows = [
+        (t, lang) for lang, tris in _TRIGRAM_PROFILE.items() for t in tris
+    ]
+    profile = spark.createDataFrame(profile_rows, "tri string, plang string")
+    tris = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
+        ).alias("tri"),
+    )
+    scores = (
+        tris.join(F.broadcast(profile), "tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.count(F.when(F.col("plang") == lang, 1)).alias(f"s_{lang}")
+                for lang in ["en", "de", "es", "fr"]
+            ]
+        )
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in ["en", "de", "es", "fr"]}
+    pred = (
+        F.when((s["de"] > s["en"]) & (s["de"] > s["es"]) & (s["de"] > s["fr"]), "de")
+        .when((s["es"] > s["en"]) & (s["es"] > s["fr"]), "es")
+        .when(s["fr"] > s["en"], "fr")
+        .when(s["en"] > 0, "en")
+        .otherwise("unk")
+    )
+    return scores.select("doc_id", pred.alias("predicted_lang"))
+
+
 # --- language-ID heuristic -----------------------------------------------------
 # Marker-token scoring: count hits against small per-language marker
 # lexicons, predict argmax (deterministic tie-break by language code).
