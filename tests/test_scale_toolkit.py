@@ -77,3 +77,20 @@ def test_stateful_stream_converges_to_batch(spark, tmp_path):
         sn, st = streamed[uid]
         assert sn == n
         assert abs(st - total) < 1e-6
+
+
+def test_partitioned_lake_prunes_partitions(spark, tmp_path):
+    """A date-partitioned lake + date filter must prune at the directory
+    level (PartitionFilters), not scan-and-discard."""
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    lake = str(tmp_path / "events_lake")
+    ev.write.partitionBy("event_date").parquet(lake)
+    df = spark.read.parquet(lake).filter(F.col("event_date") == "2024-01-02")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "event_date" in seg, "date predicate must prune partitions"
+    n_days = ev.select("event_date").distinct().count()
+    assert df.count() > 0 and df.count() < ev.count() / max(n_days - 1, 1) * 2
