@@ -104,6 +104,80 @@ def join_part_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q3 shape: shipping priority (join + agg + global top-k) -----------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(20,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(13,6))) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    rev = F.col("l_extendedprice").cast(MONEY) * (
+        (F.lit(1) - F.col("l_discount").cast(RATE)).cast("decimal(8,6)")
+    )
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# --- TPC-H Q18 shape: large-quantity orders (HAVING over a join) -------------
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+HAVING SUM(CAST(l.l_quantity AS DECIMAL(14,2))) > 150
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(MONEY)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(F.sum(qty).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("_q").cast("double").alias("total_qty"),
+        )
+    )
+
+
 # --- semi join: EXISTS --------------------------------------------------------
 # Orders that contain at least one high-quantity line. LEFT SEMI keeps
 # the probe side only — no row multiplication, dedup-free.

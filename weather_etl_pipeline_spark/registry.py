@@ -69,6 +69,7 @@ def load_all() -> dict[str, Query]:
         stats,
         subqueries,
         text,
+        timeseries,
         udfs,
         views,
         windows,
