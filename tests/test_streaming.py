@@ -33,3 +33,42 @@ def test_streaming_matches_batch_counts(spark, tmp_path):
     assert s, "streaming emitted nothing"
     assert all(b[k] == v for k, v in s.items())
     assert len(s) >= len(b) * 0.8
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed event_ids inside the
+    watermark horizon are emitted once — streaming exactly-once dedup."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "dup_src")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(seconds=30), 1.0),  # duplicate id, replayed
+        (2, base + dt.timedelta(minutes=1), 2.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [1, 2]

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..schemas import WEATHER_SILVER, assert_schema
 from ..sources.parquet_io import scan_zone, write_partitions
 from .incremental import (
     available_partitions,
@@ -97,6 +98,7 @@ def run_silver(spark: SparkSession, paths: LakePaths) -> int:
     todo_df = spark.createDataFrame(todo_rows, todo.schema)
 
     cleaned = clean_bronze(filter_to_partitions(bronze, todo_df))
+    assert_schema(cleaned, WEATHER_SILVER, "silver projection")
     # empty-partition guard (reference silver.py:42-47): every pending
     # partition must survive cleaning with ≥1 row. One aggregation
     # checks all partitions at once.

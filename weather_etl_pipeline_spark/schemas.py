@@ -73,6 +73,22 @@ PIPELINE_METADATA = T.StructType(
 
 METADATA_KEY = ["layer", "city", "date"]
 
+def assert_schema(df, expected: T.StructType, where: str = "") -> None:
+    """Schema gate (SURVEY.md §1.4): silver/gold shapes are DECLARED, not
+    inferred — fail fast when a projection drifts. Compares names and
+    types order-insensitively; nullability is advisory in Spark and is
+    deliberately not compared."""
+    got = {f.name: f.dataType for f in df.schema.fields}
+    want = {f.name: f.dataType for f in expected.fields}
+    if got != want:
+        missing = {k: v for k, v in want.items() if got.get(k) != v}
+        extra = {k: v for k, v in got.items() if want.get(k) != v}
+        raise TypeError(
+            f"schema drift{' in ' + where if where else ''}: "
+            f"expected-but-wrong {missing}; got {extra}"
+        )
+
+
 # --- driver test tables (FIXTURES.md section 2) ------------------------------
 
 TESTDATA_TABLES = (
