@@ -67,6 +67,7 @@ def asof_join(
 
 @register(
     "asof_join_last_error",
+    headline=True,
     oracle="""
 SELECT p.event_id, p.user_id, p.ts,
        (SELECT MAX(e.ts) FROM events e

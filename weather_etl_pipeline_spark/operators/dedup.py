@@ -32,6 +32,7 @@ from ..registry import register
 
 @register(
     "dedup_exact_canonical",
+    headline=True,
     oracle="""
 SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
 FROM documents GROUP BY text

@@ -109,6 +109,7 @@ def join_part_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q3_shipping_priority",
+    headline=True,
     oracle="""
 SELECT l.l_orderkey,
        CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(20,2))

@@ -21,6 +21,7 @@ from ..registry import register
 
 @register(
     "json_extract_agg",
+    headline=True,
     oracle="""
 SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -98,7 +98,7 @@ FROM documents
 """
 
 
-@register("multimodal_featurize", oracle=_FEATURIZE_ORACLE)
+@register("multimodal_featurize", oracle=_FEATURIZE_ORACLE, headline=True)
 def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_blob = docs.select(

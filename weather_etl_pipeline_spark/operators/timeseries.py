@@ -49,7 +49,7 @@ FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
 """
 
 
-@register("timeseries_gapfill_hourly", oracle=_GAPFILL_ORACLE)
+@register("timeseries_gapfill_hourly", oracle=_GAPFILL_ORACLE, headline=True)
 def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(

@@ -41,6 +41,7 @@ def _rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @register(
     "udf_group_rank",
+    headline=True,
     oracle="""
 SELECT user_id, event_id, value,
        CAST(ROW_NUMBER() OVER (
