@@ -154,3 +154,11 @@ def test_ivf_search_recall(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
+def test_describe_table_smoke(spark):
+    from weather_etl_pipeline_spark.operators.views import describe_table
+
+    rows = {r["col_name"]: r["data_type"] for r in describe_table(spark, SF_SMOKE, "orders").collect()}
+    assert rows["o_orderkey"] == "bigint"
+    assert rows["o_totalprice"] == "double"
