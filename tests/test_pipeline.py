@@ -227,3 +227,49 @@ def test_aggregate_matches_reference_shape(spark):
     )
     g = aggregate_silver(silver).first()
     assert g["avg_temp"] == 15.0 and g["record_count"] == 2
+
+
+def test_generic_layer_on_event_lake(spark, tmp_path):
+    """The incremental engine is schema-agnostic: an event lake with a
+    single partition column (event_date) runs through the same
+    run_layer machinery as the weather lake's (city, date)."""
+    from tests.conftest import SF_SMOKE
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.plans.layers import (
+        Layer,
+        require_all_partitions_nonempty,
+        run_layer,
+    )
+
+    raw = str(tmp_path / "events_raw")
+    rollup = str(tmp_path / "events_rollup")
+    meta = str(tmp_path / "meta")
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    dates = sorted(r["event_date"] for r in ev.select("event_date").distinct().collect())
+    first, rest = dates[:2], dates[2:]
+
+    ev.filter(F.col("event_date").isin(first)).write.partitionBy(
+        "event_date"
+    ).mode("append").parquet(raw)
+
+    def daily_rollup(df):
+        return df.groupBy("event_date", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+
+    layer = Layer(name="rollup", transform=daily_rollup, partition_cols=("event_date",))
+    layer.validations = (require_all_partitions_nonempty(layer),)
+
+    assert run_layer(spark, layer, raw, rollup, meta) == 2
+    assert run_layer(spark, layer, raw, rollup, meta) == 0  # incremental skip
+    # land the remaining dates -> only they process
+    ev.filter(F.col("event_date").isin(rest)).write.partitionBy(
+        "event_date"
+    ).mode("append").parquet(raw)
+    assert run_layer(spark, layer, raw, rollup, meta) == len(rest)
+    out = spark.read.parquet(rollup)
+    assert out.select("event_date").distinct().count() == len(dates)
+    assert out.agg(F.sum("n")).first()[0] == ev.count()

@@ -82,10 +82,13 @@ def test_session_window_matches_naive(spark, offsets):
         .collect()
     )
     # naive reference
+    # Spark merges an event landing exactly at prev_ts + gap (inclusive
+    # boundary) — a new session starts only when the silence is STRICTLY
+    # longer than the gap
     sessions = []
     cur = [rows[0][1], rows[0][1], 1]
     for _, ts in rows[1:]:
-        if (ts - cur[1]).total_seconds() >= gap:
+        if (ts - cur[1]).total_seconds() > gap:
             sessions.append((cur[0], cur[1] + dt.timedelta(seconds=gap), cur[2]))
             cur = [ts, ts, 1]
         else:

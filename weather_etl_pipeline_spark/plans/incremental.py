@@ -12,33 +12,44 @@ reference loops over ``to_process`` one partition at a time
 (``filter_to_partitions``) so all new partitions clean/aggregate/write
 in a single distributed pass. At 100 TB that is the difference between
 N sequential scans and one.
+
+Partition columns are parameterized — the weather lake uses
+``(city, date)``, an event lake just ``(event_date,)``.
 """
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-PARTITION_KEY = ["city", "date"]
+DEFAULT_PARTITION_KEY = ("city", "date")
 
 
-def available_partitions(zone_df: DataFrame) -> DataFrame:
-    """DISTINCT (city, date) over a zone scan — reference silver.py:8-12.
+def available_partitions(
+    zone_df: DataFrame, cols: Sequence[str] = DEFAULT_PARTITION_KEY
+) -> DataFrame:
+    """DISTINCT partition tuples over a zone scan — reference silver.py:8-12.
 
     On a partitioned lake this reads only partition columns, which
     Catalyst serves from directory metadata (no data scan).
     """
-    return zone_df.select(*PARTITION_KEY).distinct()
+    return zone_df.select(*cols).distinct()
 
 
 def pending_partitions(available: DataFrame, processed: DataFrame) -> DataFrame:
-    """available − processed via broadcast anti-join."""
+    """available − processed via broadcast anti-join (on shared columns)."""
     return available.join(
-        F.broadcast(processed), on=PARTITION_KEY, how="left_anti"
+        F.broadcast(processed), on=list(available.columns), how="left_anti"
     )
 
 
-def filter_to_partitions(zone_df: DataFrame, partitions: DataFrame) -> DataFrame:
+def filter_to_partitions(
+    zone_df: DataFrame,
+    partitions: DataFrame,
+    cols: Sequence[str] = DEFAULT_PARTITION_KEY,
+) -> DataFrame:
     """Restrict a zone scan to a partition work-list in ONE plan.
 
     A broadcast LEFT SEMI join on partition columns: Spark turns this
@@ -46,4 +57,4 @@ def filter_to_partitions(zone_df: DataFrame, partitions: DataFrame) -> DataFrame
     partitions' files are read — the single-job replacement for the
     reference's per-partition loop.
     """
-    return zone_df.join(F.broadcast(partitions), on=PARTITION_KEY, how="left_semi")
+    return zone_df.join(F.broadcast(partitions), on=list(cols), how="left_semi")

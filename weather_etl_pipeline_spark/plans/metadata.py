@@ -13,10 +13,14 @@ atomic swap:
   processed_at desc)`` — deterministic replace-by-key;
 - atomic swap = write to a temp dir then rename, so a crashed writer
   never leaves a half-written metadata table;
-- the table is tiny (one row per (layer, city, date) partition —
-  thousands at most), so the full rewrite is cheap at any scale; with
-  Delta available this becomes ``MERGE INTO`` unchanged at the call
-  sites.
+- the table is tiny (one row per (layer, *partition) — thousands at
+  most), so the full rewrite is cheap at any scale; with Delta
+  available this becomes ``MERGE INTO`` unchanged at the call sites.
+
+The table's partition columns are the LAKE's partition columns (the
+weather lake: city, date; an event lake: event_date) — generic
+``*_cols`` entry points take them explicitly, and the weather-shaped
+wrappers below pin the reference's (city, date).
 """
 
 from __future__ import annotations
@@ -31,19 +35,23 @@ from pyspark.sql import functions as F
 from ..schemas import METADATA_KEY, PIPELINE_METADATA
 
 
-def read_metadata(spark: SparkSession, meta_path: str) -> DataFrame:
+def read_metadata(spark: SparkSession, meta_path: str) -> DataFrame | None:
     if not os.path.exists(meta_path):
-        return spark.createDataFrame([], PIPELINE_METADATA)
+        return None
     return spark.read.parquet(meta_path)
 
 
-def upsert_metadata(
-    spark: SparkSession, meta_path: str, new_rows: DataFrame
+def upsert_metadata_cols(
+    spark: SparkSession, meta_path: str, new_rows: DataFrame, key_cols: list[str]
 ) -> None:
-    """INSERT OR REPLACE by (layer, city, date); latest processed_at wins."""
+    """INSERT OR REPLACE by (layer, *key_cols); latest processed_at wins."""
     current = read_metadata(spark, meta_path)
-    merged = current.unionByName(new_rows.select(*PIPELINE_METADATA.fieldNames()))
-    w = Window.partitionBy(*METADATA_KEY).orderBy(F.col("processed_at").desc())
+    merged = (
+        current.unionByName(new_rows.select(*current.columns))
+        if current is not None
+        else new_rows
+    )
+    w = Window.partitionBy("layer", *key_cols).orderBy(F.col("processed_at").desc())
     deduped = (
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -52,13 +60,48 @@ def upsert_metadata(
     _atomic_overwrite(deduped, meta_path)
 
 
+def mark_processed_cols(
+    spark: SparkSession,
+    meta_path: str,
+    layer: str,
+    partitions: DataFrame,
+    cols: list[str],
+) -> None:
+    """Record (layer, *cols) rows as processed now."""
+    rows = partitions.select(
+        F.lit(layer).alias("layer"),
+        *[F.col(c) for c in cols],
+        F.current_timestamp().alias("processed_at"),
+    )
+    upsert_metadata_cols(spark, meta_path, rows, cols)
+
+
+def processed_partitions_cols(
+    spark: SparkSession, meta_path: str, layer: str, cols: list[str]
+) -> DataFrame | None:
+    """Partition tuples already processed for a layer (None if no table
+    exists yet) — reference silver.py:15-20."""
+    meta = read_metadata(spark, meta_path)
+    if meta is None:
+        return None
+    return meta.filter(F.col("layer") == layer).select(*cols)
+
+
+# --- weather-shaped wrappers (the reference's fixed schema) ------------------
+
+
+def upsert_metadata(spark: SparkSession, meta_path: str, new_rows: DataFrame) -> None:
+    upsert_metadata_cols(
+        spark,
+        meta_path,
+        new_rows.select(*PIPELINE_METADATA.fieldNames()),
+        METADATA_KEY[1:],  # (city, date); "layer" is always part of the key
+    )
+
+
 def mark_processed(
     spark: SparkSession, meta_path: str, layer: str, partitions: DataFrame
 ) -> None:
-    """Record (layer, city, date) rows as processed now.
-
-    ``partitions`` must have columns city (string), date (date).
-    """
     rows = partitions.select(
         F.lit(layer).alias("layer"),
         F.col("city").cast("string").alias("city"),
@@ -71,13 +114,14 @@ def mark_processed(
 def processed_partitions(
     spark: SparkSession, meta_path: str, layer: str
 ) -> DataFrame:
-    """(city, date) pairs already processed for a layer — reference
-    silver.py:15-20."""
-    return (
-        read_metadata(spark, meta_path)
-        .filter(F.col("layer") == layer)
-        .select("city", "date")
-    )
+    got = processed_partitions_cols(spark, meta_path, layer, ["city", "date"])
+    if got is None:
+        return _empty_weather_partitions(spark)
+    return got
+
+
+def _empty_weather_partitions(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "city string, date date")
 
 
 def _atomic_overwrite(df: DataFrame, path: str) -> None:

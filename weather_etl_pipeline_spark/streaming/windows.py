@@ -98,8 +98,10 @@ _GAP_MIN = 30
 _SESSION_ORACLE = f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
+         -- STRICT > : Spark's session_window merges an event landing at
+         -- exactly prev_ts + gap (inclusive session end)
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   >= INTERVAL {_GAP_MIN} MINUTE
+                   > INTERVAL {_GAP_MIN} MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events
