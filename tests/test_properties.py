@@ -132,3 +132,33 @@ def test_metadata_upsert_unique_under_any_sequence(spark, tmp_path_factory, ops)
     assert set(keys) == {
         (layer, city, dt.date(2026, 2, 10 + day)) for layer, city, day in ops
     }
+
+
+@given(st.lists(st.integers(0, 7200), min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_sliding_window_assignment_matches_naive(spark, offsets):
+    """Every event lands in exactly width/slide epoch-aligned windows
+    whose start is in (ts - width, ts]."""
+    width, slide = 3600, 1800
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(offsets)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = sorted(
+        (r["start"], r["n"])
+        for r in df.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+        .collect()
+    )
+    # naive: epoch-aligned grid
+    from collections import Counter
+
+    counts = Counter()
+    for _, ts in rows:
+        epoch = int((ts - dt.datetime(1970, 1, 1)).total_seconds())
+        last_start = (epoch // slide) * slide
+        for k in range(width // slide):
+            start = last_start - k * slide
+            if start + width > epoch:
+                counts[dt.datetime(1970, 1, 1) + dt.timedelta(seconds=start)] += 1
+    assert got == sorted(counts.items())
