@@ -87,6 +87,7 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            spark.catalog.clearCache()  # no cross-query cache reuse or pinning
             sdf = q.fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns

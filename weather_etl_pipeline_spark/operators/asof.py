@@ -43,7 +43,9 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
         F.lit(None).cast(right.schema[carry].dataType).alias("_carry"),
     )
-    r_tag = right.select(
+    # a NULL right timestamp would sort first (NULLS FIRST) and its carry
+    # value would forward-fill into every left row — drop such rows
+    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),

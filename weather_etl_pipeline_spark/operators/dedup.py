@@ -165,10 +165,12 @@ def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
+    # '\x1f' (unit separator) keeps token boundaries: with no separator
+    # ('ab','c') and ('a','bc') would collide into the same shingle
     sh = toks.select(
         "doc_id",
         F.concat_ws(
-            "", *["tok"] + [F.lead("tok", j).over(w) for j in range(1, n)]
+            "\x1f", *["tok"] + [F.lead("tok", j).over(w) for j in range(1, n)]
         ).alias("s"),
         F.lead("tok", n - 1).over(w).alias("_last"),
     )
@@ -257,7 +259,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash near-dup (scale path; rows-only + pytest golden) ----------------
 # 62-bit simhash folded with HOFs (aggregate/zip_with) — no explode, no
-# UDF. Candidates share one of four 16-bit chunks; verify hamming ≤ 6.
+# UDF. Candidates share one of four 16-bit chunks; by pigeonhole, any
+# pair within hamming distance 3 MUST collide in some chunk, so the
+# verify threshold is 3 (a higher advertised radius would silently miss
+# pairs whose differing bits spread across all four chunks; raise
+# _SH_CHUNKS to k+1 to widen the guaranteed radius to k).
 
 _SH_BITS = 62
 _SH_CHUNKS = 4
@@ -344,6 +350,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= _SH_CHUNKS - 1)  # guaranteed-recall radius
         .select("doc_a", "doc_b", "hamming")
     )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import davg
 from ..registry import register
 
 _GAPFILL_ORACLE = """
@@ -56,11 +57,7 @@ def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("hour", "ts").alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
-            / F.count("value"),
-            6,
-        ).alias("avg_value"),
+        davg("value").alias("avg_value"),
     )
     grid = (
         hourly.groupBy("user_id")

@@ -90,9 +90,9 @@ def run_layer(
     full_refresh: bool = False,
 ) -> int:
     """One incremental pass; returns the number of partitions processed."""
-    import os
+    from ..sources.fs import path_exists
 
-    if not os.path.exists(input_path):
+    if not path_exists(spark, input_path):
         return 0  # missing-input guard (reference gold.py:26-28)
     src = scan_zone(spark, input_path)
     cols = list(layer.partition_cols)

@@ -25,18 +25,17 @@ wrappers below pin the reference's (city, date).
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schemas import METADATA_KEY, PIPELINE_METADATA
+from ..sources.fs import delete, path_exists, rename
 
 
 def read_metadata(spark: SparkSession, meta_path: str) -> DataFrame | None:
-    if not os.path.exists(meta_path):
+    if not path_exists(spark, meta_path):
         return None
     return spark.read.parquet(meta_path)
 
@@ -125,11 +124,17 @@ def _empty_weather_partitions(spark: SparkSession) -> DataFrame:
 
 
 def _atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Write-then-swap through the Hadoop FileSystem API — scheme-
+    agnostic (file://, hdfs://, s3a://). Note: the swap is atomic on
+    HDFS/local renames; object stores get best-effort semantics (as do
+    all non-transactional parquet tables — Delta's MERGE replaces this
+    wholesale when its jars are present)."""
+    spark = df.sparkSession
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    if path_exists(spark, path):
+        rename(spark, path, old)
+    rename(spark, tmp, path)
+    if path_exists(spark, old):
+        delete(spark, old)

@@ -16,8 +16,6 @@ it after all input is processed — asserted in tests/test_streaming.py.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,7 +38,10 @@ def _update_user_state(
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # match the batch twin's DECIMAL(14,2) semantics: each value is
+        # rounded to cents before summation (raw float sums would drift
+        # from the oracle-verified batch aggregation on >2-decimal data)
+        total += float(pdf["value"].round(2).sum())
     state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
@@ -58,8 +59,9 @@ def stream_user_totals(
     src = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(src).schema
-    stage = tempfile.mkdtemp(prefix="stream_state_")
-    shutil.copy(src, stage)
+    from .staging import stage_events_dir
+
+    stage = stage_events_dir(src, checkpoint_dir, "stream_state_")
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     out = (
         stream.select("user_id", "value")

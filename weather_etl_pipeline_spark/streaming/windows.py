@@ -11,9 +11,12 @@ in pytest with the memory sink).
 Window semantics notes (both engines must agree):
 - tumbling/sliding windows are epoch-aligned: start = floor(epoch/slide)
   — the DuckDB twin uses the same epoch arithmetic;
-- session windows: a new session starts when gap >= 30 min (Spark
-  windows are [start, end) with end = last_ts + gap); the oracle is the
-  classic gaps-and-islands formulation with the same >= comparison.
+- session windows: an event landing at exactly prev_ts + gap still
+  MERGES into the session (Spark's session end is inclusive for the
+  next event); a new session starts only when the silence is strictly
+  longer than the gap. The oracle is the classic gaps-and-islands
+  formulation with the same strict-> comparison (pinned by a
+  hypothesis property test against a naive reference).
 
 Scale: windowed aggregation shuffles on (window, key) — the state is
 bounded by watermark horizon × key cardinality in streaming; in batch,
@@ -27,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import MONEY, davg, dsum
+from ..functions.exact import davg, dsum
 from ..registry import register
 
 # --- tumbling window ----------------------------------------------------------
@@ -131,7 +134,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(MONEY)).cast("double").alias("sum_value"),
+            dsum("value").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -156,8 +159,8 @@ def stream_events_windowed(
     is dropped — the semantics the reference's batch re-runs emulate.
     """
     import os
-    import shutil
-    import tempfile
+
+    from .staging import stage_events_dir
 
     src = os.path.join(sf_dir, "events.parquet")
     # raw on-disk schema (ts = int64 nanos under nanosAsLong), converted
@@ -166,10 +169,7 @@ def stream_events_windowed(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(src).schema
-    # the file-stream source needs a directory; stage the events file
-    # into one (in production this is the landing dir new files drop into)
-    stage = tempfile.mkdtemp(prefix="stream_events_")
-    shutil.copy(src, stage)
+    stage = stage_events_dir(src, checkpoint_dir, "stream_events_")
     stream = (
         spark.readStream.schema(raw_schema)
         .parquet(stage)
