@@ -162,3 +162,33 @@ def test_describe_table_smoke(spark):
     rows = {r["col_name"]: r["data_type"] for r in describe_table(spark, SF_SMOKE, "orders").collect()}
     assert rows["o_orderkey"] == "bigint"
     assert rows["o_totalprice"] == "double"
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """Distributed label propagation must equal a driver-side union-find
+    over the same edge set."""
+    from weather_etl_pipeline_spark.operators.clusters import dedup_clusters
+    from weather_etl_pipeline_spark.operators.dedup import dedup_jaccard_pairs
+
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_jaccard_pairs(spark, SF_SMOKE).collect()
+    ]
+    docs = [r["doc_id"] for r in load_table(spark, SF_SMOKE, "documents").select("doc_id").collect()]
+
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in docs}
+
+    got = {r["doc_id"]: r["cluster"] for r in dedup_clusters(spark, SF_SMOKE).collect()}
+    assert got == expected

@@ -1,0 +1,86 @@
+"""Duplicate clustering: connected components over near-dup pairs.
+
+Pairwise dedup (jaccard/minhash/simhash) yields EDGES; the pipeline
+action — "keep one document per duplicate group" — needs the connected
+COMPONENTS. Computed with iterative min-label propagation:
+
+    label(v) ← min(label(v), min over neighbors(label(u)))
+
+repeated until fixpoint. Each iteration is one join + one aggregation
+(both shuffle on doc_id); iterations needed = graph diameter, which for
+near-dup clusters is tiny (dup groups are near-cliques, so 2-3 passes
+converge). The driver only sees a one-row convergence counter per
+iteration — labels never leave the executors. This is the standard
+large-graph CC shape (hash-partitioned label propagation), bounded here
+at ``max_iters`` as a runaway guard.
+
+Non-SQL-expressible (iterative) → rows-only driver check; pytest
+verifies against a driver-side union-find on the same edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, max_iters: int = 10
+) -> DataFrame:
+    """(doc_id, cluster) with cluster = min doc_id in the component.
+
+    ``edges``: columns (doc_a, doc_b); ``vertices``: column (doc_id).
+    """
+    labels = vertices.select("doc_id", F.col("doc_id").alias("cluster"))
+    # symmetric adjacency so propagation flows both ways
+    adj = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            adj.join(labels, adj.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc_id")
+            .filter(F.col("o.cluster") != F.col("n.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register("dedup_clusters", oracle=None)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster documents by Jaccard near-duplication; one row per doc
+    with its cluster id (min doc_id in the component) and whether the
+    doc is the cluster's canonical survivor."""
+    from .dedup import dedup_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(edges, docs)
+    return labels.select(
+        "doc_id",
+        "cluster",
+        (F.col("doc_id") == F.col("cluster")).alias("is_canonical"),
+    )

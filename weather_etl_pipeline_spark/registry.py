@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
     from .operators import (  # noqa: F401
         approx,
         asof,
+        clusters,
         dedup,
         grouping,
         ivf,
