@@ -45,6 +45,15 @@ _CANON_TYPE = {
 }
 
 
+def canon_type(t: str) -> str:
+    t = str(t).lower().strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"arr<{canon_type(t[6:-1])}>"
+    if t.endswith("[]"):
+        return f"arr<{canon_type(t[:-2])}>"
+    return _CANON_TYPE.get(t, t)
+
+
 def canon(val) -> str:
     import datetime
     import math
@@ -116,9 +125,7 @@ def main() -> int:
                 r[0]: r[1] for r in con.execute(f"DESCRIBE {q.oracle}").fetchall()
             }
             for c in scols:
-                st = _CANON_TYPE.get(stypes[c], stypes[c])
-                ot = _CANON_TYPE.get(str(otypes[c]).lower(), str(otypes[c]).lower())
-                if st != ot:
+                if canon_type(stypes[c]) != canon_type(otypes[c]):
                     problems.append(f"dtype {c}: spark={stypes[c]} oracle={otypes[c]}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")

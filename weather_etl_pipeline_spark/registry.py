@@ -65,6 +65,7 @@ def load_all() -> dict[str, Query]:
         jsonops,
         multimodal,
         relational,
+        reshape,
         setops,
         simsearch,
         stats,
