@@ -35,12 +35,17 @@ def connected_components(
     ``edges``: columns (doc_a, doc_b); ``vertices``: column (doc_id).
     """
     labels = vertices.select("doc_id", F.col("doc_id").alias("cluster"))
-    # symmetric adjacency so propagation flows both ways
-    adj = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # symmetric adjacency so propagation flows both ways; materialized
+    # ONCE — without this every iteration would re-derive the edges
+    # (for near-dup edges that is the expensive inverted-index join)
+    adj = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             adj.join(labels, adj.dst == labels.doc_id)
@@ -66,6 +71,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        # returning silently would hand back split components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations "
+            f"({changed} labels still changing); raise max_iters for graphs "
+            "with diameter > max_iters"
+        )
     return labels
 
 

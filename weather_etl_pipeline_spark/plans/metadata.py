@@ -133,8 +133,16 @@ def _atomic_overwrite(df: DataFrame, path: str) -> None:
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    if path_exists(spark, path):
-        rename(spark, path, old)
-    rename(spark, tmp, path)
+    # Hadoop rename reports failure by RETURNING FALSE (concurrent
+    # writer, missing parent, dst exists) — unlike os.rename it never
+    # raises, so each step must be checked or a failed swap would
+    # silently delete the previous metadata
+    if path_exists(spark, path) and not rename(spark, path, old):
+        raise IOError(f"metadata swap: could not move {path} aside")
+    if not rename(spark, tmp, path):
+        # roll the old table back so watermarks survive the failure
+        if path_exists(spark, old):
+            rename(spark, old, path)
+        raise IOError(f"metadata swap: could not publish {tmp} -> {path}")
     if path_exists(spark, old):
         delete(spark, old)

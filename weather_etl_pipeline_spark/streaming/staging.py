@@ -2,10 +2,14 @@
 DIRECTORY (in production, the landing dir new files drop into). For the
 demo/test harness we stage a copy of the source file.
 
-When the caller provides a checkpoint dir, the stage lives next to it —
-so the caller's cleanup (pytest tmp_path, a job's workspace teardown)
-removes both. Only checkpoint-less throwaway calls fall back to a
-mkdtemp, which the OS tmp reaper owns.
+When the caller provides a checkpoint dir, the stage is a SIBLING of
+that exact dir (``<checkpoint>_stage``) — unique per streaming query,
+so two jobs with checkpoints under the same parent can never serve each
+other stale data, and the caller's cleanup (pytest tmp_path, a job's
+workspace teardown) removes stage and checkpoint together. A restart
+against the same checkpoint reuses its stage (same source by
+contract). Checkpoint-less throwaway calls fall back to a mkdtemp the
+OS tmp reaper owns.
 """
 
 from __future__ import annotations
@@ -19,7 +23,7 @@ def stage_events_dir(
     src_file: str, checkpoint_dir: str | None, prefix: str
 ) -> str:
     if checkpoint_dir:
-        stage = os.path.join(os.path.dirname(checkpoint_dir.rstrip("/")), f"{prefix}stage")
+        stage = os.path.abspath(checkpoint_dir.rstrip("/")) + "_stage"
         os.makedirs(stage, exist_ok=True)
     else:
         stage = tempfile.mkdtemp(prefix=prefix)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,9 +40,12 @@ def _update_user_state(
     for pdf in pdfs:
         n += len(pdf)
         # match the batch twin's DECIMAL(14,2) semantics: each value is
-        # rounded to cents before summation (raw float sums would drift
-        # from the oracle-verified batch aggregation on >2-decimal data)
-        total += float(pdf["value"].round(2).sum())
+        # rounded to cents HALF-UP before summation (Spark's
+        # double→decimal cast rounds half up; pandas .round is
+        # half-to-even and would diverge on exact half-cent values)
+        v = pdf["value"]
+        cents = (v.abs() * 100 + 0.5).pipe(np.floor) * np.sign(v)
+        total += float(cents.sum()) / 100.0
     state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
