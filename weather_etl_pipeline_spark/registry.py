@@ -64,6 +64,7 @@ def load_all() -> dict[str, Query]:
         joins,
         jsonops,
         multimodal,
+        rangejoin,
         relational,
         reshape,
         setops,
