@@ -72,3 +72,54 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == [1, 2]
+
+
+def test_streaming_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Stop a checkpointed query, land new data, restart from the SAME
+    checkpoint: already-processed files are not re-emitted and the new
+    batch is picked up — the file-source exactly-once contract."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "restart_src")
+    ck = str(tmp_path / "restart_ck")
+    base = dt.datetime(2024, 1, 1)
+
+    def batch(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_query():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, value double"
+        ).parquet(src)
+        counted = stream.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+        return (
+            counted.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("restart_out")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    batch([(1, base, 1.0), (2, base + dt.timedelta(minutes=1), 2.0)])
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch([(3, base + dt.timedelta(minutes=2), 3.0)])
+    q = run_query()
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: r["n"]
+            for r in spark.sql("SELECT * FROM restart_out").collect()
+        }
+    finally:
+        q.stop()
+    # every event exactly once across the restart
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -28,7 +28,7 @@ from ..registry import register
 
 
 def connected_components(
-    edges: DataFrame, vertices: DataFrame, max_iters: int = 10
+    edges: DataFrame, vertices: DataFrame, max_iters: int = 20
 ) -> DataFrame:
     """(doc_id, cluster) with cluster = min doc_id in the component.
 
