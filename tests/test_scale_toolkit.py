@@ -94,3 +94,35 @@ def test_partitioned_lake_prunes_partitions(spark, tmp_path):
     assert "event_date" in seg, "date predicate must prune partitions"
     n_days = ev.select("event_date").distinct().count()
     assert df.count() > 0 and df.count() < ev.count() / max(n_days - 1, 1) * 2
+
+
+def test_compact_zone_merges_small_files(spark, tmp_path):
+    """N appends -> N files per partition; compaction rewrites each
+    fragmented partition to few files with identical data, and leaves
+    already-compact partitions untouched."""
+    from weather_etl_pipeline_spark.sources.maintenance import (
+        compact_zone,
+        partition_file_stats,
+    )
+
+    zone = str(tmp_path / "zone")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    two_days = ev.filter(
+        F.col("event_date").isin([F.lit("2024-01-01").cast("date"), F.lit("2024-01-02").cast("date")])
+    )
+    for _ in range(4):  # simulate 4 incremental runs appending small files
+        two_days.coalesce(1).write.partitionBy("event_date").mode("append").parquet(zone)
+    before = partition_file_stats(spark, zone)
+    assert all(n >= 4 for n, _ in before.values())
+    total_before = spark.read.parquet(zone).count()
+
+    n_compacted = compact_zone(spark, zone, ("event_date",), target_file_bytes=1 << 30)
+    assert n_compacted == len(before)
+    after = partition_file_stats(spark, zone)
+    assert set(after) == set(before)
+    assert all(n == 1 for n, _ in after.values())
+    assert spark.read.parquet(zone).count() == total_before
+    # idempotent: second run is a no-op
+    assert compact_zone(spark, zone, ("event_date",), target_file_bytes=1 << 30) == 0
