@@ -23,6 +23,9 @@ ANNOTATED = {
     "stream_session_windows": "one Exchange + one Sort for sessionization — minimal for a stateful window",
     "dedup_minhash_lsh": "InMemoryTableScan: the cached signature table feeds both sides of the band self-join",
     "simsearch_knn_bruteforce": "query side broadcast; corpus streamed once",
+    "asof_join_last_error": "union + single window sort — the as-of join costs one shuffle, no UDF",
+    "timeseries_gapfill_hourly": "rollup and forward-fill window both shuffle on user_id — AQE reuses the partitioning",
+    "range_join_purchases_after_signup": "bucketed equi-join bounds interval-match candidates to 2 cells per row",
 }
 
 
