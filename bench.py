@@ -24,7 +24,11 @@ from weather_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    label = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf = float(label)
+    except ValueError:
+        sf = label or "unknown"  # non-sfN dirs keep their name as the label
     reg = load_all()
     headline = {n: q for n, q in reg.items() if q.headline}
 

@@ -52,3 +52,20 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for the SQL API path)."""
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def raw_nanos_schema(spark: SparkSession, path: str):
+    """On-disk schema of a nanos-timestamp parquet (ts columns as int64
+    under nanosAsLong) — for streaming readers that must declare the
+    raw schema before converting."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
+
+
+def convert_nanos_cols(df: DataFrame, name: str) -> DataFrame:
+    """Apply the same nanos→micros conversion load_table uses, for a
+    DataFrame read elsewhere (e.g. a readStream over staged files)."""
+    for c in _NANOS_TS_COLS.get(name, ()):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df

@@ -43,9 +43,17 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
         F.lit(None).cast(right.schema[carry].dataType).alias("_carry"),
     )
-    # a NULL right timestamp would sort first (NULLS FIRST) and its carry
-    # value would forward-fill into every left row — drop such rows
-    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
+    # determinism guards on the right side:
+    # - drop NULL timestamps (they sort NULLS FIRST and would forward-
+    #   fill their carry into every left row);
+    # - collapse ties on (key, ts) to max(carry) — otherwise the carried
+    #   value at a tied timestamp depends on shuffle order
+    right = right.filter(F.col(right_ts).isNotNull())
+    if carry == right_ts:
+        right = right.select(key, right_ts).distinct()
+    else:
+        right = right.groupBy(key, right_ts).agg(F.max(carry).alias(carry))
+    r_tag = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),

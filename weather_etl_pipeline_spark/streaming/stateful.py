@@ -18,8 +18,11 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
-import numpy as np
+from decimal import ROUND_HALF_UP, Decimal
+
 import pandas as pd
+
+_CENT = Decimal("0.01")
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,13 +42,16 @@ def _update_user_state(
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
-        # match the batch twin's DECIMAL(14,2) semantics: each value is
-        # rounded to cents HALF-UP before summation (Spark's
-        # double→decimal cast rounds half up; pandas .round is
-        # half-to-even and would diverge on exact half-cent values)
-        v = pdf["value"]
-        cents = (v.abs() * 100 + 0.5).pipe(np.floor) * np.sign(v)
-        total += float(cents.sum()) / 100.0
+        # match the batch twin's DECIMAL(14,2) cast semantics exactly:
+        # Spark casts via the double's SHORTEST DECIMAL REPR then rounds
+        # HALF_UP — Decimal(repr(v)) reproduces both steps (a *100+0.5
+        # floor trick fails on e.g. 8.845 whose double is 8.84499…)
+        total += float(
+            sum(
+                Decimal(repr(float(v))).quantize(_CENT, rounding=ROUND_HALF_UP)
+                for v in pdf["value"]
+            )
+        )
     state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
@@ -60,11 +66,11 @@ def stream_user_totals(
     Returns the StreamingQuery; final state per user (after
     processAllAvailable) must equal the batch aggregation.
     """
-    src = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(src).schema
+    from ..catalog import raw_nanos_schema
     from .staging import stage_events_dir
 
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = raw_nanos_schema(spark, src)
     stage = stage_events_dir(src, checkpoint_dir, "stream_state_")
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     out = (

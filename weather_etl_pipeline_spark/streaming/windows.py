@@ -162,18 +162,13 @@ def stream_events_windowed(
 
     from .staging import stage_events_dir
 
+    from ..catalog import convert_nanos_cols, raw_nanos_schema
+
     src = os.path.join(sf_dir, "events.parquet")
-    # raw on-disk schema (ts = int64 nanos under nanosAsLong), converted
-    # to a proper timestamp after the streaming read — same recipe as
-    # catalog.load_table
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema = raw_nanos_schema(spark, src)
     stage = stage_events_dir(src, checkpoint_dir, "stream_events_")
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = convert_nanos_cols(
+        spark.readStream.schema(raw_schema).parquet(stage), "events"
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")
