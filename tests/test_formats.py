@@ -49,3 +49,37 @@ def test_orc_roundtrip(spark, tmp_path):
 
 def test_delta_degrades_cleanly(spark, tmp_path):
     assert try_delta_writer(_sample(spark), str(tmp_path / "delta")) is False
+
+
+def test_python_datasource_weather_obs(spark):
+    """Spark 4 Python DataSource: partition-per-city executor-side
+    generation, deterministic re-reads, pipeline-compatible schema."""
+    from weather_etl_pipeline_spark.plans.pipeline import clean_bronze
+    from weather_etl_pipeline_spark.sources import weather_source
+
+    weather_source.register(spark)
+    df = (
+        spark.read.format("weather_obs")
+        .option("date", "2026-02-13")
+        .option("hours", "6")
+        .option("cities", "Delhi,London")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 2 * 6
+    assert {r["city"] for r in rows} == {"Delhi", "London"}
+    # deterministic: a second read returns identical data
+    again = (
+        spark.read.format("weather_obs")
+        .option("date", "2026-02-13")
+        .option("hours", "6")
+        .option("cities", "Delhi,London")
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # feeds straight into the silver projection (bronze-compatible shape)
+    from pyspark.sql import functions as F
+
+    silver = clean_bronze(df.withColumn("date", F.to_date(F.substring("time", 1, 10))))
+    assert silver.count() == 12

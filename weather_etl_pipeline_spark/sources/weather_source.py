@@ -1,0 +1,98 @@
+"""Custom Spark Python DataSource for weather observations (Spark 4 API).
+
+The reference fetches weather on the DRIVER (4 cities, asyncio —
+``ingestion.py:36-45``); the scale path distributes the fetch: each
+city list shard becomes a DataSource partition whose ``read()`` runs on
+an EXECUTOR. This implements that shape with Spark 4's
+``pyspark.sql.datasource`` API:
+
+    spark.dataSource.register(WeatherObservationsSource)
+    df = (spark.read.format("weather_obs")
+          .option("date", "2026-02-13")
+          .option("hours", "24")
+          .load())
+
+Per-partition work is one city's full day of observations. The fetch
+itself is pluggable exactly like sources/http_weather.py: with no
+network in this environment the default is a DETERMINISTIC synthetic
+generator (seeded by city+timestamp, so re-reads are reproducible and
+tests can assert values); a production deployment swaps
+``_observe`` for the HTTP GET + retry loop — partitioning, schema and
+executor placement don't change.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime, timedelta
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from .http_weather import DEFAULT_CITIES
+
+_SCHEMA_DDL = (
+    "time string, interval bigint, temperature_2m double, "
+    "wind_speed_10m double, wind_direction_10m bigint, weather_code bigint, "
+    "city string"
+)
+
+
+def _observe(city: str, ts: datetime) -> tuple:
+    """Deterministic synthetic observation (production: HTTP GET here).
+
+    crc32, not hash(): Python string hashing is salted per process, so
+    hash() would give every executor (and every run) different data.
+    """
+    import zlib
+
+    seed = zlib.crc32(f"{city}|{ts.isoformat()}".encode()) % 1000
+    return (
+        ts.strftime("%Y-%m-%dT%H:%M"),
+        900,
+        round(-5.0 + (seed % 400) / 10.0, 1),
+        round((seed % 150) / 10.0, 1),
+        seed % 360,
+        seed % 4,
+        city,
+    )
+
+
+class _CityPartition(InputPartition):
+    def __init__(self, city: str, day: str, hours: int):
+        self.city = city
+        self.day = day
+        self.hours = hours
+
+
+class WeatherObservationsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.options = options
+
+    def partitions(self):
+        day = self.options.get("date", date.today().isoformat())
+        hours = int(self.options.get("hours", "24"))
+        cities = self.options.get(
+            "cities", ",".join(c for c, _, _ in DEFAULT_CITIES)
+        ).split(",")
+        return [_CityPartition(c.strip(), day, hours) for c in cities if c.strip()]
+
+    def read(self, partition: _CityPartition):
+        start = datetime.fromisoformat(partition.day)
+        for h in range(partition.hours):
+            yield _observe(partition.city, start + timedelta(hours=h))
+
+
+class WeatherObservationsSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "weather_obs"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return WeatherObservationsReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(WeatherObservationsSource)
