@@ -123,3 +123,30 @@ def test_streaming_checkpoint_restart_no_duplicates(spark, tmp_path):
         q.stop()
     # every event exactly once across the restart
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_python_datasource_streaming(spark, tmp_path):
+    """Streaming read from the custom Python DataSource: micro-batches
+    advance the hour offset until the bounded feed drains; total rows =
+    cities x hours, identical values to the batch read."""
+    from weather_etl_pipeline_spark.sources import weather_source
+
+    weather_source.register(spark)
+    opts = {"date": "2026-02-13", "hours": "12", "cities": "Delhi,Tokyo",
+            "hoursPerBatch": "5"}
+    stream = spark.readStream.format("weather_obs").options(**opts).load()
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("weather_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT * FROM weather_stream").collect()
+    assert len(streamed) == 2 * 12
+    batch = spark.read.format("weather_obs").options(**opts).load().collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))

@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from datetime import date, datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from .http_weather import DEFAULT_CITIES
@@ -82,6 +87,49 @@ class WeatherObservationsReader(DataSourceReader):
             yield _observe(partition.city, start + timedelta(hours=h))
 
 
+class WeatherObservationsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch feed: offset = observation-hour index. Each poll
+    emits every city's next unseen hours (bounded by the ``hours``
+    option so tests drain it with processAllAvailable) — the true
+    streaming upgrade of the reference's scheduled batch re-runs."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.day = options.get("date", date.today().isoformat())
+        self.max_hours = int(options.get("hours", "24"))
+        self.hours_per_batch = int(options.get("hoursPerBatch", "6"))
+        self.cities = [
+            c.strip()
+            for c in options.get(
+                "cities", ",".join(c for c, _, _ in DEFAULT_CITIES)
+            ).split(",")
+            if c.strip()
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"hour": 0}
+
+    def read(self, start: dict):
+        h0 = start["hour"]
+        h1 = min(h0 + self.hours_per_batch, self.max_hours)
+        return self._rows(h0, h1), {"hour": h1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["hour"], end["hour"])
+
+    def _rows(self, h0: int, h1: int):
+        # a list_iterator: Spark's wrapper requires an iterator, and it
+        # must be picklable for prefetch/replay (generators are not;
+        # plain lists are not iterators)
+        base = datetime.fromisoformat(self.day)
+        return iter(
+            [
+                _observe(city, base + timedelta(hours=h))
+                for h in range(h0, h1)
+                for city in self.cities
+            ]
+        )
+
+
 class WeatherObservationsSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -92,6 +140,9 @@ class WeatherObservationsSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return WeatherObservationsReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return WeatherObservationsStreamReader(schema, self.options)
 
 
 def register(spark) -> None:
