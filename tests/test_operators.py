@@ -192,3 +192,22 @@ def test_dedup_clusters_match_union_find(spark):
 
     got = {r["doc_id"]: r["cluster"] for r in dedup_clusters(spark, SF_SMOKE).collect()}
     assert got == expected
+
+
+def test_udtf_shingles_matches_builtin_plan(spark):
+    """The Python UDTF and the built-in posexplode+lead shingle plan are
+    independent implementations of the same spec — their per-doc
+    shingle counts must agree exactly."""
+    from weather_etl_pipeline_spark.operators.dedup import shingle_rows
+    from weather_etl_pipeline_spark.operators.udfs import udtf_shingles
+
+    via_udtf = {
+        r["doc_id"]: r["n_shingles"]
+        for r in udtf_shingles(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    via_builtin = {
+        r["doc_id"]: r["n"]
+        for r in shingle_rows(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert via_udtf == via_builtin

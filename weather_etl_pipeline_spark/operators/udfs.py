@@ -58,6 +58,48 @@ def udf_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- scalar pandas_udf: vectorized per-value transform -----------------------
 
 
+# --- Python UDTF: one row in, many rows out ----------------------------------
+# Spark 4's table-function API — the row-expanding UDF family. The
+# kernel re-implements 3-token shingling; pytest cross-validates it
+# against the built-in shingle_rows plan (two independent
+# implementations of the same spec).
+
+
+def make_shingle_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, shingle string")
+    class ShingleUDTF:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            seen = set()
+            for i in range(max(len(toks) - 2, 0)):
+                s = "\x1f".join(toks[i : i + 3])
+                if s not in seen:
+                    seen.add(s)
+                    yield (doc_id, s)
+
+    return ShingleUDTF
+
+
+@register("udtf_shingles", oracle=None)
+def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle expansion via Python UDTF (lateral join); columns
+    (doc_id, n_shingles) so the rows-only check is stable."""
+    shingle_udtf = make_shingle_udtf()
+    spark.udtf.register("shingle_udtf", shingle_udtf)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT s.doc_id, COUNT(*) AS n_shingles
+        FROM _docs_for_udtf d,
+             LATERAL shingle_udtf(d.doc_id, d.text) s
+        GROUP BY s.doc_id
+        """
+    )
+
+
 @register(
     "udf_scalar_halve",
     oracle="""
