@@ -134,6 +134,48 @@ def simsearch_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-label centroids (the embedding-aggregation shape) -------------------
+# Mean vector per label via posexplode + (label, dim) aggregation —
+# map-side combinable, the distributed form of centroid computation.
+# Determinism: each float's double expansion is exact and identical in
+# both engines; summed in DECIMAL(20,12) (exact), one double division.
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+SELECT label, dim,
+       ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+             / COUNT(*), 6) AS centroid_val,
+       COUNT(*) AS n_vecs
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         UNNEST(embedding) AS x
+  FROM embeddings
+) t
+GROUP BY label, dim
+""",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),  # 1-based like the oracle
+        F.col("x").cast("double").alias("x"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(20,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
 # --- sign-LSH bucketed ANN (scale path; rows-only + pytest recall) -----------
 # 6 deterministic ±1 hyperplanes (pattern on dimension index — no RNG,
 # reproducible across engines/runs). bucket = 6-bit sign signature (64
