@@ -273,3 +273,25 @@ def test_generic_layer_on_event_lake(spark, tmp_path):
     out = spark.read.parquet(rollup)
     assert out.select("event_date").distinct().count() == len(dates)
     assert out.agg(F.sum("n")).first()[0] == ev.count()
+
+
+def test_failed_validation_leaves_metadata_unmarked(spark, lake):
+    """Crash consistency: when a layer's validation gate fires, nothing
+    is marked processed — the next run retries the same partitions
+    instead of silently skipping them (write-then-mark ordering)."""
+    bad = make_bronze(spark, null_temp_partition=("London", "2026-02-13"))
+    with pytest.raises(ValidationError):
+        run_pipeline(spark, lake, bronze_df=bad)
+    meta = read_metadata(spark, lake.metadata)
+    assert meta is None or meta.count() == 0, "failed run must not watermark"
+
+    # repair the bad partition (re-land it with real temperatures) and
+    # rerun: every partition processes now
+    fixed = make_bronze(spark)
+    write_partitions(
+        fixed.filter((F.col("city") == "London") & (F.col("date") == "2026-02-13")),
+        lake.bronze,
+    )
+    result = run_pipeline(spark, lake)
+    assert result["silver_partitions"] == 8
+    assert result["gold_partitions"] == 8
