@@ -71,6 +71,8 @@ def make_shingle_udtf():
     @udtf(returnType="doc_id bigint, shingle string")
     class ShingleUDTF:
         def eval(self, doc_id: int, text: str):
+            if text is None:
+                return  # match the built-in plan: null text -> no shingles
             toks = text.split(" ")
             seen = set()
             for i in range(max(len(toks) - 2, 0)):

@@ -33,13 +33,30 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from ..schemas import WEATHER_BRONZE_WITH_CITY
 from .http_weather import DEFAULT_CITIES
 
-_SCHEMA_DDL = (
-    "time string, interval bigint, temperature_2m double, "
-    "wind_speed_10m double, wind_direction_10m bigint, weather_code bigint, "
-    "city string"
+# derived from the declared bronze schema — one source of truth for the
+# ingestion shape (hand-written DDL would drift silently)
+_SCHEMA_DDL = ", ".join(
+    f"{f.name} {f.dataType.simpleString()}" for f in WEATHER_BRONZE_WITH_CITY.fields
 )
+
+
+def _parse_options(options: dict) -> tuple[str, int, int, list[str]]:
+    """(day, hours, hours_per_batch, cities) — shared by the batch and
+    streaming readers so the two paths cannot disagree on semantics."""
+    day = options.get("date", date.today().isoformat())
+    hours = int(options.get("hours", "24"))
+    hours_per_batch = int(options.get("hoursPerBatch", "6"))
+    cities = [
+        c.strip()
+        for c in options.get(
+            "cities", ",".join(c for c, _, _ in DEFAULT_CITIES)
+        ).split(",")
+        if c.strip()
+    ]
+    return day, hours, hours_per_batch, cities
 
 
 def _observe(city: str, ts: datetime) -> tuple:
@@ -74,12 +91,8 @@ class WeatherObservationsReader(DataSourceReader):
         self.options = options
 
     def partitions(self):
-        day = self.options.get("date", date.today().isoformat())
-        hours = int(self.options.get("hours", "24"))
-        cities = self.options.get(
-            "cities", ",".join(c for c, _, _ in DEFAULT_CITIES)
-        ).split(",")
-        return [_CityPartition(c.strip(), day, hours) for c in cities if c.strip()]
+        day, hours, _, cities = _parse_options(self.options)
+        return [_CityPartition(c, day, hours) for c in cities]
 
     def read(self, partition: _CityPartition):
         start = datetime.fromisoformat(partition.day)
@@ -94,33 +107,30 @@ class WeatherObservationsStreamReader(SimpleDataSourceStreamReader):
     streaming upgrade of the reference's scheduled batch re-runs."""
 
     def __init__(self, schema: StructType, options: dict):
-        self.day = options.get("date", date.today().isoformat())
-        self.max_hours = int(options.get("hours", "24"))
-        self.hours_per_batch = int(options.get("hoursPerBatch", "6"))
-        self.cities = [
-            c.strip()
-            for c in options.get(
-                "cities", ",".join(c for c, _, _ in DEFAULT_CITIES)
-            ).split(",")
-            if c.strip()
-        ]
+        self.day, self.max_hours, self.hours_per_batch, self.cities = (
+            _parse_options(options)
+        )
 
     def initialOffset(self) -> dict:
-        return {"hour": 0}
+        # the resolved day travels IN THE OFFSET: with a wall-clock
+        # default, a reader rebuilt after a midnight restart would
+        # otherwise replay checkpointed hour ranges against a different
+        # day — breaking exact replay
+        return {"hour": 0, "day": self.day}
 
     def read(self, start: dict):
         h0 = start["hour"]
         h1 = min(h0 + self.hours_per_batch, self.max_hours)
-        return self._rows(h0, h1), {"hour": h1}
+        return self._rows(start["day"], h0, h1), {"hour": h1, "day": start["day"]}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._rows(start["hour"], end["hour"])
+        return self._rows(start["day"], start["hour"], end["hour"])
 
-    def _rows(self, h0: int, h1: int):
+    def _rows(self, day: str, h0: int, h1: int):
         # a list_iterator: Spark's wrapper requires an iterator, and it
         # must be picklable for prefetch/replay (generators are not;
         # plain lists are not iterators)
-        base = datetime.fromisoformat(self.day)
+        base = datetime.fromisoformat(day)
         return iter(
             [
                 _observe(city, base + timedelta(hours=h))
