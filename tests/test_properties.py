@@ -162,3 +162,58 @@ def test_sliding_window_assignment_matches_naive(spark, offsets):
             if start + width > epoch:
                 counts[dt.datetime(1970, 1, 1) + dt.timedelta(seconds=start)] += 1
     assert got == sorted(counts.items())
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),  # user
+            st.integers(0, 5),  # COARSE ts offset → frequent exact ties
+            st.sampled_from(["purchase", "error"]),
+            st.integers(0, 100),  # carry payload
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_asof_join_tied_right_rows_deterministic(spark, ev):
+    """Right rows tied on (key, ts) collapse to max(carry) — output is
+    shuffle-order independent and matches the naive max reference."""
+    from weather_etl_pipeline_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(minutes=m), kind, float(payload))
+        for i, (u, m, kind, payload) in enumerate(ev)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, payload double",
+    )
+    left = df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = df.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "payload"
+    )
+    got = {
+        r["event_id"]: r["asof_payload"]
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts", carry="payload"
+        ).collect()
+    }
+    for i, u, ts, kind, _ in rows:
+        if kind != "purchase":
+            continue
+        cands = [
+            (t, p)
+            for (_, u2, t, k2, p) in rows
+            if u2 == u and k2 == "error" and t <= ts
+        ]
+        if not cands:
+            expected = None
+        else:
+            t_max = max(t for t, _ in cands)
+            expected = max(p for t, p in cands if t == t_max)
+        assert got[i] == expected, (i, got[i], expected)
