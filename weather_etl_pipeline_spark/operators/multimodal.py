@@ -98,6 +98,29 @@ FROM documents
 """
 
 
+def ingest_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Real binary ingestion: Spark's built-in ``binaryFile`` source
+    reads a directory of opaque files as (path, modificationTime,
+    length, content) — the actual input shape for image/audio corpora.
+    Output is normalized to the engine's multimodal layout (doc id from
+    the file name, blob, metadata struct) so ``featurize_batches`` runs
+    on it unchanged."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+        F.col("content").alias("blob"),
+        F.struct(
+            F.col("length").alias("n_bytes"),
+            F.col("modificationTime").alias("modified_at"),
+            F.lit("binary/file").alias("content_type"),
+        ).alias("meta"),
+    )
+
+
 @register("multimodal_featurize", oracle=_FEATURIZE_ORACLE, headline=True)
 def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

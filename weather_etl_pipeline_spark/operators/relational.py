@@ -83,6 +83,42 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q6 shape: forecasting revenue change (pure filter + scalar sum) ---
+# The simplest classic: three pushable range predicates and one exact
+# decimal product sum — entirely scan-bound, zero shuffle beyond the
+# single-row final aggregate.
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,2))
+         * CAST(l_discount AS DECIMAL(13,6)) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(MONEY) * F.col("l_discount").cast(RATE)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # --- Q-proj / Q-cast / F-strptime: the silver cleaning projection ------------
 # Mirrors silver.py:28-35: one declared projection that re-types and
 # renames every column, plus the STRPTIME round-trip ('%Y-%m-%dT%H:%M' →
