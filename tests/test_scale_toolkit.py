@@ -126,3 +126,33 @@ def test_compact_zone_merges_small_files(spark, tmp_path):
     assert spark.read.parquet(zone).count() == total_before
     # idempotent: second run is a no-op
     assert compact_zone(spark, zone, ("event_date",), target_file_bytes=1 << 30) == 0
+
+
+def test_compact_zone_hive_escaped_partition_values(spark, tmp_path):
+    """Partition values with characters Hive escapes (%xx dirs) must be
+    decoded when rebuilding predicates — otherwise those partitions are
+    never compacted while being reported as compacted."""
+    from weather_etl_pipeline_spark.sources.maintenance import (
+        compact_zone,
+        partition_file_stats,
+    )
+
+    zone = str(tmp_path / "esc_zone")
+    df = spark.createDataFrame(
+        [(i, v) for i in range(20) for v in ["A:B", "plain", "x=y"]],
+        "id long, grp string",
+    )
+    for _ in range(3):
+        df.coalesce(1).write.partitionBy("grp").mode("append").parquet(zone)
+    before = partition_file_stats(spark, zone)
+    assert len(before) == 3 and all(n == 3 for n, _ in before.values())
+
+    n = compact_zone(spark, zone, ("grp",), target_file_bytes=1 << 30)
+    assert n == 3
+    after = partition_file_stats(spark, zone)
+    assert all(nf == 1 for nf, _ in after.values()), after
+    back = spark.read.parquet(zone)
+    assert back.count() == 3 * 20 * 3
+    assert set(r["grp"] for r in back.select("grp").distinct().collect()) == {
+        "A:B", "plain", "x=y"
+    }
