@@ -150,3 +150,34 @@ def test_python_datasource_streaming(spark, tmp_path):
     assert len(streamed) == 2 * 12
     batch = spark.read.format("weather_obs").options(**opts).load().collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
+    """The watermarked stream-stream interval join must produce exactly
+    the pairs the (oracle-verified) batch range join counts."""
+    from weather_etl_pipeline_spark.operators.rangejoin import (
+        range_join_purchases_after_signup,
+    )
+    from weather_etl_pipeline_spark.streaming.windows import (
+        stream_stream_purchases_after_signup,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    q = stream_stream_purchases_after_signup(
+        spark, SF_SMOKE, checkpoint_dir=str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed_pairs = spark.sql("SELECT s_id, p_id FROM ss_join").collect()
+    batch_total = (
+        range_join_purchases_after_signup(spark, SF_SMOKE)
+        .agg(F.sum("n_purchases_1h"))
+        .first()[0]
+    )
+    assert len(streamed_pairs) == batch_total
+    assert len(set((r["s_id"], r["p_id"]) for r in streamed_pairs)) == len(
+        streamed_pairs
+    ), "duplicate pairs emitted"

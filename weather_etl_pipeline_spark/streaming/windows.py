@@ -146,6 +146,64 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- stream-stream interval join ---------------------------------------------
+
+
+def stream_stream_purchases_after_signup(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+):
+    """Watermarked stream-stream join: signups ⋈ purchases of the same
+    user within the following hour — the streaming twin of the batch
+    ``range_join_purchases_after_signup`` operator (state on both sides
+    is bounded by the watermark + the join's time-range condition, which
+    is what lets Spark evict: an unbounded-condition stream-stream join
+    would keep state forever).
+
+    Returns the StreamingQuery writing matches to the ``ss_join`` view.
+    """
+    import os
+
+    from ..catalog import convert_nanos_cols, raw_nanos_schema
+    from .staging import stage_events_dir
+
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = raw_nanos_schema(spark, src)
+    stage = stage_events_dir(src, checkpoint_dir, "stream_ssjoin_")
+    ev = convert_nanos_cols(
+        spark.readStream.schema(raw_schema).parquet(stage), "events"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("s_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    writer = (
+        joined.writeStream.outputMode("append").format("memory").queryName("ss_join")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 # --- true streaming variant (pytest-driven; not oracle-checkable) ------------
 
 
