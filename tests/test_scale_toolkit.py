@@ -156,3 +156,42 @@ def test_compact_zone_hive_escaped_partition_values(spark, tmp_path):
     assert set(r["grp"] for r in back.select("grp").distinct().collect()) == {
         "A:B", "plain", "x=y"
     }
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew handling: a join where 80% of the probe side
+    hits one key gets its hot partition split (SortMergeJoin(skew=true))
+    — the automatic tier below explicit salting."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = (
+            spark.range(300_000)
+            .withColumn(
+                "key", F.when(F.col("id") % 5 != 0, F.lit(7)).otherwise(F.col("id"))
+            )
+            .withColumn("pad", F.lpad(F.lit("x"), 128, "y"))
+        )
+        small = spark.range(60_000).select(
+            F.col("id").alias("key"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(small, "key")
+        rows = len(j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert rows == 252_000
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
