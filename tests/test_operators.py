@@ -211,3 +211,27 @@ def test_udtf_shingles_matches_builtin_plan(spark):
         for r in shingle_rows(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert via_udtf == via_builtin
+
+
+def test_multimodal_frame_sampling_math(spark):
+    """Frame sampling: every 4th 64-byte chunk, byte-exact."""
+    from weather_etl_pipeline_spark.operators.multimodal import (
+        FRAME_BYTES,
+        multimodal_frame_sample,
+        resize_image,
+    )
+    import pytest as _pytest
+
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF_SMOKE, "documents").limit(5).collect()}
+    frames = {}
+    for r in multimodal_frame_sample(spark, SF_SMOKE).collect():
+        frames.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    for doc_id, text in docs.items():
+        blob = text.encode("utf-8")
+        expected = {
+            i: blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+            for i in range(0, -(-len(blob) // FRAME_BYTES), 4)
+        }
+        assert frames[doc_id] == expected
+    with _pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG", 64, 64)

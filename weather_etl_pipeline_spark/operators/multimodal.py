@@ -76,6 +76,61 @@ def featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
+def resize_image(blob: bytes, width: int, height: int) -> bytes:
+    """Codec stub — production: PIL decode → resize → re-encode."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+FRAME_BYTES = 64  # deterministic fake frame size for the sampling demo
+
+
+def sample_frames_batches(every_k: int):
+    """mapInPandas kernel factory: blob → every k-th fixed-size frame.
+
+    The chunking stands in for a video demuxer (real pipelines call
+    pyav here); the SAMPLING math, row fan-out, and per-frame checksum
+    are the real distributed plumbing a frame-sampling stage needs —
+    one input row explodes to ceil(n_frames/k) output rows, entirely
+    inside the Arrow batch.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": [], "frame_sum": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                frames = [
+                    blob[i : i + FRAME_BYTES]
+                    for i in range(0, len(blob), FRAME_BYTES)
+                ]
+                for idx in range(0, len(frames), every_k):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(bytes(frames[idx]))
+                    out["frame_sum"].append(int(sum(frames[idx])))
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_sum", T.LongType()),
+    ]
+)
+
+
+@register("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4th 64-byte frame of each synthesized blob; rows-only
+    check (pytest verifies the chunk/sample math byte-for-byte)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_blob = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return with_blob.mapInPandas(sample_frames_batches(4), schema=_FRAMES_SCHEMA)
+
+
 _FEATURIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
