@@ -215,6 +215,52 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q14 shape: promotion revenue ratio --------------------------------
+# Ratio of two exact decimal sums (conditional numerator / total) — one
+# double division over bit-identical operands, round(6).
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT ROUND(
+  CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+       THEN CAST(CAST(l.l_extendedprice AS DECIMAL(20,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(13,6))) AS DECIMAL(24,8))
+       ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+  / CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(20,2))
+         * (1 - CAST(l.l_discount AS DECIMAL(13,6))) AS DECIMAL(24,8))) AS DOUBLE)
+  * 100.0, 6) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(MONEY) * (
+        (F.lit(1) - F.col("l_discount").cast(RATE)).cast("decimal(8,6)")
+    )
+    zero = F.lit(0).cast("decimal(24,8)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev.cast("decimal(24,8)")).otherwise(zero)
+    window = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        window.join(F.broadcast(part), window.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(promo).cast("double")
+                / F.sum(rev.cast("decimal(24,8)")).cast("double")
+                * 100.0,
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 # --- semi join: EXISTS --------------------------------------------------------
 # Orders that contain at least one high-quantity line. LEFT SEMI keeps
 # the probe side only — no row multiplication, dedup-free.
