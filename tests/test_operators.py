@@ -232,6 +232,6 @@ def test_multimodal_frame_sampling_math(spark):
             i: blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
             for i in range(0, -(-len(blob) // FRAME_BYTES), 4)
         }
-        assert frames[doc_id] == expected
+        assert frames.get(doc_id, {}) == expected
     with _pytest.raises(NotImplementedError):
         resize_image(b"\x89PNG", 64, 64)

@@ -162,8 +162,6 @@ def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
         stream_stream_purchases_after_signup,
     )
 
-    from tests.conftest import SF_SMOKE
-
     q = stream_stream_purchases_after_signup(
         spark, SF_SMOKE, checkpoint_dir=str(tmp_path / "ck")
     )

@@ -43,3 +43,13 @@ def oracle_davg(expr: str, typ: str = "DECIMAL(14,2)", scale: int = 6) -> str:
         f"ROUND(CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE)"
         f" / COUNT({expr}), {scale})"
     )
+
+
+def net_revenue() -> Column:
+    """l_extendedprice * (1 - l_discount) in exact decimal — THE
+    cross-engine revenue expression (precisions matched to the DuckDB
+    oracle's INT128 path; see the q1 oracle's width commentary).
+    Single definition so a precision change lands everywhere at once."""
+    return F.col("l_extendedprice").cast(MONEY) * (
+        (F.lit(1) - F.col("l_discount").cast(RATE)).cast("decimal(8,6)")
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import MONEY, RATE, davg, oracle_davg, oracle_dsum
+from ..functions.exact import MONEY, davg, net_revenue, oracle_davg, oracle_dsum
 from ..registry import register
 
 # --- star join: revenue per region/nation ------------------------------------
@@ -53,9 +53,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    rev = F.col("l_extendedprice").cast(MONEY) * (
-        (F.lit(1) - F.col("l_discount").cast(RATE)).cast("decimal(8,6)")
-    )
+    rev = net_revenue()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -131,9 +129,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
-    rev = F.col("l_extendedprice").cast(MONEY) * (
-        (F.lit(1) - F.col("l_discount").cast(RATE)).cast("decimal(8,6)")
-    )
+    rev = net_revenue()
     return (
         cust.filter(F.col("c_mktsegment") == "BUILDING")
         .join(orders, cust.c_custkey == orders.o_custkey)
@@ -239,9 +235,7 @@ WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice").cast(MONEY) * (
-        (F.lit(1) - F.col("l_discount").cast(RATE)).cast("decimal(8,6)")
-    )
+    rev = net_revenue()
     zero = F.lit(0).cast("decimal(24,8)")
     promo = F.when(F.col("p_type").like("PROMO%"), rev.cast("decimal(24,8)")).otherwise(zero)
     window = li.filter(

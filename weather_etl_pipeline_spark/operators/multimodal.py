@@ -98,15 +98,15 @@ def sample_frames_batches(every_k: int):
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame": [], "frame_sum": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                frames = [
-                    blob[i : i + FRAME_BYTES]
-                    for i in range(0, len(blob), FRAME_BYTES)
-                ]
-                for idx in range(0, len(frames), every_k):
+                # slice only the sampled frames — materializing every
+                # frame first would allocate every_k× more for nothing
+                step = FRAME_BYTES * every_k
+                for off in range(0, len(blob), step):
+                    frame = bytes(blob[off : off + FRAME_BYTES])
                     out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(idx)
-                    out["frame"].append(bytes(frames[idx]))
-                    out["frame_sum"].append(int(sum(frames[idx])))
+                    out["frame_idx"].append(off // FRAME_BYTES)
+                    out["frame"].append(frame)
+                    out["frame_sum"].append(int(sum(frame)))
             yield pd.DataFrame(out)
 
     return kernel

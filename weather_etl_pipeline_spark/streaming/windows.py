@@ -146,6 +146,24 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_events_stream(spark: SparkSession, sf_dir: str,
+                          checkpoint_dir: str | None, prefix: str) -> DataFrame:
+    """Shared readStream recipe: stage the events file, declare the raw
+    nanos schema, convert to proper timestamps — single definition so
+    every streaming operator reads time identically to the batch path."""
+    import os
+
+    from ..catalog import convert_nanos_cols, raw_nanos_schema
+    from .staging import stage_events_dir
+
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = raw_nanos_schema(spark, src)
+    stage = stage_events_dir(src, checkpoint_dir, prefix)
+    return convert_nanos_cols(
+        spark.readStream.schema(raw_schema).parquet(stage), "events"
+    )
+
+
 # --- stream-stream interval join ---------------------------------------------
 
 
@@ -161,17 +179,7 @@ def stream_stream_purchases_after_signup(
 
     Returns the StreamingQuery writing matches to the ``ss_join`` view.
     """
-    import os
-
-    from ..catalog import convert_nanos_cols, raw_nanos_schema
-    from .staging import stage_events_dir
-
-    src = os.path.join(sf_dir, "events.parquet")
-    raw_schema = raw_nanos_schema(spark, src)
-    stage = stage_events_dir(src, checkpoint_dir, "stream_ssjoin_")
-    ev = convert_nanos_cols(
-        spark.readStream.schema(raw_schema).parquet(stage), "events"
-    )
+    ev = _staged_events_stream(spark, sf_dir, checkpoint_dir, "stream_ssjoin_")
     signups = (
         ev.filter(F.col("event_type") == "signup")
         .select(
@@ -216,18 +224,7 @@ def stream_events_windowed(
     reads the ``stream_out`` view. Late data beyond 10 min of watermark
     is dropped — the semantics the reference's batch re-runs emulate.
     """
-    import os
-
-    from .staging import stage_events_dir
-
-    from ..catalog import convert_nanos_cols, raw_nanos_schema
-
-    src = os.path.join(sf_dir, "events.parquet")
-    raw_schema = raw_nanos_schema(spark, src)
-    stage = stage_events_dir(src, checkpoint_dir, "stream_events_")
-    stream = convert_nanos_cols(
-        spark.readStream.schema(raw_schema).parquet(stage), "events"
-    )
+    stream = _staged_events_stream(spark, sf_dir, checkpoint_dir, "stream_events_")
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")
