@@ -211,6 +211,42 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q10 shape: returned-item revenue by customer (top 20) -------------
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(20,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(13,6))) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue,
+       c.c_acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = net_revenue()
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+    )
+
+
 # --- TPC-H Q14 shape: promotion revenue ratio --------------------------------
 # Ratio of two exact decimal sums (conditional numerator / total) — one
 # double division over bit-identical operands, round(6).

@@ -177,6 +177,63 @@ def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+# --- TF-IDF ------------------------------------------------------------------
+# Term frequency × inverse document frequency, the flagship text
+# statistic: tf from the exploded token stream, df from distinct
+# (token, doc) pairs, idf = ln(N/df). Every count is exact; the two
+# FP ops (ln, one multiply) run on identical inputs in a fixed order,
+# round(6) guards the last bit. Top term per doc keeps the output
+# bounded (row_number, deterministic tiebreak by token).
+
+
+@register(
+    "text_tfidf_top_term",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+) t WHERE rk = 1
+""",
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; the driver-side count keeps the plan simple
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
 # --- normalization (cleaning projection for text) ----------------------------
 # The text twin of the silver cleaning layer: lowercase, strip
 # non-alphanumerics, collapse whitespace. Pure codegen'd string ops.
