@@ -117,3 +117,36 @@ def test_binaryfile_ingestion_feeds_featurize(spark, tmp_path):
     assert feats[2]["format_guess"] == "jpeg"
     assert feats[3]["format_guess"] == "bin"
     assert feats[3]["header_sum"] == sum(b"hello world"[:16])
+
+
+def test_corrupt_json_records_are_captured(spark):
+    """Data-quality surface: PERMISSIVE JSON parsing routes malformed
+    rows to the corrupt-record column instead of failing the job."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rows = [
+        ('{"k": 1}',),
+        ('{"k": broken',),   # malformed
+        ('{"k": 3}',),
+        ("not json at all",),
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    parsed = df.withColumn(
+        "p",
+        F.from_json(
+            "props", schema, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+        ),
+    )
+    ok = parsed.filter(F.col("p._corrupt").isNull()).count()
+    bad = parsed.filter(F.col("p._corrupt").isNotNull()).count()
+    assert (ok, bad) == (2, 2)
+    assert sorted(
+        r["k"] for r in parsed.filter(F.col("p._corrupt").isNull()).select("p.k").collect()
+    ) == [1, 3]

@@ -41,6 +41,31 @@ def subquery_scalar_vs_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "subquery_correlated_min",
+    oracle="""
+SELECT p_partkey, p_type, p_retailprice
+FROM part p
+WHERE p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+)
+""",
+)
+def subquery_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated MIN: parts priced at their type's
+    minimum. The window-min formulation is the decorrelated plan
+    Catalyst itself would produce — one shuffle on the correlation key."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("_min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("_min_price"))
+        .select("p_partkey", "p_type", "p_retailprice")
+    )
+
+
+@register(
     "subquery_in_segment",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
