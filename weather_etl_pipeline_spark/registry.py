@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
         asof,
         clusters,
         dedup,
+        funnel,
         grouping,
         ivf,
         joins,
