@@ -74,6 +74,25 @@ def setop_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_except_all_multiset",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+EXCEPT ALL
+SELECT c_custkey AS custkey FROM customer
+""",
+)
+def setop_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: multiset difference (a customer with 12 orders keeps
+    11 copies after subtracting their 1 customer row) — the
+    multiplicity-preserving variant of setop_except_keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.select(F.col("o_custkey").alias("custkey")).exceptAll(
+        cust.select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+@register(
     "setop_union_all_counted",
     oracle="""
 SELECT custkey, COUNT(*) AS n_appearances FROM (

@@ -76,6 +76,60 @@ def stats_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- anomaly flags (z-score outliers) ----------------------------------------
+# The data-quality gate built on the exact-moment machinery: events
+# whose value sits beyond 2 population-stddevs of their type's mean.
+# Moments are exact; mean/stddev are derived per group once (broadcast
+# back via join), each row then does fixed-order FP comparisons.
+
+
+@register(
+    "stats_value_outliers",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         COUNT(value) AS n,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sx,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT event_type,
+         sx / n AS mean,
+         sqrt((sxx - sx * sx / n) / n) AS sd
+  FROM m
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.mean) / s.sd, 6) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs(e.value - s.mean) > 2 * s.sd
+""",
+)
+def stats_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.sum(x), 0).cast("double").alias("sx"),
+        F.round(F.sum(x * x), 0).cast("double").alias("sxx"),
+    )
+    stats = m.select(
+        "event_type",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")).alias("sd"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    return (
+        joined.filter(F.abs(F.col("value") - F.col("mean")) > 2 * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("mean")) / F.col("sd"), 6).alias("zscore"),
+        )
+    )
+
+
 # --- histogram / binning ------------------------------------------------------
 
 
