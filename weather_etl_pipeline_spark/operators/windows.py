@@ -169,6 +169,45 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- RANGE frame: trailing time window ---------------------------------------
+# ROWS frames count rows; RANGE frames bound by VALUE distance — here a
+# trailing 1-hour window per user. Both engines order by epoch
+# microseconds (numeric) so the frame edges are identical to the
+# microsecond; exact decimal sum + single division as usual.
+
+
+@register(
+    "window_trailing_hour_range",
+    oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_last_hour,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w, 6) AS avg_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(
+            F.sum(F.col("value").cast(MONEY)).over(w).cast("double")
+            / F.count("value").over(w),
+            6,
+        ).alias("avg_last_hour"),
+    )
+
+
 # --- global top-k (TakeOrderedAndProject, not a full sort) -------------------
 
 
