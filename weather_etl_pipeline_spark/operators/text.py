@@ -177,6 +177,40 @@ def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+# --- mode: most frequent token per language ----------------------------------
+# The deterministic argmax pattern: rank (count desc, token asc) and
+# keep rank 1 — engine-built-in mode() has unspecified tie behavior, so
+# the explicit window IS the portable form.
+
+
+@register(
+    "text_mode_token_per_lang",
+    oracle="""
+SELECT lang, token AS top_token, tf FROM (
+  SELECT lang, token, COUNT(*) AS tf,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token) AS rk
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents) t
+  GROUP BY lang, token
+) r WHERE rk = 1
+""",
+)
+def text_mode_token_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("lang", F.col("token").alias("top_token"), "tf")
+    )
+
+
 # --- TF-IDF ------------------------------------------------------------------
 # Term frequency × inverse document frequency, the flagship text
 # statistic: tf from the exploded token stream, df from distinct

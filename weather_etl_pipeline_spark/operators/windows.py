@@ -169,6 +169,35 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- first_value / nth_value (deterministic positional picks) ----------------
+
+
+@register(
+    "window_first_nth_order",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_first_nth_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+    )
+
+
 # --- RANGE frame: trailing time window ---------------------------------------
 # ROWS frames count rows; RANGE frames bound by VALUE distance — here a
 # trailing 1-hour window per user. Both engines order by epoch
