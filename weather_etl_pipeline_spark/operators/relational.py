@@ -255,6 +255,36 @@ def null_check_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- NULL semantics: null grouping + null-safe comparison --------------------
+# Both engines group NULL keys together and treat IS NOT DISTINCT FROM
+# (Spark <=>) as null-safe equality; this query pins those semantics
+# (the testdata has no organic nulls, so NULLIF manufactures them).
+
+
+@register(
+    "null_semantics_group",
+    oracle="""
+SELECT NULLIF(l_returnflag, 'N') AS flag,
+       COUNT(*) AS n_rows,
+       COUNT(NULLIF(l_returnflag, 'N')) AS n_nonnull_keys,
+       CAST(SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_hits
+FROM lineitem
+GROUP BY NULLIF(l_returnflag, 'N')
+""",
+)
+def null_semantics_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    flag = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    return li.groupBy(flag.alias("flag")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(flag).alias("n_nonnull_keys"),
+        F.sum(
+            F.when(flag.eqNullSafe(F.lit(None).cast("string")), 1).otherwise(0)
+        ).alias("n_null_safe_hits"),
+    )
+
+
 # --- Q-antijoin: the incremental work-list -----------------------------------
 # The reference computes "available − processed" as a Python set diff
 # (silver.py:66-69); distributed form is a LEFT ANTI join. Catalyst
