@@ -75,7 +75,10 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("approx_quantiles", oracle=None)
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar double columns, not array<double> — the driver's result
+    # canonicalizer requires hashable cells even for rows-only checks.
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_p50_p95")
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
     )

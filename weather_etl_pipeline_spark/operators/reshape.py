@@ -45,7 +45,7 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted_orders",
     oracle="""
 SELECT o_custkey,
-       list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys,
        COUNT(*) AS n_orders
 FROM orders
 WHERE o_totalprice > 400000
@@ -53,15 +53,19 @@ GROUP BY o_custkey
 """,
 )
 def collect_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per customer, the sorted array of their big orders' keys —
+    """Per customer, their big orders' keys sorted and comma-joined —
     collect_list is unordered by contract, so sort_array pins a
-    deterministic element order matching the oracle's ORDER BY."""
+    deterministic element order matching the oracle's ORDER BY; the
+    array is serialized to a string because the driver's canonicalizer
+    needs hashable (scalar) cells."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.filter(F.col("o_totalprice") > 400000)
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"), ","
+            ).alias("orderkeys"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
