@@ -164,6 +164,22 @@ def test_describe_table_smoke(spark):
     assert rows["o_totalprice"] == "double"
 
 
+def test_describe_matches_loaded_schema_all_tables(spark):
+    """D-desc behavioral coverage: DESCRIBE output must equal the loaded
+    DataFrame's schema (name, type, order) for every test table."""
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.operators.views import describe_table
+    from weather_etl_pipeline_spark.schemas import TESTDATA_TABLES
+
+    for name in TESTDATA_TABLES:
+        described = [
+            (r["col_name"], r["data_type"])
+            for r in describe_table(spark, SF_SMOKE, name).collect()
+            if r["col_name"] and not r["col_name"].startswith("#")
+        ]
+        assert described == load_table(spark, SF_SMOKE, name).dtypes, name
+
+
 def test_dedup_clusters_match_union_find(spark):
     """Distributed label propagation must equal a driver-side union-find
     over the same edge set."""

@@ -1,55 +1,216 @@
-"""Exact-arithmetic aggregation helpers.
+"""Exact-arithmetic aggregation helpers (scaled-integer fast path).
 
 FP double addition is not associative, so a double SUM's last bits depend
 on partition/aggregation order — which differs between Spark's
 partial+final aggregation and the DuckDB oracle (and run to run under
-AQE). These helpers route double sums through DECIMAL (exact, associative)
-so results are bit-stable across engines, then surface DOUBLE so schemas
-line up. See registry.py for the full policy.
+AQE). Round 1 fixed this by summing in DECIMAL (exact, associative), but
+Spark's BigDecimal aggregate path costs ~8x a primitive sum (measured:
+15.3s decimal vs 5.5s long vs 2.2s double on a 9.6M-row q1 shape).
 
-Precisions are sized so products stay inside DECIMAL(38, _):
-MONEY(14,2) * RATE(9,6) -> (24,8); * RATE again -> (34,14); SUM -> (38,14).
+Round 2 policy — **scaled-integer sums**: every money/rate column in the
+corpus has a fixed decimal scale (prices/balances exactly 2 places,
+discounts/taxes 2 places, event values <= 6 places — verified against
+the parquet), so ``ROUND(expr * 10^d)`` is an exact integer and a LONG
+sum of those integers is exact and associative while staying in
+whole-stage codegen's primitive path. Divide back to double at the end.
+The per-row double product before ROUND is deterministic cross-engine
+because both engines evaluate the identical IEEE expression tree
+(left-to-right, same literals); its error is orders of magnitude below
+the 0.5 rounding threshold (worst case ~1e-4 scaled units at 1e11
+magnitude vs ulp-level operand noise).
+
+Overflow budget (int64 max 9.2e18):
+
+- cents (d=2): max ~1e7/row -> safe to ~9e11 rows *per group* — more
+  lineitem rows than a 100 TB corpus holds. Single-level ``dsum`` is
+  scale-safe for plain money columns.
+- product scales (d=4 revenue, d=6 charge): max ~1.2e11/row -> a LONG
+  total overflows past ~8e7 rows per group. Low-cardinality revenue
+  rollups (q1, q6, q14, star-join) therefore use the **two-level
+  pattern**: partition-local LONG partials (bounded by partition size:
+  ~3e6 rows x 1.2e11 = 3.6e17, 25x headroom) combined by an exact
+  DECIMAL(38,0) final sum over only #partitions x #groups rows — the
+  BigDecimal path touches thousands of rows, not billions. Same trick
+  as Spark's own partial/final split, one level up.
+
+The DuckDB oracle needs no such care (its BIGINT sums accumulate in
+INT128); oracle twins are plain ``SUM(CAST(ROUND(expr*10^d) AS BIGINT))``
+with the same final division/round, so values hash-match bit-for-bit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MONEY = "decimal(14,2)"  # prices, balances (exact to cents, up to 1e12)
-RATE = "decimal(9,6)"  # discounts, taxes, small metrics (exact to 1e-6)
+# Canonical scales (decimal places) for the corpus, verified exact
+# against /root/testdata parquet (see module docstring).
+MONEY_D = 2  # prices, balances, totalprice, acctbal
+RATE_D = 2  # l_discount, l_tax
+VALUE_D = 2  # events.value (verified exactly 2-decimal at all SFs)
+REV_D = 4  # price * (1 - discount): 2 + 2 places
+CHARGE_D = 6  # price * (1 - discount) * (1 + tax): 2 + 2 + 2 places
 
 
-def dsum(col: Column | str, typ: str = MONEY) -> Column:
-    """Exact SUM of a double column via decimal; returns DOUBLE."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(typ)).cast("double")
+def _col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
 
 
-def davg(col: Column | str, typ: str = MONEY, scale: int = 6) -> Column:
-    """Deterministic AVG: exact decimal sum, one double division, round."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(typ)).cast("double") / F.count(c), scale)
+def scaled_long(col: Column | str, d: int = MONEY_D) -> Column:
+    """``ROUND(expr * 10^d)`` as LONG — exact for <=d-decimal values."""
+    return F.round(_col(col) * F.lit(10**d), 0).cast("long")
 
 
-def oracle_dsum(expr: str, typ: str = "DECIMAL(14,2)") -> str:
+def oracle_scaled_long(expr: str, d: int = MONEY_D) -> str:
+    """DuckDB twin of scaled_long()."""
+    return f"CAST(ROUND(({expr}) * {10**d}, 0) AS BIGINT)"
+
+
+def dsum(col: Column | str, d: int = MONEY_D) -> Column:
+    """Exact SUM of a fixed-scale double column via LONG; returns DOUBLE.
+
+    Single-level: safe while the per-GROUP scaled sum fits int64 (see
+    module docstring budget — always true for d=2 money columns; use
+    the two-level pattern for d>=4 product sums over few groups).
+    """
+    return F.sum(scaled_long(col, d)).cast("double") / F.lit(float(10**d))
+
+
+def oracle_dsum(expr: str, d: int = MONEY_D) -> str:
     """DuckDB twin of dsum()."""
-    return f"CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE)"
+    return f"CAST(SUM({oracle_scaled_long(expr, d)}) AS DOUBLE) / {float(10**d)}"
 
 
-def oracle_davg(expr: str, typ: str = "DECIMAL(14,2)", scale: int = 6) -> str:
-    """DuckDB twin of davg()."""
+def davg(col: Column | str, d: int = MONEY_D, scale: int = 6) -> Column:
+    """Deterministic AVG: exact scaled sum, double divisions, round."""
+    c = _col(col)
+    return F.round(
+        F.sum(scaled_long(c, d)).cast("double") / F.lit(float(10**d)) / F.count(c),
+        scale,
+    )
+
+
+def oracle_davg(expr: str, d: int = MONEY_D, scale: int = 6) -> str:
+    """DuckDB twin of davg() — identical op order (/scale then /count)."""
     return (
-        f"ROUND(CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE)"
-        f" / COUNT({expr}), {scale})"
+        f"ROUND(CAST(SUM({oracle_scaled_long(expr, d)}) AS DOUBLE)"
+        f" / {float(10**d)} / COUNT({expr}), {scale})"
     )
 
 
-def net_revenue() -> Column:
-    """l_extendedprice * (1 - l_discount) in exact decimal — THE
-    cross-engine revenue expression (precisions matched to the DuckDB
-    oracle's INT128 path; see the q1 oracle's width commentary).
-    Single definition so a precision change lands everywhere at once."""
-    return F.col("l_extendedprice").cast(MONEY) * (
-        (F.lit(1) - F.col("l_discount").cast(RATE)).cast("decimal(8,6)")
+# --- revenue product expressions (shared by q1/q3/q6/q10/q14/star-join) ------
+# Single definitions so the Spark and oracle expression trees stay
+# op-for-op identical (that identity is what makes per-row double
+# products deterministic cross-engine).
+
+
+def rev_scaled(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """price * (1 - discount), scaled x10^4 to an exact LONG."""
+    return F.round(
+        _col(price) * (F.lit(1) - _col(disc)) * F.lit(10**REV_D), 0
+    ).cast("long")
+
+
+def oracle_rev_scaled(price: str = "l_extendedprice", disc: str = "l_discount") -> str:
+    return f"CAST(ROUND({price} * (1 - {disc}) * {10**REV_D}, 0) AS BIGINT)"
+
+
+def charge_scaled() -> Column:
+    """price * (1 - discount) * (1 + tax), scaled x10^6 to an exact LONG."""
+    return F.round(
+        F.col("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax"))
+        * F.lit(10**CHARGE_D),
+        0,
+    ).cast("long")
+
+
+def oracle_charge_scaled() -> str:
+    return (
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+        f" * {10**CHARGE_D}, 0) AS BIGINT)"
     )
+
+
+def unscale(col: Column | str, d: int, round_to: int | None = 2) -> Column:
+    """LONG-sum column back to DOUBLE money: /10^d, optional round."""
+    c = _col(col).cast("double") / F.lit(float(10**d))
+    return F.round(c, round_to) if round_to is not None else c
+
+
+def oracle_unscale(expr: str, d: int, round_to: int | None = 2) -> str:
+    base = f"CAST({expr} AS DOUBLE) / {float(10**d)}"
+    return f"ROUND({base}, {round_to})" if round_to is not None else base
+
+
+# --- two-level exact aggregation (the 100 TB shape) ---------------------------
+
+
+def partial_by_partition(
+    df: DataFrame, keys: list[str | tuple[Column, str]]
+) -> "GroupedPartial":
+    """Start a two-level exact aggregation.
+
+    Level 1 groups by (spark_partition_id, keys): the map-side partial
+    agg collapses each partition's rows into one LONG row per group
+    before any shuffle (partition-bounded, no int64 overflow). Level 2
+    (``finish``) combines the partials per key with DECIMAL(38,0) sums —
+    exact at any scale, and only #partitions x #groups rows wide.
+
+    ``keys``: column names, or ``(expr, name)`` tuples for computed keys.
+    """
+    return GroupedPartial(df, keys)
+
+
+class GroupedPartial:
+    def __init__(self, df: DataFrame, keys: list[str | tuple[Column, str]]):
+        self._df = df
+        self._keys = [k if isinstance(k, str) else k[0].alias(k[1]) for k in keys]
+        self._key_names = [k if isinstance(k, str) else k[1] for k in keys]
+        self._partials: list[Column] = []
+        self._finals: list[Column] = []
+
+    def sum_scaled(self, expr: Column, d: int, alias: str, round_to: int | None = 2) -> "GroupedPartial":
+        tmp = f"_p_{alias}"
+        self._partials.append(F.sum(expr).alias(tmp))
+        self._finals.append(
+            unscale(F.sum(F.col(tmp).cast("decimal(38,0)")), d, round_to).alias(alias)
+        )
+        return self
+
+    def avg_scaled(self, expr: Column, count_of: Column, d: int, alias: str, scale: int = 6) -> "GroupedPartial":
+        tmp_s, tmp_n = f"_p_{alias}", f"_pn_{alias}"
+        self._partials.append(F.sum(expr).alias(tmp_s))
+        self._partials.append(F.count(count_of).alias(tmp_n))
+        self._finals.append(
+            F.round(
+                F.sum(F.col(tmp_s).cast("decimal(38,0)")).cast("double")
+                / F.lit(float(10**d))
+                / F.sum(tmp_n),
+                scale,
+            ).alias(alias)
+        )
+        return self
+
+    def sum_long(self, expr: Column, alias: str) -> "GroupedPartial":
+        """Exact integer sum surfaced as DECIMAL(38,0) — for callers that
+        post-process (ratios, comparisons) instead of unscaling."""
+        tmp = f"_p_{alias}"
+        self._partials.append(F.sum(expr).alias(tmp))
+        self._finals.append(F.sum(F.col(tmp).cast("decimal(38,0)")).alias(alias))
+        return self
+
+    def count(self, alias: str) -> "GroupedPartial":
+        tmp = f"_p_{alias}"
+        self._partials.append(F.count(F.lit(1)).alias(tmp))
+        # coalesce: a keyless (global) agg over zero rows still returns
+        # one row, where SUM of partials is NULL but COUNT(*) must be 0
+        self._finals.append(F.coalesce(F.sum(tmp), F.lit(0).cast("long")).alias(alias))
+        return self
+
+    def finish(self) -> DataFrame:
+        level1 = self._df.groupBy(
+            F.spark_partition_id().alias("_pid"), *self._keys
+        ).agg(*self._partials)
+        return level1.groupBy(*self._key_names).agg(*self._finals)

@@ -81,7 +81,33 @@ def connected_components(
     return labels
 
 
-@register("dedup_clusters", oracle=None)
+# Oracle: the same fixpoint as SQL — recursive reachability over the
+# symmetric jaccard edge set, cluster = MIN(reachable doc_id). UNION
+# (set) semantics bound the recursion; near-dup components are
+# near-cliques, so the pair enumeration stays tiny.
+def _clusters_oracle() -> str:
+    from .dedup import _JACCARD_ORACLE
+
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE}) j
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+reach(doc_id, nbr) AS (
+  SELECT doc_id, doc_id AS nbr FROM documents
+  UNION
+  SELECT r.doc_id, s.dst AS nbr FROM reach r JOIN sym s ON s.src = r.nbr
+)
+SELECT doc_id, MIN(nbr) AS cluster, doc_id = MIN(nbr) AS is_canonical
+FROM reach GROUP BY doc_id
+"""
+
+
+@register("dedup_clusters", oracle=_clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster documents by Jaccard near-duplication; one row per doc
     with its cluster id (min doc_id in the component) and whether the

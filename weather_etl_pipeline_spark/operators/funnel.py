@@ -31,7 +31,7 @@ p AS (
   GROUP BY e.user_id
 )
 SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
-       CAST(ROUND(epoch(p.first_purchase_ts - s.signup_ts), 0) AS BIGINT)
+       (epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts) + 500000) // 1000000
          AS conversion_seconds
 FROM s LEFT JOIN p ON s.user_id = p.user_id
 """,
@@ -55,10 +55,15 @@ def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("p_ts").alias("first_purchase_ts"))
     )
     out = signups.join(first_purchase, "user_id", "left")
-    latency = F.round(
-        F.col("first_purchase_ts").cast("double") - F.col("signup_ts").cast("double"),
-        0,
-    ).cast("long")
+    # pure integer microseconds → half-up seconds: double epoch math has
+    # ~1e-7 s ulp at epoch magnitude, enough to flip a .5-boundary
+    # latency to different BIGINTs across engines; integer arithmetic
+    # cannot drift (latency is always positive, so floor-div of
+    # diff+500000 is exact round-half-up)
+    latency = (
+        F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts") + F.lit(500000)
+    ).cast("long") / F.lit(1000000)
+    latency = F.floor(latency).cast("long")
     return out.select(
         "user_id", "signup_ts", "first_purchase_ts", latency.alias("conversion_seconds")
     )

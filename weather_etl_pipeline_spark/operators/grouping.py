@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import MONEY, dsum
+from ..functions.exact import dsum, scaled_long, unscale
 from ..registry import register
 
 
@@ -22,7 +22,7 @@ from ..registry import register
     "rollup_returnflag_status",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(ROUND((l_quantity) * 1, 0) AS BIGINT)) AS DOUBLE) / 1.0 AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -31,7 +31,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_quantity", 0).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -40,7 +40,7 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_returnflag_status",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(ROUND((l_quantity) * 1, 0) AS BIGINT)) AS DOUBLE) / 1.0 AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -49,7 +49,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_quantity", 0).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -62,7 +62,7 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+       CAST(SUM(CAST(ROUND((l_quantity) * 1, 0) AS BIGINT)) AS DOUBLE) / 1.0 AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """,
@@ -74,7 +74,7 @@ def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n_rows,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+               CAST(SUM(CAST(ROUND((l_quantity) * 1, 0) AS BIGINT)) AS DOUBLE) / 1.0 AS sum_qty
         FROM _li_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
@@ -121,9 +121,9 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        CAST(SUM(CASE WHEN l_linestatus = 'O'
-                THEN CAST(l_quantity AS DECIMAL(14,2)) END) AS DOUBLE) AS qty_O,
+                THEN CAST(ROUND((l_quantity) * 1, 0) AS BIGINT) END) AS DOUBLE) / 1.0 AS qty_O,
        CAST(SUM(CASE WHEN l_linestatus = 'F'
-                THEN CAST(l_quantity AS DECIMAL(14,2)) END) AS DOUBLE) AS qty_F
+                THEN CAST(ROUND((l_quantity) * 1, 0) AS BIGINT) END) AS DOUBLE) / 1.0 AS qty_F
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -133,7 +133,7 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.col("l_quantity").cast(MONEY)).cast("double"))
+        .agg(unscale(F.sum(scaled_long("l_quantity", 0)), 0, None))
     )
     return piv.select(
         "l_returnflag",

@@ -21,7 +21,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import MONEY, davg, net_revenue, oracle_davg, oracle_dsum
+from ..functions.exact import (
+    REV_D,
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+    oracle_rev_scaled,
+    oracle_unscale,
+    partial_by_partition,
+    rev_scaled,
+    scaled_long,
+    unscale,
+)
 from ..registry import register
 
 # --- star join: revenue per region/nation ------------------------------------
@@ -36,7 +48,7 @@ from ..registry import register
 SELECT
   r.r_name AS region_name,
   n.n_name AS nation_name,
-  CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l.l_discount AS DECIMAL(13,6))) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue,
+  {oracle_unscale(f"SUM({oracle_rev_scaled('l.l_extendedprice', 'l.l_discount')})", REV_D, 2)} AS revenue,
   COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -53,20 +65,22 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    rev = net_revenue()
-    return (
+    joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy(
-            F.col("r_name").alias("region_name"),
-            F.col("n_name").alias("nation_name"),
+    )
+    # 25 (region, nation) groups ← billions of fact rows at scale:
+    # two-level scaled-LONG sum (see functions/exact.py overflow budget).
+    return (
+        partial_by_partition(
+            joined,
+            [(F.col("r_name"), "region_name"), (F.col("n_name"), "nation_name")],
         )
-        .agg(
-            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+        .sum_scaled(rev_scaled(), REV_D, "revenue")
+        .count("n_items")
+        .finish()
     )
 
 
@@ -78,7 +92,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT
   p.p_brand AS brand,
-  {oracle_dsum("l.l_quantity")} AS sum_qty,
+  {oracle_dsum("l.l_quantity", 0)} AS sum_qty,
   {oracle_davg("l.l_extendedprice")} AS avg_price,
   COUNT(*) AS n_items
 FROM lineitem l
@@ -89,13 +103,13 @@ GROUP BY p.p_brand
 def join_part_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    from ..functions.exact import dsum
-
+    # quantity (<=50/row) and cents (<=1e7/row) stay inside int64 for any
+    # realistic rows-per-brand — single-level scaled-LONG sums suffice.
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_quantity", 0).alias("sum_qty"),
             davg("l_extendedprice").alias("avg_price"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -108,10 +122,9 @@ def join_part_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_shipping_priority",
     headline=True,
-    oracle="""
+    oracle=f"""
 SELECT l.l_orderkey,
-       CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(20,2))
-             * (1 - CAST(l.l_discount AS DECIMAL(13,6))) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue,
+       {oracle_unscale(f"SUM({oracle_rev_scaled('l.l_extendedprice', 'l.l_discount')})", REV_D, 2)} AS revenue,
        o.o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -129,7 +142,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
-    rev = net_revenue()
+    # per-order groups are bounded (~7 lines/order) → single-level LONG
     return (
         cust.filter(F.col("c_mktsegment") == "BUILDING")
         .join(orders, cust.c_custkey == orders.o_custkey)
@@ -137,7 +150,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .agg(unscale(F.sum(rev_scaled()), REV_D, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -151,26 +164,26 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty
+       CAST(SUM(CAST(ROUND((l.l_quantity) * 1, 0) AS BIGINT)) AS DOUBLE) / 1.0 AS total_qty
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
-HAVING SUM(CAST(l.l_quantity AS DECIMAL(14,2))) > 150
+HAVING SUM(CAST(ROUND((l.l_quantity) * 1, 0) AS BIGINT)) > 150
 """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast(MONEY)
+    # integer quantities: exact LONG sum, bounded per-order groups
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_custkey", "o_totalprice")
-        .agg(F.sum(qty).alias("_q"))
+        .agg(F.sum(scaled_long("l_quantity", 0)).alias("_q"))
         .filter(F.col("_q") > 150)
         .select(
             "o_orderkey",
             "o_custkey",
             "o_totalprice",
-            F.col("_q").cast("double").alias("total_qty"),
+            unscale("_q", 0, None).alias("total_qty"),
         )
     )
 
@@ -216,10 +229,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_revenue",
-    oracle="""
+    oracle=f"""
 SELECT c.c_custkey, c.c_name,
-       CAST(ROUND(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(20,2))
-             * (1 - CAST(l.l_discount AS DECIMAL(13,6))) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue,
+       {oracle_unscale(f"SUM({oracle_rev_scaled('l.l_extendedprice', 'l.l_discount')})", REV_D, 2)} AS revenue,
        c.c_acctbal
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -234,13 +246,13 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    rev = net_revenue()
+    # per-customer groups are bounded (O(100) orders) → single-level LONG
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .agg(unscale(F.sum(rev_scaled()), REV_D, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal")
@@ -252,16 +264,16 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # double division over bit-identical operands, round(6).
 
 
+_Q14_REV = oracle_rev_scaled("l.l_extendedprice", "l.l_discount")
+
+
 @register(
     "q14_promo_revenue",
-    oracle="""
+    oracle=f"""
 SELECT ROUND(
-  CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-       THEN CAST(CAST(l.l_extendedprice AS DECIMAL(20,2))
-            * (1 - CAST(l.l_discount AS DECIMAL(13,6))) AS DECIMAL(24,8))
-       ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
-  / CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(20,2))
-         * (1 - CAST(l.l_discount AS DECIMAL(13,6))) AS DECIMAL(24,8))) AS DOUBLE)
+  CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_Q14_REV}
+           ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+  / CAST(SUM({_Q14_REV}) AS DOUBLE)
   * 100.0, 6) AS promo_revenue_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
@@ -271,20 +283,25 @@ WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = net_revenue()
-    zero = F.lit(0).cast("decimal(24,8)")
-    promo = F.when(F.col("p_type").like("PROMO%"), rev.cast("decimal(24,8)")).otherwise(zero)
+    # ratio of two exact scaled-LONG sums (scale cancels): numerator and
+    # denominator both two-level (single global group at any data size)
+    rev = rev_scaled()
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("long")
+    )
     window = li.filter(
         (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
     )
+    joined = window.join(F.broadcast(part), window.l_partkey == part.p_partkey)
     return (
-        window.join(F.broadcast(part), window.l_partkey == part.p_partkey)
-        .agg(
+        partial_by_partition(joined, [])
+        .sum_long(promo, "_promo")
+        .sum_long(rev, "_rev")
+        .finish()
+        .select(
             F.round(
-                F.sum(promo).cast("double")
-                / F.sum(rev.cast("decimal(24,8)")).cast("double")
-                * 100.0,
+                F.col("_promo").cast("double") / F.col("_rev").cast("double") * 100.0,
                 6,
             ).alias("promo_revenue_pct")
         )
@@ -342,8 +359,6 @@ LEFT JOIN (
 def outer_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    from ..functions.exact import dsum
-
     os_agg = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("total_spent"),

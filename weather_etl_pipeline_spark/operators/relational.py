@@ -17,33 +17,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import MONEY, RATE, davg, dsum, oracle_davg, oracle_dsum
+from ..functions.exact import (
+    CHARGE_D,
+    REV_D,
+    VALUE_D,
+    charge_scaled,
+    davg,
+    oracle_charge_scaled,
+    oracle_davg,
+    oracle_dsum,
+    oracle_rev_scaled,
+    oracle_unscale,
+    partial_by_partition,
+    rev_scaled,
+    scaled_long,
+)
 from ..registry import register
 
 # --- flagship: TPC-H-Q1-shaped pricing summary -------------------------------
-# The gold layer's avg/min/max/count groupBy (reference gold.py:70-81)
+# The gold layer's avg/max/min/count groupBy (reference gold.py:70-81)
 # scaled up to the classic 8-aggregate pricing summary. At 100 TB this is
-# a pure map-side-partial + 32-way final agg on a low-cardinality key
-# (|groups| ~ 6): no skew risk, no broadcast needed, scan-bound.
-
-# NB the oracle's decimal widths are chosen ≥19 digits so DuckDB picks
-# its INT128 multiplication path (narrow widths overflow its INT64
-# internal); the *values* are exact and identical to Spark's either way.
-_DISC_PRICE_DEC = (
-    "CAST(CAST(l_extendedprice AS DECIMAL(20,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(13,6))) AS DECIMAL(25,8))"
-)
+# a pure map-side-partial + final agg on a low-cardinality key
+# (|groups| ~ 6): no skew risk, no broadcast needed, scan-bound. Money
+# arithmetic goes through the scaled-LONG two-level pattern
+# (functions/exact.py): partition-local int64 partials, exact
+# DECIMAL(38,0) final combine — fast (primitive codegen sums in the hot
+# loop) and overflow-safe at any rows-per-group.
 _Q1_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  {oracle_dsum("l_quantity")} AS sum_qty,
+  {oracle_dsum("l_quantity", 0)} AS sum_qty,
   {oracle_dsum("l_extendedprice")} AS sum_base_price,
-  CAST(ROUND(SUM(CAST({_DISC_PRICE_DEC} AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_disc_price,
-  CAST(ROUND(SUM(CAST({_DISC_PRICE_DEC} * (1 + CAST(l_tax AS DECIMAL(13,6))) AS DECIMAL(34,14))), 2) AS DOUBLE) AS sum_charge,
-  {oracle_davg("l_quantity")} AS avg_qty,
+  {oracle_unscale(f"SUM({oracle_rev_scaled()})", REV_D, 2)} AS sum_disc_price,
+  {oracle_unscale(f"SUM({oracle_charge_scaled()})", CHARGE_D, 2)} AS sum_charge,
+  {oracle_davg("l_quantity", 0)} AS avg_qty,
   {oracle_davg("l_extendedprice")} AS avg_price,
-  {oracle_davg("l_discount", "DECIMAL(9,6)")} AS avg_disc,
+  {oracle_davg("l_discount")} AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -54,32 +64,22 @@ GROUP BY l_returnflag, l_linestatus
 @register("q1_pricing_summary", oracle=_Q1_ORACLE, headline=True)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    ext = F.col("l_extendedprice").cast(MONEY)
-    # (1 ± rate) must be cast back to a tight decimal: Spark widens the
-    # subtraction to decimal(17,6), and a (14,2)*(17,6)*(17,6) product
-    # needs precision 50 → Spark silently drops scale to 6 (precision
-    # loss), desyncing from the exact oracle. (8,6) keeps the triple
-    # product at (32,14) — exact.
-    disc1 = (F.lit(1) - F.col("l_discount").cast(RATE)).cast("decimal(8,6)")
-    tax1 = (F.lit(1) + F.col("l_tax").cast(RATE)).cast("decimal(8,6)")
+    filtered = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            # round the exact decimal to scale 2 BEFORE the double cast:
-            # DuckDB's decimal→double conversion is only correctly
-            # rounded while the scaled integer fits in 2^53, which a
-            # scale-14 sum exceeds. Both engines round the identical
-            # exact decimal half-up → identical doubles.
-            F.round(F.sum(ext * disc1), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(ext * disc1 * tax1), 2).cast("double").alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount", RATE).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+        partial_by_partition(filtered, ["l_returnflag", "l_linestatus"])
+        .sum_scaled(scaled_long("l_quantity", 0), 0, "sum_qty", round_to=None)
+        .sum_scaled(scaled_long("l_extendedprice"), 2, "sum_base_price", round_to=None)
+        .sum_scaled(rev_scaled(), REV_D, "sum_disc_price")
+        .sum_scaled(charge_scaled(), CHARGE_D, "sum_charge")
+        .avg_scaled(scaled_long("l_quantity", 0), F.col("l_quantity"), 0, "avg_qty")
+        .avg_scaled(
+            scaled_long("l_extendedprice"), F.col("l_extendedprice"), 2, "avg_price"
         )
+        .avg_scaled(scaled_long("l_discount"), F.col("l_discount"), 2, "avg_disc")
+        .count("count_order")
+        .finish()
     )
 
 
@@ -89,11 +89,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single-row final aggregate.
 
 
+_Q6_SCALED = "CAST(ROUND((l_extendedprice * l_discount) * 10000, 0) AS BIGINT)"
+
+
 @register(
     "q6_forecast_revenue",
-    oracle="""
-SELECT CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,2))
-         * CAST(l_discount AS DECIMAL(13,6)) AS DECIMAL(24,8))), 2) AS DOUBLE) AS revenue,
+    oracle=f"""
+SELECT {oracle_unscale(f"SUM({_Q6_SCALED})", REV_D, 2)} AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -104,18 +106,20 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice").cast(MONEY) * F.col("l_discount").cast(RATE)
+    # price * discount is exact at 4 decimals (2 + 2) → x10^4 LONG;
+    # single global group → two-level combine for int64 safety.
+    rev = scaled_long(F.col("l_extendedprice") * F.col("l_discount"), REV_D)
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
     return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & F.col("l_discount").between(0.03, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+        partial_by_partition(filtered, [])
+        .sum_scaled(rev, REV_D, "revenue")
+        .count("n_items")
+        .finish()
     )
 
 
@@ -164,7 +168,7 @@ def silver_clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   event_type,
   CAST(ts AS DATE) AS event_date,
-  {oracle_davg("value", "DECIMAL(14,2)")} AS avg_value,
+  {oracle_davg("value", VALUE_D)} AS avg_value,
   MAX(value) AS max_value,
   MIN(value) AS min_value,
   COUNT(*) AS record_count
@@ -178,7 +182,7 @@ def gold_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("event_date")
     ).agg(
-        davg("value").alias("avg_value"),
+        davg("value", VALUE_D).alias("avg_value"),
         F.max("value").alias("max_value"),
         F.min("value").alias("min_value"),
         F.count(F.lit(1)).alias("record_count"),

@@ -191,13 +191,23 @@ def _plane_weight(p: int, d: int) -> int:
 
 
 def _bucket_expr(vec_col: str, dim: int):
+    # One zip_with+aggregate fold per plane against a flat weight-array
+    # literal — NOT a Python-unrolled sum of planes x dim element_at
+    # terms, which bloats whole-stage codegen (the repo's IVF path
+    # measured ~40 s compile for the unrolled form) and degrades badly
+    # at embedding dims 1024+. The fold is O(dim) interpreted-expression
+    # work evaluated per row with no codegen blowup.
+    vec = as_double(F.col(vec_col))
     bits = []
     for p in range(_LSH_PLANES):
-        proj = None
-        for d in range(dim):
-            w = _plane_weight(p, d)
-            term = F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(float(w))
-            proj = term if proj is None else proj + term
+        weights = F.array(
+            *[F.lit(float(_plane_weight(p, d))) for d in range(dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:

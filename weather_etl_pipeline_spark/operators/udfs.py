@@ -41,7 +41,9 @@ def _rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @register(
     "udf_group_rank",
-    headline=True,
+    # demoted from headline: it exists to demo applyInPandas and was 21%
+    # of bench wall-clock; udf_scalar_halve keeps the Arrow-UDF family in
+    # the bench at a fraction of the cost (coverage proven at sf0.01)
     oracle="""
 SELECT user_id, event_id, value,
        CAST(ROW_NUMBER() OVER (
@@ -104,6 +106,7 @@ def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udf_scalar_halve",
+    headline=True,
     oracle="""
 SELECT event_id, value * 0.5 AS half_value FROM events
 """,

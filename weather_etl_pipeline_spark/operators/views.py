@@ -19,7 +19,7 @@ from ..registry import register
     "sql_over_view",
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+       CAST(SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total
 FROM orders
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
@@ -31,7 +31,7 @@ def sql_over_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+               CAST(SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         FROM orders_view
         WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority

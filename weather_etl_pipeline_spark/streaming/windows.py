@@ -42,7 +42,7 @@ from ..registry import register
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """,
@@ -76,8 +76,8 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT make_timestamp(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800) * 1000000) AS window_start,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
-             / COUNT(value), 6) AS avg_value
+       ROUND(CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(value), 6) AS avg_value
 FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
 GROUP BY 1
 """,
@@ -119,7 +119,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL {_GAP_MIN} MINUTE AS session_end,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM sessions
 GROUP BY user_id, sess_id
 """
