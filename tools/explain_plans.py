@@ -16,7 +16,7 @@ from weather_etl_pipeline_spark.registry import load_all  # noqa: E402
 from weather_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 ANNOTATED = {
-    "q1_pricing_summary": "partial (map-side) aggregation before the single shuffle; filter + column pruning pushed into the parquet scan",
+    "q1_pricing_summary": "two-level exact agg: map-side LONG partials collapse each partition before the first Exchange (which carries only #partitions x #groups rows); the second HashAggregate pair combines those partials with DECIMAL(38,0) sums over a few hundred rows — filter + column pruning pushed into the parquet scan",
     "star_join_revenue": "all four dimension joins broadcast — the fact table never shuffles for them",
     "window_topk_orders_per_customer": "WindowGroupLimit pushes the rank<=3 limit below the sort — per-partition top-k, not full materialization",
     "global_topk_orders": "TakeOrderedAndProject — per-partition heap + merge, no global sort",

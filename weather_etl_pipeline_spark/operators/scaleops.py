@@ -1,0 +1,154 @@
+"""Scale-posture operators for training-data pipelines.
+
+Three operations every 100 TB data-prep pipeline needs, each expressed
+so the result is deterministic and engine-independent (no RNG, no
+sampling primitives — both of which differ across engines and runs):
+
+- **deterministic split** (train/val/test): assignment by an arithmetic
+  Knuth-style multiplicative hash of the stable row key. Any engine that
+  can do BIGINT arithmetic produces the identical split — reruns,
+  backfills, and cross-engine audits all agree. This is how production
+  corpora are split (hash-of-id), never by ``rand()``.
+- **salted aggregation**: the skew-mitigation pattern. A hot group key
+  overwhelms one reducer at scale; salting fans each key across
+  ``_SALTS`` sub-keys (stage 1: map-side-combinable partial agg on the
+  salted key), then a second tiny aggregation merges the partials.
+  Results are EXACTLY the plain groupBy's (the oracle is the plain
+  GROUP BY) — only the shuffle distribution changes. AQE's skew-join
+  handling covers joins; this covers aggregation skew.
+- **deterministic stratified sample**: per-stratum fixed-rate sampling
+  by hash threshold — reproducible, joinable (the same doc always
+  lands in or out), and expressible identically in the oracle.
+
+The multiplicative hash (Knuth 2654435761, the golden-ratio multiplier
+for 2^32) is computed in BIGINT: key < ~3.5e9 keeps key*2654435761
+inside int64, which holds for the corpus keys; production would use a
+128-bit hash via xxhash64 — kept arithmetic here so the DuckDB oracle
+can replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import davg, dsum, oracle_davg, oracle_dsum
+from ..registry import register
+
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+def _hash_col(key: str) -> Column:
+    return (F.col(key) * F.lit(_KNUTH)) % F.lit(_MOD)
+
+
+def _oracle_hash(key: str) -> str:
+    return f"(({key} * {_KNUTH}) % {_MOD})"
+
+
+# --- deterministic train/val/test split --------------------------------------
+# 90/5/5 by hash bucket; summary counts per (split, lang) so the result
+# is compact while pinning every assignment (a wrong split flips counts).
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+SELECT CASE WHEN {_oracle_hash('doc_id')} % 100 < 90 THEN 'train'
+            WHEN {_oracle_hash('doc_id')} % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_col("doc_id") % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# --- salted aggregation (skew-safe two-stage groupBy) ------------------------
+
+_SALTS = 32
+
+
+@register(
+    "salted_event_totals",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {oracle_dsum("value")} AS sum_value,
+       {oracle_davg("value")} AS avg_value
+FROM events GROUP BY event_type
+""",
+)
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation with plain-groupBy semantics.
+
+    Stage 1 groups by (event_type, salt) — the hot key's rows spread
+    over ``_SALTS`` reducers instead of one. Stage 2 merges the partial
+    LONG sums per event_type (tiny: #groups x #salts rows). The salt is
+    a deterministic function of a high-cardinality column (not rand()),
+    so reruns hit identical partials; the FINAL result is independent of
+    the salt entirely — which is what the plain-GROUP-BY oracle checks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from ..functions.exact import scaled_long
+
+    salt = (F.col("event_id") % _SALTS).alias("_salt")
+    stage1 = (
+        ev.select("event_type", salt, scaled_long("value").alias("_cents"), "value")
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_cents").alias("_sum_cents"),
+            F.count("value").alias("_n_val"),
+        )
+    )
+    return stage1.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        (
+            F.sum(F.col("_sum_cents").cast("decimal(38,0)")).cast("double")
+            / F.lit(100.0)
+        ).alias("sum_value"),
+        F.round(
+            F.sum(F.col("_sum_cents").cast("decimal(38,0)")).cast("double")
+            / F.lit(100.0)
+            / F.sum("_n_val"),
+            6,
+        ).alias("avg_value"),
+    )
+
+
+# --- deterministic stratified sample -----------------------------------------
+# 10% per (lang) stratum by hash threshold; returns the sampled docs'
+# ids + strata so membership itself is verified, not just counts.
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_oracle_hash('doc_id')} % 100 < 10
+""",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(_hash_col("doc_id") % 100 < 10).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -135,12 +135,14 @@ def load_all() -> dict[str, Query]:
         rangejoin,
         relational,
         reshape,
+        scaleops,
         setops,
         simsearch,
         stats,
         subqueries,
         text,
         timeseries,
+        tpch,
         udfs,
         views,
         windows,
