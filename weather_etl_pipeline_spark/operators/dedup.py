@@ -353,3 +353,152 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SH_CHUNKS - 1)  # guaranteed-recall radius
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- MinHash-LSH, portable-hash variant (fully oracle-verified) --------------
+# Same banding pipeline as dedup_minhash_lsh, but every hash is plain
+# integer arithmetic both engines can replay: token code from
+# (first char, last char, length), shingle code via a mod-P polynomial
+# over the three token codes, K affine minhash permutations, and an
+# order-independent weighted-sum band signature. xxhash64 stays the
+# production path (JVM-speed, better dispersion); this twin proves the
+# LSH *algorithm* end-to-end against the oracle rather than rows-only.
+
+_PMH_P = 2147483647  # 2^31 - 1
+_PMH_B = 1000003
+_PMH_BANDMULT = (1, 131, 17161, 2248091)  # 131^pos, pos = k % 4
+
+
+def _portable_token_code(t):
+    return (
+        F.ascii(F.substring(t, 1, 1)) * 8191
+        + F.ascii(t.substr(F.length(t), F.lit(1))) * 131
+        + F.length(t)
+    ).cast("long")
+
+
+_PMH_ORACLE_CODE = (
+    "(ascii(substr({t}, 1, 1)) * 8191"
+    " + ascii(substr({t}, length({t}), 1)) * 131 + length({t}))"
+)
+
+
+def _portable_minhash_oracle() -> str:
+    c1 = _PMH_ORACLE_CODE.format(t="L[i]")
+    c2 = _PMH_ORACLE_CODE.format(t="L[i+1]")
+    c3 = _PMH_ORACLE_CODE.format(t="L[i+2]")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS L FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ((({c1} * {_PMH_B} + {c2}) % {_PMH_P}) * {_PMH_B} + {c3}) % {_PMH_P} AS h
+  FROM (
+    SELECT doc_id, L,
+           UNNEST(generate_series(1, greatest(len(L) - 2, 0))) AS i
+    FROM toks
+  )
+),
+sig AS (
+  SELECT doc_id, k,
+         MIN(((2 * k + 1) * h + k * k + 17) % {_PMH_P}) AS mh
+  FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, {_MH_K - 1})) AS k) ks
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // {_MH_ROWS} AS band,
+         SUM(mh * CASE k % {_MH_ROWS}
+               WHEN 0 THEN {_PMH_BANDMULT[0]} WHEN 1 THEN {_PMH_BANDMULT[1]}
+               WHEN 2 THEN {_PMH_BANDMULT[2]} ELSE {_PMH_BANDMULT[3]} END) AS band_sig
+  FROM sig GROUP BY doc_id, k // {_MH_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard_shingles
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {_MH_VERIFY_T}
+"""
+
+
+@register("dedup_minhash_portable", oracle=_portable_minhash_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2, t3 = F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    c1, c2, c3 = (_portable_token_code(t) for t in (t1, t2, t3))
+    shcode = ((c1 * _PMH_B + c2) % _PMH_P * _PMH_B + c3) % _PMH_P
+    sh = (
+        toks.select("doc_id", shcode.alias("h"), t3.alias("_t3"))
+        .filter(F.col("_t3").isNotNull())
+        .select("doc_id", "h")
+        .distinct()
+    )
+    ks = sh.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(_MH_K - 1))).alias("k")
+    )
+    sig = ks.groupBy("doc_id", "k").agg(
+        F.min(
+            ((2 * F.col("k") + 1) * F.col("h") + F.col("k") * F.col("k") + 17)
+            % _PMH_P
+        ).alias("mh")
+    )
+    mult = (
+        F.when(F.col("k") % _MH_ROWS == 0, _PMH_BANDMULT[0])
+        .when(F.col("k") % _MH_ROWS == 1, _PMH_BANDMULT[1])
+        .when(F.col("k") % _MH_ROWS == 2, _PMH_BANDMULT[2])
+        .otherwise(_PMH_BANDMULT[3])
+    )
+    bands = (
+        sig.groupBy("doc_id", F.floor(F.col("k") / _MH_ROWS).alias("band"))
+        .agg(F.sum(F.col("mh") * mult).alias("band_sig"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("_hx"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("_hy"))
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y.withColumnRenamed("_hy", "_hx"), ["doc_b", "_hx"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _MH_VERIFY_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_shingles"))
+    )

@@ -215,9 +215,58 @@ def _bucket_expr(vec_col: str, dim: int):
     return out
 
 
-@register("simsearch_ann_lsh", oracle=None)
+def _dd_proj(p: int, e: str) -> str:
+    """DuckDB twin of one plane projection (same fold, same weights)."""
+    w = (
+        f"(CASE WHEN ((i - 1) * 2654435761 + {p} * 40503) % 7 < 3"
+        " THEN 1.0 ELSE -1.0 END)"
+    )
+    return (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
+        f"i -> CAST({e}[i] AS DOUBLE) * {w})), (acc, x) -> acc + x)"
+    )
+
+
+def _ann_oracle() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN {_dd_proj(p, 'embedding')} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_PLANES)
+    )
+    probes = ", ".join(f"xor(qb, {1 << p})" for p in range(_LSH_PLANES))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+  FROM b WHERE vec_id < {_N_QUERIES}
+),
+probes AS (
+  SELECT query_id, qe, UNNEST([qb, {probes}]) AS probe_bucket FROM q
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         ROUND({_dd_cos("p.qe", "c.embedding")}, 6) AS cos_sim
+  FROM probes p
+  JOIN b c ON c.bucket = p.probe_bucket AND c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM cand
+) t WHERE rk <= {_TOP_K}
+"""
+
+
+@register("simsearch_ann_lsh", oracle=_ann_oracle())
 def simsearch_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN top-k; (query_id, neighbor_id, cos_sim, rk)."""
+    """Bucketed ANN top-k; (query_id, neighbor_id, cos_sim, rk).
+
+    Fully oracle-verified: the plane weights are a deterministic
+    arithmetic pattern and the projections/cosine are identical
+    left-fold expressions in both engines, so bucket assignment,
+    multiprobe candidates, and ranking all replay exactly in DuckDB.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64
     bucketed = emb.select(
