@@ -502,3 +502,169 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _MH_VERIFY_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_shingles"))
     )
+
+
+# --- SimHash, portable-hash variant (fully oracle-verified) ------------------
+# Same 62-bit vote/sign pipeline + 16-bit chunk banding + hamming verify
+# as dedup_simhash, with the token hash as a multiplicative arithmetic
+# mix both engines replay (xxhash64 stays the production path). Bit j of
+# a non-negative LONG is (h // 2^j) % 2 — floor-div on both sides.
+
+_PSH_M31 = 2147483648  # 2^31
+_PSH_K1 = 2654435761
+_PSH_K2 = 98765431
+
+
+def _mix31(x, k):
+    # xorshift-multiply avalanche in 31-bit space: every product stays
+    # under 2^62 (int64-safe) and each output bit depends on many input
+    # bits — a bare multiplicative mix leaves bit patterns correlated
+    # across a small vocabulary, which inflates the hamming<=3 tail
+    x = x % _PSH_M31
+    x = x.bitwiseXOR(F.shiftright(x, 13))
+    x = (x * k) % _PSH_M31
+    return x.bitwiseXOR(F.shiftright(x, 17))
+
+
+def _portable_token_hash(t):
+    # low and high 31-bit halves from independently-keyed avalanches
+    code = _portable_token_code(t)
+    return _mix31(code, _PSH_K1) + _mix31(code * 31 + 7, _PSH_K2) * _PSH_M31
+
+
+def _psh_bits_of_hash(h):
+    # h is a lambda VARIABLE here — the avalanche runs once per token;
+    # inlining it would re-evaluate the whole mix per bit (62x/token)
+    return F.array(
+        *[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for j in range(_SH_BITS)
+        ]
+    )
+
+
+def _portable_simhash_oracle() -> str:
+    code = _PMH_ORACLE_CODE.format(t="t")
+    def mix31(x: str, k: int) -> str:
+        a = f"(({x}) % {_PSH_M31})"
+        b = f"xor({a}, {a} // 8192)"
+        c = f"(({b} * {k}) % {_PSH_M31})"
+        return f"xor({c}, {c} // 131072)"
+
+    h = f"({mix31(code, _PSH_K1)} + {mix31(f'{code} * 31 + 7', _PSH_K2)} * {_PSH_M31})"
+    pows = "[" + ", ".join(str(1 << j) + "::BIGINT" for j in range(_SH_BITS)) + "]"
+    bits = (
+        f"list_transform({pows}, p -> CASE WHEN (h // p) % 2 = 1"
+        " THEN 1 ELSE -1 END)"
+    )
+    zeros = "[" + ", ".join("0" for _ in range(_SH_BITS)) + "]"
+    chunk_w = 16
+    chunk_exprs = ", ".join(
+        f"(simhash // {1 << (c * chunk_w)}) % {1 << chunk_w}" for c in range(_SH_CHUNKS)
+    )
+    return f"""
+WITH votes AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend({zeros},
+             list_transform(
+               list_transform(list_distinct(string_split(text, ' ')),
+                              t -> {h}),
+               h -> {bits})),
+           (acc, x) -> list_transform(list_zip(acc, x), p -> p[1] + p[2])
+         ) AS bv
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(list_zip(bv, {pows}),
+                            p -> CASE WHEN p[1] > 0 THEN p[2] ELSE 0::BIGINT END)),
+           (acc, x) -> acc + x
+         ) AS simhash
+  FROM votes
+),
+chunks AS (
+  SELECT doc_id, simhash,
+         UNNEST(generate_series(0, {_SH_CHUNKS - 1})) AS chunk,
+         UNNEST([{chunk_exprs}]) AS val
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a
+  JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_CHUNKS - 1}
+"""
+
+
+@register("dedup_simhash_portable", oracle=_portable_simhash_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via portable-hash SimHash; (doc_a, doc_b, hamming)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    hashes = F.transform(toks, lambda t: _portable_token_hash(t))
+    bv = docs.select(
+        "doc_id",
+        F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(0), _SH_BITS),
+            lambda acc, h: F.zip_with(acc, _psh_bits_of_hash(h), lambda x, y: x + y),
+        ).alias("bv"),
+    )
+    signature = F.aggregate(
+        F.zip_with(
+            F.col("bv"),
+            F.array(*[F.lit(1 << j).cast("long") for j in range(_SH_BITS)]),
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sh = bv.select("doc_id", signature.alias("simhash"))
+    chunk_w = 16
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * chunk_w)
+                        .bitwiseAND(F.lit((1 << chunk_w) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(_SH_CHUNKS)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _SH_CHUNKS - 1)
+        .select("doc_a", "doc_b", "hamming")
+    )
