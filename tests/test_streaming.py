@@ -179,3 +179,40 @@ def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
     assert len(set((r["s_id"], r["p_id"]) for r in streamed_pairs)) == len(
         streamed_pairs
     ), "duplicate pairs emitted"
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas accumulator must converge to
+    the oracle-verified batch aggregation, like the
+    applyInPandasWithState kernel does.
+
+    Requires google.protobuf (the transformWithState driver worker's
+    state-serialization dependency), which this sandbox lacks — the
+    operator plumbing is real; the runtime check is gated."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf at runtime",
+    )
+    from weather_etl_pipeline_spark.streaming.stateful import (
+        stream_user_totals_tws,
+        user_totals_batch,
+    )
+
+    q = stream_user_totals_tws(spark, SF_SMOKE, checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM user_totals_tws"
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in user_totals_batch(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch

@@ -107,3 +107,93 @@ def user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+# --- transformWithState (Spark 4 arbitrary-state API) ------------------------
+# The successor to applyInPandasWithState: typed state handles
+# (ValueState/ListState/MapState), timers, and TTL managed by the state
+# store. Same accumulator semantics as stream_user_totals so the
+# oracle-verified batch twin checks both kernels.
+
+
+class _UserTotalsProcessor:
+    """StatefulProcessor keeping (n_events, total_value) per user in a
+    ValueState handle. Defined lazily (transformWithStateInPandas
+    imports) so module import stays session-free."""
+
+    def __new__(cls):
+        from pyspark.sql.streaming import StatefulProcessor
+
+        class Impl(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._state = handle.getValueState(
+                    "totals", "n BIGINT, total DOUBLE"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                if self._state.exists():
+                    n, total = self._state.get()
+                else:
+                    n, total = 0, 0.0
+                for pdf in rows:
+                    n += len(pdf)
+                    # identical rounding kernel to _update_user_state:
+                    # exact cents per value, one float conversion
+                    total += float(
+                        sum(
+                            Decimal(repr(float(v))).quantize(
+                                _CENT, rounding=ROUND_HALF_UP
+                            )
+                            for v in pdf["value"]
+                        )
+                    )
+                self._state.update((n, total))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        return Impl()
+
+
+def stream_user_totals_tws(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+):
+    """readStream → transformWithStateInPandas accumulator → memory sink.
+
+    Returns the StreamingQuery; after processAllAvailable the final
+    per-user state must equal ``user_totals_batch``.
+
+    NB the transformWithState driver worker needs ``google.protobuf``
+    at runtime (state-serialization wire format); environments without
+    it (this sandbox) fail at query start — the pytest gates on the
+    import. ``stream_user_totals`` (applyInPandasWithState) is the
+    dependency-free kernel with identical semantics.
+    """
+    from ..catalog import raw_nanos_schema
+    from .staging import stage_events_dir
+
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = raw_nanos_schema(spark, src)
+    stage = stage_events_dir(src, checkpoint_dir, "stream_tws_")
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    out = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_UserTotalsProcessor(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    writer = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals_tws")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
