@@ -217,3 +217,34 @@ def test_asof_join_tied_right_rows_deterministic(spark, ev):
             t_max = max(t for t, _ in cands)
             expected = max(p for t, p in cands if t == t_max)
         assert got[i] == expected, (i, got[i], expected)
+
+
+def test_two_level_exact_agg_matches_single_level(spark):
+    """partial_by_partition must produce bit-identical sums/avgs/counts
+    to the plain single-level aggregation, on any partitioning."""
+    from weather_etl_pipeline_spark.functions.exact import (
+        partial_by_partition,
+        scaled_long,
+        unscale,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i % 7, round((i * 37 % 1000) / 100 + 0.01 * (i % 3), 2)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k int, v double").repartition(13)
+    two = (
+        partial_by_partition(df, ["k"])
+        .sum_scaled(scaled_long("v"), 2, "s", round_to=None)
+        .avg_scaled(scaled_long("v"), F.col("v"), 2, "a")
+        .count("n")
+        .finish()
+    )
+    one = df.groupBy("k").agg(
+        unscale(F.sum(scaled_long("v")), 2, None).alias("s"),
+        F.round(
+            F.sum(scaled_long("v")).cast("double") / 100.0 / F.count("v"), 6
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    t = {r["k"]: (r["s"], r["a"], r["n"]) for r in two.collect()}
+    o = {r["k"]: (r["s"], r["a"], r["n"]) for r in one.collect()}
+    assert t == o

@@ -26,6 +26,9 @@ ANNOTATED = {
     "asof_join_last_error": "union + single window sort — the as-of join costs one shuffle, no UDF",
     "timeseries_gapfill_hourly": "rollup and forward-fill window both shuffle on user_id — AQE reuses the partitioning",
     "range_join_purchases_after_signup": "bucketed equi-join bounds interval-match candidates to 2 cells per row",
+    "q5_local_supplier_volume": "the classic 6-way cycle: both fact joins shuffle on their keys, all dimensions broadcast, then the two-level exact agg collapses to 25 nation groups before the tiny final combine",
+    "salted_event_totals": "aggregation-skew mitigation: stage 1 spreads each hot key over 32 salted sub-keys (map-side combinable), stage 2 merges #groups x #salts partial rows — the final Exchange carries hundreds of rows regardless of input skew",
+    "split_train_val_test": "deterministic hash split is a pure narrow projection — no shuffle until the count rollup; at scale the split column is computed inline during any downstream write",
 }
 
 

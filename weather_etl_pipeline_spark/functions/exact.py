@@ -81,10 +81,33 @@ def oracle_dsum(expr: str, d: int = MONEY_D) -> str:
     return f"CAST(SUM({oracle_scaled_long(expr, d)}) AS DOUBLE) / {float(10**d)}"
 
 
+def hround(col: Column, scale: int = 6) -> Column:
+    """Engine-independent half-up rounding of a DOUBLE.
+
+    ``ROUND(double, n)`` implementations disagree when the value is an
+    EXACTLY-representable decimal half (possible whenever the quotient's
+    reduced denominator is a power of two — money/quantity divisions,
+    cents/count averages): Spark rounds the shortest decimal repr
+    half-up while DuckDB rounds the scaled double, and the two can
+    differ by one ulp of the last kept digit (bit us at sf0.1 on
+    price/qty = ...4781**25**). ``floor(x*10^n + 0.5)`` evaluates the
+    identical IEEE expression on both engines — true halves hit an
+    exactly-representable N+0.5 and floor to N+1 everywhere.
+    """
+    m = F.lit(float(10**scale))
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
+def oracle_hround(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of hround()."""
+    m = float(10**scale)
+    return f"FLOOR(({expr}) * {m} + 0.5) / {m}"
+
+
 def davg(col: Column | str, d: int = MONEY_D, scale: int = 6) -> Column:
-    """Deterministic AVG: exact scaled sum, double divisions, round."""
+    """Deterministic AVG: exact scaled sum, double divisions, hround."""
     c = _col(col)
-    return F.round(
+    return hround(
         F.sum(scaled_long(c, d)).cast("double") / F.lit(float(10**d)) / F.count(c),
         scale,
     )
@@ -92,10 +115,11 @@ def davg(col: Column | str, d: int = MONEY_D, scale: int = 6) -> Column:
 
 def oracle_davg(expr: str, d: int = MONEY_D, scale: int = 6) -> str:
     """DuckDB twin of davg() — identical op order (/scale then /count)."""
-    return (
-        f"ROUND(CAST(SUM({oracle_scaled_long(expr, d)}) AS DOUBLE)"
-        f" / {float(10**d)} / COUNT({expr}), {scale})"
+    inner = (
+        f"CAST(SUM({oracle_scaled_long(expr, d)}) AS DOUBLE)"
+        f" / {float(10**d)} / COUNT({expr})"
     )
+    return oracle_hround(inner, scale)
 
 
 # --- revenue product expressions (shared by q1/q3/q6/q10/q14/star-join) ------
@@ -134,14 +158,14 @@ def oracle_charge_scaled() -> str:
 
 
 def unscale(col: Column | str, d: int, round_to: int | None = 2) -> Column:
-    """LONG-sum column back to DOUBLE money: /10^d, optional round."""
+    """LONG-sum column back to DOUBLE money: /10^d, optional hround."""
     c = _col(col).cast("double") / F.lit(float(10**d))
-    return F.round(c, round_to) if round_to is not None else c
+    return hround(c, round_to) if round_to is not None else c
 
 
 def oracle_unscale(expr: str, d: int, round_to: int | None = 2) -> str:
     base = f"CAST({expr} AS DOUBLE) / {float(10**d)}"
-    return f"ROUND({base}, {round_to})" if round_to is not None else base
+    return oracle_hround(base, round_to) if round_to is not None else base
 
 
 # --- two-level exact aggregation (the 100 TB shape) ---------------------------
@@ -184,7 +208,7 @@ class GroupedPartial:
         self._partials.append(F.sum(expr).alias(tmp_s))
         self._partials.append(F.count(count_of).alias(tmp_n))
         self._finals.append(
-            F.round(
+            hround(
                 F.sum(F.col(tmp_s).cast("decimal(38,0)")).cast("double")
                 / F.lit(float(10**d))
                 / F.sum(tmp_n),

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
+from ..functions.exact import hround
 from ..registry import register
 
 # --- path extraction + aggregate ---------------------------------------------
@@ -25,8 +26,8 @@ from ..registry import register
     oracle="""
 SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-             / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       FLOOR((CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 1000000.0 + 0.5) / 1000000.0 AS avg_k,
        COUNT(*) AS n_events
 FROM events
 GROUP BY event_type
@@ -37,7 +38,7 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
-        F.round(F.sum(k).cast("double") / F.count(k), 6).alias("avg_k"),
+        hround(F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

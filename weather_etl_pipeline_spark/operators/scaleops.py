@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import davg, dsum, oracle_davg, oracle_dsum
+from ..functions.exact import davg, dsum, hround, oracle_davg, oracle_dsum
 from ..registry import register
 
 _KNUTH = 2654435761
@@ -125,11 +125,10 @@ def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("_sum_cents").cast("decimal(38,0)")).cast("double")
             / F.lit(100.0)
         ).alias("sum_value"),
-        F.round(
+        hround(
             F.sum(F.col("_sum_cents").cast("decimal(38,0)")).cast("double")
             / F.lit(100.0)
-            / F.sum("_n_val"),
-            6,
+            / F.sum("_n_val")
         ).alias("avg_value"),
     )
 

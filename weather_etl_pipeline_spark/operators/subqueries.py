@@ -17,9 +17,9 @@ from ..registry import register
     "subquery_scalar_vs_avg",
     oracle="""
 SELECT o_orderkey, o_totalprice,
-       ROUND(o_totalprice / (SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) FROM orders), 6) AS price_vs_avg
+       FLOOR((o_totalprice / (SELECT FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 FROM orders)) * 1000000.0 + 0.5) / 1000000.0 AS price_vs_avg
 FROM orders
-WHERE o_totalprice > 1.5 * (SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) FROM orders)
+WHERE o_totalprice > 1.5 * (SELECT FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 FROM orders)
 """,
 )
 def subquery_scalar_vs_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,9 +33,9 @@ def subquery_scalar_vs_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice,
-               ROUND(o_totalprice / (SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) FROM _orders_scalar), 6) AS price_vs_avg
+               FLOOR((o_totalprice / (SELECT FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1E6 + CAST(0.5 AS DOUBLE)) / 1E6 FROM _orders_scalar)) * 1E6 + CAST(0.5 AS DOUBLE)) / 1E6 AS price_vs_avg
         FROM _orders_scalar
-        WHERE o_totalprice > 1.5 * (SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) FROM _orders_scalar)
+        WHERE o_totalprice > 1.5 * (SELECT FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1E6 + CAST(0.5 AS DOUBLE)) / 1E6 FROM _orders_scalar)
         """
     )
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import hround
 from ..registry import register
 
 # --- term frequency per language ---------------------------------------------
@@ -60,10 +61,10 @@ SELECT
   n_chars,
   len(string_split(text, ' ')) AS n_tokens,
   len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
-  ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-        / len(string_split(text, ' ')), 6) AS avg_token_len,
-  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        / len(string_split(text, ' ')), 6) AS type_token_ratio
+  FLOOR((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        / len(string_split(text, ' '))) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
+  FLOOR((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' '))) * 1000000.0 + 0.5) / 1000000.0 AS type_token_ratio
 FROM documents
 """,
 )
@@ -77,10 +78,10 @@ def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         n_tokens.cast("long").alias("n_tokens"),
         n_unique.cast("long").alias("n_unique_tokens"),
-        F.round(
-            (F.length("text") - (n_tokens - 1)).cast("double") / n_tokens, 6
+        hround(
+            (F.length("text") - (n_tokens - 1)).cast("double") / n_tokens
         ).alias("avg_token_len"),
-        F.round(n_unique.cast("double") / n_tokens, 6).alias("type_token_ratio"),
+        hround(n_unique.cast("double") / n_tokens).alias("type_token_ratio"),
     )
 
 
@@ -93,7 +94,7 @@ def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT lang, source,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars), 6) AS avg_chars,
+       FLOOR((CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars)) * 1000000.0 + 0.5) / 1000000.0 AS avg_chars,
        MAX(n_chars) AS max_chars
 FROM documents
 GROUP BY lang, source
@@ -104,7 +105,7 @@ def text_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 6).alias(
+        hround(F.sum("n_chars").cast("double") / F.count("n_chars")).alias(
             "avg_chars"
         ),
         F.max("n_chars").alias("max_chars"),

@@ -30,7 +30,7 @@ _GAPFILL_ORACLE = """
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS hour,
          COUNT(*) AS n_events,
-         ROUND(CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(value), 6) AS avg_value
+         FLOOR((CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
   FROM events GROUP BY user_id, date_trunc('hour', ts)
 ),
 bounds AS (

@@ -512,7 +512,7 @@ WITH unit AS (
   FROM lineitem l GROUP BY l.l_partkey, l.l_suppkey
 )
 SELECT p.p_partkey, s.s_name, n.n_name AS nation,
-       ROUND(u.unit_price, 6) AS unit_price
+       FLOOR(u.unit_price * 1000000 + 0.5) / 1000000.0 AS unit_price
 FROM part p
 JOIN unit u     ON u.l_partkey = p.p_partkey
 JOIN supplier s ON s.s_suppkey = u.l_suppkey
@@ -558,7 +558,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "s_name",
             F.col("n_name").alias("nation"),
-            F.round("unit_price", 6).alias("unit_price"),
+            # floor(x*1e6 + 0.5) instead of round(x, 6): price/quantity
+            # can land exactly on a half boundary (e.g. .3478125), where
+            # Spark's shortest-repr HALF_UP and DuckDB's scaled-double
+            # round disagree by 1 ulp of the 6th decimal; floor of the
+            # identical double is engine-independent
+            (F.floor(F.col("unit_price") * 1000000 + 0.5) / 1000000.0).alias(
+                "unit_price"
+            ),
         )
     )
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import scaled_long
+from ..functions.exact import hround, scaled_long
 from ..registry import register
 
 # --- top-k per group via row_number ------------------------------------------
@@ -144,9 +144,9 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     oracle="""
 SELECT event_id, user_id, ts,
-       ROUND(
+       FLOOR((
          CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) OVER w AS DOUBLE)
-         / 100.0 / COUNT(value) OVER w, 6) AS moving_avg_3
+         / 100.0 / COUNT(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS moving_avg_3
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -163,11 +163,10 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(
+        hround(
             F.sum(scaled_long("value")).over(w).cast("double")
             / 100.0
-            / F.count("value").over(w),
-            6,
+            / F.count("value").over(w)
         ).alias("moving_avg_3"),
     )
 
@@ -214,8 +213,8 @@ def window_first_nth_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id, ts,
        COUNT(*) OVER w AS n_last_hour,
-       ROUND(CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) OVER w AS DOUBLE)
-             / 100.0 / COUNT(value) OVER w, 6) AS avg_last_hour
+       FLOOR((CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) OVER w AS DOUBLE)
+             / 100.0 / COUNT(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS avg_last_hour
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -233,11 +232,10 @@ def window_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.round(
+        hround(
             F.sum(scaled_long("value")).over(w).cast("double")
             / 100.0
-            / F.count("value").over(w),
-            6,
+            / F.count("value").over(w)
         ).alias("avg_last_hour"),
     )
 

@@ -14,10 +14,15 @@ Cross-engine determinism policy (why oracles hash-match):
   aggregation and DuckDB, integer sums cannot. Low-cardinality product
   rollups use a two-level combine (partition-local LONG partials,
   DECIMAL(38,0) final) for int64 safety; see functions/exact.py.
-- AVGs are ``round(cast(exact_sum as double) / 10^d / count, 6)`` —
-  FP divisions over identical inputs are deterministic.
-- Per-row FP expressions use the same operation order on both sides and
-  round(…, 6) at the end.
+- AVGs are ``cast(exact_sum as double) / 10^d / count`` — FP divisions
+  over identical inputs are deterministic.
+- Final display rounding is ``floor(x * 10^n + 0.5) / 10^n`` on BOTH
+  sides, never the engine's ``round(x, n)``: Spark rounds the shortest
+  decimal repr while DuckDB rounds scaled-double arithmetic, and the two
+  disagree when the repr terminates with a 5 one digit past the kept
+  scale (quotients by powers of two — money/qty, int-sum/count — hit
+  this). ``functions/exact.py::hround`` / ``oracle_hround``.
+- Per-row FP expressions use the same operation order on both sides.
 - Every computed column is aliased identically on both sides (driver
   sorts columns by name before hashing).
 """

@@ -76,8 +76,8 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT make_timestamp(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800) * 1000000) AS window_start,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE)
-             / 100.0 / COUNT(value), 6) AS avg_value
+       FLOOR((CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
 FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
 GROUP BY 1
 """,
