@@ -251,3 +251,81 @@ def test_multimodal_frame_sampling_math(spark):
         assert frames.get(doc_id, {}) == expected
     with _pytest.raises(NotImplementedError):
         resize_image(b"\x89PNG", 64, 64)
+
+
+def test_asof_forward_picks_nearest_following(spark):
+    """Forward as-of invariants: every non-null asof_ts is >= the left
+    ts, and it is the MINIMUM matching purchase ts for that user."""
+    from weather_etl_pipeline_spark.operators.asof import asof_join_next_purchase
+
+    out = asof_join_next_purchase(spark, SF_SMOKE)
+    bad = out.filter(F.col("asof_ts") < F.col("ts")).count()
+    assert bad == 0
+    ev = load_table(spark, SF_SMOKE, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    recheck = (
+        out.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") >= F.col("ts")),
+            "left",
+        )
+        .groupBy("event_id", "asof_ts")
+        .agg(F.min("p_ts").alias("true_min"))
+        .filter(
+            ~(
+                F.col("asof_ts").eqNullSafe(F.col("true_min"))
+            )
+        )
+        .count()
+    )
+    assert recheck == 0
+
+
+def test_interpolation_matches_observations_and_fills_gaps(spark):
+    """Observed buckets keep their (rounded) average; every grid row has
+    a non-null interpolated value (grid spans min..max per key, so all
+    gaps are interior); interpolated values sit within the neighbor
+    value envelope."""
+    from weather_etl_pipeline_spark.operators.timeseries import (
+        timeseries_gapfill_hourly,
+        timeseries_interpolate_linear,
+    )
+
+    interp = timeseries_interpolate_linear(spark, SF_SMOKE)
+    assert interp.filter(F.col("value_interp").isNull()).count() == 0
+    # observed buckets (n_events > 0) must agree with the ffill value
+    # which equals the bucket average on observed rows
+    ffill = timeseries_gapfill_hourly(spark, SF_SMOKE).select(
+        F.col("user_id").alias("f_user"),
+        F.col("hour").alias("f_hour"),
+        F.col("n_events").alias("f_n"),
+        "value_ffill",
+    )
+    joined = interp.join(
+        ffill,
+        (F.col("user_id") == F.col("f_user")) & (F.col("hour") == F.col("f_hour")),
+    )
+    mismatch = joined.filter(
+        (F.col("f_n") > 0)
+        & (F.abs(F.col("value_interp") - F.col("value_ffill")) > 1e-9)
+    ).count()
+    assert mismatch == 0
+
+
+def test_levenshtein_blocked_one_row_per_block(spark):
+    """Exactly one closest pair per populated (lang, len_bucket) block,
+    and the reported distance is symmetric-bounded by the prefix length."""
+    from weather_etl_pipeline_spark.operators.dedup import (
+        _LEV_PREFIX,
+        dedup_levenshtein_blocked,
+    )
+
+    out = dedup_levenshtein_blocked(spark, SF_SMOKE)
+    assert out.groupBy("lang", "len_bucket").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+    assert out.filter(
+        (F.col("edit_dist") < 0) | (F.col("edit_dist") > _LEV_PREFIX)
+    ).count() == 0

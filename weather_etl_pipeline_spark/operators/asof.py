@@ -33,9 +33,19 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     carry: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Generic as-of: left rows + ``asof_<carry>`` = last right ``carry``
-    with right_ts <= left_ts within the key group."""
+    """Generic as-of: left rows + ``asof_<carry>`` = nearest right
+    ``carry`` within the key group — the last right row with
+    right_ts <= left_ts (``direction="backward"``, the default) or the
+    first with right_ts >= left_ts (``direction="forward"``).
+
+    Forward mode is the same union-sort-carry plan run over a
+    descending timestamp order: "last preceding row in descending
+    order" IS the nearest following row, so no second implementation
+    is needed and the cost model (one shuffle + one sort per key) is
+    identical.
+    """
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -46,13 +56,15 @@ def asof_join(
     # determinism guards on the right side:
     # - drop NULL timestamps (they sort NULLS FIRST and would forward-
     #   fill their carry into every left row);
-    # - collapse ties on (key, ts) to max(carry) — otherwise the carried
-    #   value at a tied timestamp depends on shuffle order
+    # - collapse ties on (key, ts) — max(carry) backward / min(carry)
+    #   forward — otherwise the carried value at a tied timestamp
+    #   depends on shuffle order
     right = right.filter(F.col(right_ts).isNotNull())
+    tie_collapse = F.max if direction == "backward" else F.min
     if carry == right_ts:
         right = right.select(key, right_ts).distinct()
     else:
-        right = right.groupBy(key, right_ts).agg(F.max(carry).alias(carry))
+        right = right.groupBy(key, right_ts).agg(tie_collapse(carry).alias(carry))
     r_tag = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
@@ -61,11 +73,13 @@ def asof_join(
         F.col(carry).alias("_carry"),
     )
     # right rows sort before left rows at equal timestamps so "at or
-    # before" includes ties
+    # before" / "at or after" includes ties; forward mode flips the
+    # timestamp order so "preceding" means "following in event time"
     u = l_tag.unionByName(r_tag)
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_is_left")
+        .orderBy(ts_order, F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("_asof", F.last("_carry", ignorenulls=True).over(w))
@@ -95,4 +109,35 @@ def asof_join_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
     return asof_join(
         purchases, errors, key="user_id", left_ts="ts", right_ts="ts", carry="ts"
+    )
+
+
+@register(
+    "asof_join_next_purchase",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT MIN(p.ts) FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts >= e.ts) AS asof_ts
+FROM events e
+WHERE e.event_type = 'error'
+""",
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each error, the same user's next purchase at
+    or after it — the time-to-recovery shape. Oracle is a correlated
+    MIN subquery (deterministic: ties collapse to the same min)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return asof_join(
+        errors,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        carry="ts",
+        direction="forward",
     )

@@ -668,3 +668,74 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SH_CHUNKS - 1)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- edit-distance near-dup: closest pair per block --------------------------
+# Levenshtein is O(len^2) per pair and all-pairs is O(n^2) per corpus —
+# neither survives 100 TB unblocked. Standard posture: compare only
+# inside a blocking cell (same lang + same length bucket — near-dups
+# rarely differ much in length), and bound the per-pair cost by
+# comparing a fixed-length prefix. Emitting the closest pair per cell
+# keeps the output deterministic and non-degenerate regardless of the
+# corpus's true dup density. Built-in F.levenshtein — JVM-side, no UDF.
+
+_LEV_PREFIX = 48  # chars compared per doc (bounds per-pair cost)
+_LEV_BUCKET = 64  # n_chars per length bucket (blocking granularity)
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(n_chars / {_LEV_BUCKET}) AS BIGINT) AS len_bucket,
+         substr(text, 1, {_LEV_PREFIX}) AS prefix
+  FROM documents
+),
+pairs AS (
+  SELECT a.lang, a.len_bucket, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+)
+SELECT lang, len_bucket, doc_a, doc_b, edit_dist FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang, len_bucket
+    ORDER BY edit_dist, doc_a, doc_b) AS rk
+  FROM pairs
+) t WHERE rk = 1
+""",
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / _LEV_BUCKET).cast("long").alias("len_bucket"),
+        F.substring("text", 1, _LEV_PREFIX).alias("prefix"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        F.col("a.len_bucket").alias("len_bucket"),
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+        .cast("long")
+        .alias("edit_dist"),
+    )
+    w = Window.partitionBy("lang", "len_bucket").orderBy(
+        "edit_dist", "doc_a", "doc_b"
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("lang", "len_bucket", "doc_a", "doc_b", "edit_dist")
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import davg
+from ..functions.exact import davg, hround
 from ..registry import register
 
 _GAPFILL_ORACLE = """
@@ -89,4 +89,131 @@ def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("avg_value", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+# --- linear interpolation through gaps ---------------------------------------
+# The other half of the gap-fill family: instead of carrying the last
+# observation forward, interior gaps get the straight line between the
+# surrounding observations (the timeseries-db "interpolate()" shape).
+# Same spine plan as gapfill (rollup → per-key grid → left join), plus
+# two windows: last-non-null looking back, first-non-null looking
+# forward, each carrying both the value and ITS hour. The grid spans
+# min(hour)..max(hour) per key, so every empty bucket has both
+# neighbors and the CASE below is total.
+#
+# Determinism: the interpolation fraction is a ratio of exact integer
+# microsecond gaps; prev/next values are already hround-ed bucket
+# averages; both engines evaluate the identical IEEE expression tree,
+# then hround the display value.
+
+_INTERP_VAL = (
+    "(prev_val + (next_val - prev_val)"
+    " * (CAST(hour_us - prev_us AS DOUBLE) / CAST(next_us - prev_us AS DOUBLE)))"
+)
+
+_INTERP_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events,
+         FLOOR((CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+bounds AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+edged AS (
+  SELECT g.user_id, g.hour, epoch_us(g.hour) AS hour_us,
+         h.n_events, h.avg_value,
+         last_value(h.avg_value IGNORE NULLS) OVER wb AS prev_val,
+         last_value(CASE WHEN h.avg_value IS NOT NULL
+                         THEN epoch_us(g.hour) END IGNORE NULLS) OVER wb AS prev_us,
+         first_value(h.avg_value IGNORE NULLS) OVER wf AS next_val,
+         first_value(CASE WHEN h.avg_value IS NOT NULL
+                          THEN epoch_us(g.hour) END IGNORE NULLS) OVER wf AS next_us
+  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY g.user_id ORDER BY g.hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hour, COALESCE(n_events, 0) AS n_events,
+       FLOOR((CASE WHEN avg_value IS NOT NULL THEN avg_value
+                   ELSE {_INTERP_VAL} END) * 1000000.0 + 0.5) / 1000000.0
+         AS value_interp
+FROM edged
+"""
+
+
+@register("timeseries_interpolate_linear", oracle=_INTERP_ORACLE)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg("value").alias("avg_value"),
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = grid.join(
+        hourly.select(
+            F.col("user_id").alias("h_user"),
+            F.col("hour").alias("h_hour"),
+            "n_events",
+            "avg_value",
+        ),
+        (F.col("user_id") == F.col("h_user")) & (F.col("hour") == F.col("h_hour")),
+        "left",
+    ).select(
+        "user_id", "hour", F.unix_micros("hour").alias("hour_us"),
+        "n_events", "avg_value",
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    present_us = F.when(F.col("avg_value").isNotNull(), F.col("hour_us"))
+    edged = joined.select(
+        "user_id",
+        "hour",
+        "n_events",
+        "avg_value",
+        "hour_us",
+        F.last("avg_value", ignorenulls=True).over(wb).alias("prev_val"),
+        F.last(present_us, ignorenulls=True).over(wb).alias("prev_us"),
+        F.first("avg_value", ignorenulls=True).over(wf).alias("next_val"),
+        F.first(present_us, ignorenulls=True).over(wf).alias("next_us"),
+    )
+    interp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
+        (F.col("hour_us") - F.col("prev_us")).cast("double")
+        / (F.col("next_us") - F.col("prev_us")).cast("double")
+    )
+    return edged.select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        hround(
+            F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+                interp
+            )
+        ).alias("value_interp"),
     )

@@ -259,3 +259,38 @@ def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# --- distribution windows: ntile / percent_rank / cume_dist ------------------
+# Quartile assignment + relative standing per market segment. All three
+# are deterministic once the ORDER BY is total (unique tiebreaker
+# c_custkey): ntile splits on row position, percent_rank is
+# (rank-1)/(n-1), cume_dist is peers/n — integer ratios whose double
+# division is bit-identical across engines; hround guards the display
+# rounding. One shuffle on the partition key, same as any window.
+
+
+@register(
+    "window_ntile_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       NTILE(4) OVER w AS bal_quartile,
+       FLOOR(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS bal_pct_rank,
+       FLOOR(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        hround(F.percent_rank().over(w)).alias("bal_pct_rank"),
+        hround(F.cume_dist().over(w)).alias("bal_cume_dist"),
+    )

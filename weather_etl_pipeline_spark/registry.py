@@ -130,6 +130,7 @@ def load_all() -> dict[str, Query]:
         approx,
         asof,
         clusters,
+        datetime_fns,
         dedup,
         funnel,
         grouping,
