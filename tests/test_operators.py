@@ -329,3 +329,33 @@ def test_levenshtein_blocked_one_row_per_block(spark):
     assert out.filter(
         (F.col("edit_dist") < 0) | (F.col("edit_dist") > _LEV_PREFIX)
     ).count() == 0
+
+
+def test_sessionize_rows_agrees_with_session_window(spark):
+    """The lag-gap row-level sessionizer and Spark's session_window
+    aggregate must induce the same session structure: same session
+    count per user, same per-session event counts."""
+    from weather_etl_pipeline_spark.operators.windows import sessionize_events_rows
+    from weather_etl_pipeline_spark.streaming.windows import stream_session_windows
+
+    rows = sessionize_events_rows(spark, SF_SMOKE)
+    agg = stream_session_windows(spark, SF_SMOKE)
+    per_sess_rows = (
+        rows.groupBy("user_id", "sess_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+    )
+    joined = per_sess_rows.join(
+        agg.select(
+            F.col("user_id").alias("a_user"),
+            F.col("session_start").alias("a_start"),
+            F.col("n_events").alias("a_n"),
+        ),
+        (F.col("user_id") == F.col("a_user"))
+        & (F.col("session_start") == F.col("a_start")),
+        "full_outer",
+    )
+    assert joined.filter(
+        F.col("a_user").isNull()
+        | F.col("user_id").isNull()
+        | (F.col("n_events") != F.col("a_n"))
+    ).count() == 0

@@ -294,3 +294,63 @@ def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.percent_rank().over(w)).alias("bal_pct_rank"),
         hround(F.cume_dist().over(w)).alias("bal_cume_dist"),
     )
+
+
+# --- per-event sessionization (lag-gap method) -------------------------------
+# Row-level twin of stream_session_windows: instead of collapsing to
+# per-session aggregates, every event keeps its session ordinal and
+# position — the feature-engineering shape (downstream models join on
+# (user_id, sess_seq)). Classic two-window composition: lag detects
+# gap starts, running sum of starts numbers the sessions. Both windows
+# share one shuffle+sort on (user_id, ts) — Catalyst reuses the sort.
+# Gap convention matches session_window: strictly greater than the gap
+# starts a new session (an event at exactly prev+gap merges).
+
+_SESS_GAP_MIN = 30
+
+
+@register(
+    "sessionize_events_rows",
+    oracle=f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL {_SESS_GAP_MIN} MINUTE
+              OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT event_id, user_id, ts,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sess_seq
+  FROM flagged
+)
+SELECT event_id, user_id, ts, sess_seq,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id, sess_seq
+                               ORDER BY ts, event_id) AS BIGINT) AS evt_seq
+FROM numbered
+""",
+)
+def sessionize_events_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = _SESS_GAP_MIN * 60 * 1_000_000
+    new_sess = F.when(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us)
+        | F.lag("ts").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    numbered = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(wr).alias("sess_seq"),
+    )
+    w_in = Window.partitionBy("user_id", "sess_seq").orderBy("ts", "event_id")
+    return numbered.withColumn(
+        "evt_seq", F.row_number().over(w_in).cast("long")
+    )
