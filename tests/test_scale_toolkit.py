@@ -195,3 +195,48 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """At 100 TB a selective dimension-side filter should prune the fact
+    scan BEFORE the shuffle. Spark's runtime bloom-filter injection does
+    exactly that for non-broadcast joins: the filtered side aggregates a
+    bloom filter, the big side gains a might_contain() predicate below
+    the exchange. Assert injection happens and results are unchanged."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # the app-side scan threshold exists to avoid overhead on small
+        # inputs; zero it so the local test corpus qualifies
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        filtered = build()
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        with_bloom = {(r["o_orderpriority"], r["n"]) for r in filtered.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = {(r["o_orderpriority"], r["n"]) for r in build().collect()}
+    assert with_bloom == plain

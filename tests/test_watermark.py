@@ -72,3 +72,60 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the first window must have been emitted with ONLY the two on-time
     # events; the late event_id=4 did not resurrect or grow it
     assert emitted.get(base) == 2, emitted
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the streaming twin of exact dedup
+    (dedup_exact_keep_first) for at-least-once ingestion. A duplicate
+    key arriving in a later micro-batch inside the watermark horizon is
+    dropped; state is evicted once the watermark passes, so memory is
+    bounded — the 100 TB streaming-ingest posture."""
+    src = str(tmp_path / "dedup_src")
+    ck = str(tmp_path / "dedup_ck")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, base + dt.timedelta(minutes=10), 1.0),
+            (2, base + dt.timedelta(minutes=20), 2.0),
+        ],
+    )
+    schema = "event_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    dedup = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a replayed duplicate of event 1 (same key, jittered
+        # ts — the at-least-once redelivery shape) plus a fresh event
+        _write_batch(
+            spark,
+            src,
+            [
+                (1, base + dt.timedelta(minutes=15), 99.0),  # dup — must drop
+                (3, base + dt.timedelta(minutes=30), 3.0),
+            ],
+        )
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT event_id, value FROM dedup_out ORDER BY event_id"
+        ).collect()
+    finally:
+        q.stop()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["event_id"], []).append(r["value"])
+    assert sorted(by_id) == [1, 2, 3]
+    assert all(len(v) == 1 for v in by_id.values()), by_id
+    # first occurrence wins — the redelivered value never surfaces
+    assert by_id[1] == [1.0]
