@@ -64,3 +64,49 @@ def json_schema_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.filter(F.col("_props.k") > 80)
         .select("event_id", "event_type", F.col("_props.k").alias("k"))
     )
+
+
+# --- JSON → MAP explode (schema-on-read for open key sets) -------------------
+# When the props key set is NOT known ahead of time, parse to
+# map<string,long> and explode to (key, value) rows — the EAV shape for
+# downstream pivots. Parse-once map semantics beat repeated
+# get_json_object paths at 100 TB (one JSON parse per row, columnar
+# after). The explode multiplies rows by keys-per-row (bounded by the
+# payload), then the rollup is an ordinary map-side-combinable agg.
+
+
+@register(
+    "json_map_explode_rollup",
+    oracle="""
+WITH kv AS (
+  SELECT event_type,
+         unnest(map_entries(CAST(props::JSON AS MAP(VARCHAR, BIGINT)))) AS e
+  FROM events
+  WHERE props IS NOT NULL
+)
+SELECT event_type, e.key AS prop_key,
+       COUNT(*) AS n,
+       CAST(SUM(e.value) AS BIGINT) AS sum_val,
+       CAST(MIN(e.value) AS BIGINT) AS min_val,
+       CAST(MAX(e.value) AS BIGINT) AS max_val
+FROM kv
+GROUP BY event_type, e.key
+""",
+)
+def json_map_explode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kv = (
+        ev.filter(F.col("props").isNotNull())
+        .select(
+            "event_type",
+            F.explode(
+                F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+            ).alias("prop_key", "prop_val"),
+        )
+    )
+    return kv.groupBy("event_type", "prop_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("prop_val").alias("sum_val"),
+        F.min("prop_val").alias("min_val"),
+        F.max("prop_val").alias("max_val"),
+    )

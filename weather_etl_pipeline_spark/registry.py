@@ -128,6 +128,7 @@ def load_all() -> dict[str, Query]:
     """Import every operator module so all @register decorators run."""
     from .operators import (  # noqa: F401
         approx,
+        arrayfns,
         asof,
         clusters,
         datetime_fns,
