@@ -354,3 +354,67 @@ def sessionize_events_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numbered.withColumn(
         "evt_seq", F.row_number().over(w_in).cast("long")
     )
+
+
+# --- share-of-total (ratio-to-report) ----------------------------------------
+# Each nation's share of its region's revenue: a windowed SUM over the
+# aggregated rollup — the two-level BI shape (aggregate first, window
+# over the small result). The window input is #nations rows, so the
+# share computation is free regardless of fact-table scale; all the
+# heavy lifting stays in the map-side-combinable agg below it.
+# Exact scaled-LONG revenue keeps numerator/denominator identical
+# cross-engine; one double division + hround for the displayed share.
+
+
+@register(
+    "window_share_of_region_revenue",
+    oracle="""
+WITH nat AS (
+  SELECT r.r_name AS region_name, n.n_name AS nation_name,
+         SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                  AS BIGINT)) AS rev_scaled
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region_name, nation_name,
+       FLOOR((CAST(rev_scaled AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0
+         AS revenue,
+       FLOOR((CAST(rev_scaled AS DOUBLE)
+              / CAST(SUM(rev_scaled) OVER (PARTITION BY region_name) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS region_share
+FROM nat
+""",
+)
+def window_share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import REV_D, rev_scaled, unscale
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(rev_scaled()).alias("rev_scaled"))
+    )
+    w = Window.partitionBy("region_name")
+    return nat.select(
+        "region_name",
+        "nation_name",
+        unscale(F.col("rev_scaled"), REV_D, 2).alias("revenue"),
+        hround(
+            F.col("rev_scaled").cast("double")
+            / F.sum("rev_scaled").over(w).cast("double")
+        ).alias("region_share"),
+    )

@@ -146,6 +146,7 @@ def load_all() -> dict[str, Query]:
         setops,
         simsearch,
         stats,
+        stringfns,
         subqueries,
         text,
         timeseries,
