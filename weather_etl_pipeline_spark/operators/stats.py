@@ -152,3 +152,56 @@ def stats_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("bin_min"),
         F.max("value").cast("double").alias("bin_max"),
     )
+
+
+# --- OLS regression from exact moments ---------------------------------------
+# Least-squares slope/intercept of price ~ quantity per return flag,
+# from the SAME exact-moment machinery as corr: moments merge
+# associatively across partitions (map-side combinable, one shuffle of
+# #groups rows), the closed form evaluates in identical double order
+# on both engines. At 100 TB this is the only shape that works —
+# iterative solvers need passes, moments need one.
+
+_REGR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sx,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sy,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sxx,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       FLOOR(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000.0 + 0.5)
+         / 1000000.0 AS price_per_qty_slope,
+       FLOOR(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+             * 1000000.0 + 0.5) / 1000000.0 AS price_intercept
+FROM m
+"""
+
+
+@register("stats_regression_moments", oracle=_REGR_ORACLE)
+def stats_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import hround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_QTY)
+    y = F.col("l_extendedprice").cast(_QTY)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _m(F.col("l_quantity"), _QTY).alias("sx"),
+        _m(F.col("l_extendedprice"), _QTY).alias("sy"),
+        F.round(F.sum(x * x), 0).cast("double").alias("sxx"),
+        F.round(F.sum(x * y), 0).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return m.select(
+        "l_returnflag",
+        "n",
+        hround(slope).alias("price_per_qty_slope"),
+        hround(intercept).alias("price_intercept"),
+    )
