@@ -29,6 +29,10 @@ ANNOTATED = {
     "q5_local_supplier_volume": "the classic 6-way cycle: both fact joins shuffle on their keys, all dimensions broadcast, then the two-level exact agg collapses to 25 nation groups before the tiny final combine",
     "salted_event_totals": "aggregation-skew mitigation: stage 1 spreads each hot key over 32 salted sub-keys (map-side combinable), stage 2 merges #groups x #salts partial rows — the final Exchange carries hundreds of rows regardless of input skew",
     "split_train_val_test": "deterministic hash split is a pure narrow projection — no shuffle until the count rollup; at scale the split column is computed inline during any downstream write",
+    "sessionize_events_rows": "one Exchange on user_id feeds all three windows; the in-session row_number needs only a partition-local re-sort on (user_id, sess_seq), never a second shuffle",
+    "window_share_of_region_revenue": "the window runs over the 25-row rollup output, not the fact table — all heavy lifting stays in the map-side-combinable agg below it",
+    "timeseries_interpolate_linear": "grid generation is executor-side (sequence+explode); both carry windows share the user_id partitioning with the rollup",
+    "dedup_levenshtein_blocked": "self-join keyed on (lang, len_bucket) — candidate pairs bounded by block size, never all-pairs; levenshtein on a fixed prefix bounds per-pair cost",
 }
 
 

@@ -303,38 +303,53 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 
 
-@register(
-    "text_quality_score",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id,
-         len(string_split(text, ' ')) AS n_tok,
-         len(list_distinct(string_split(text, ' '))) AS n_uniq,
-         len(list_filter(string_split(text, ' '),
-             x -> list_contains({list(_STOPWORDS)!r}, x))) AS n_stop
-  FROM documents
-)
-SELECT doc_id,
-       ROUND(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
-             + 0.4 * (CAST(n_uniq AS DOUBLE) / n_tok)
-             + 0.2 * least(4.0 * CAST(n_stop AS DOUBLE) / n_tok, 1.0), 6)
-         AS quality
-FROM t
-""",
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def quality_expr() -> "F.Column":
+    """Unrounded quality score Column over a ``text`` column — shared by
+    text_quality_score and the llm_corpus_curation composite so the
+    formula can never drift between them."""
     toks = F.split("text", " ")
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
-    quality = (
+    return (
         0.4 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
         + 0.4 * (n_uniq.cast("double") / n_tok)
         + 0.2 * F.least(4.0 * n_stop.cast("double") / n_tok, F.lit(1.0))
     )
-    return docs.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+def oracle_quality_counts(extra_cols: str = "") -> str:
+    """DuckDB twin of the token-count sub-select feeding quality."""
+    return f"""
+  SELECT doc_id{extra_cols},
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains({list(_STOPWORDS)!r}, x))) AS n_stop
+  FROM documents
+"""
+
+
+ORACLE_QUALITY_FORMULA = (
+    "0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)"
+    " + 0.4 * (CAST(n_uniq AS DOUBLE) / n_tok)"
+    " + 0.2 * least(4.0 * CAST(n_stop AS DOUBLE) / n_tok, 1.0)"
+)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS ({oracle_quality_counts()})
+SELECT doc_id,
+       ROUND({ORACLE_QUALITY_FORMULA}, 6) AS quality
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_expr(), 6).alias("quality"))
 
 
 # --- language-ID: trigram profile ---------------------------------------------

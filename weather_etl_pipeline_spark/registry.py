@@ -131,6 +131,7 @@ def load_all() -> dict[str, Query]:
         arrayfns,
         asof,
         clusters,
+        curation,
         datetime_fns,
         dedup,
         funnel,
