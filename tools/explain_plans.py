@@ -33,6 +33,7 @@ ANNOTATED = {
     "window_share_of_region_revenue": "the window runs over the 25-row rollup output, not the fact table — all heavy lifting stays in the map-side-combinable agg below it",
     "timeseries_interpolate_linear": "grid generation is executor-side (sequence+explode); both carry windows share the user_id partitioning with the rollup",
     "dedup_levenshtein_blocked": "self-join keyed on (lang, len_bucket) — candidate pairs bounded by block size, never all-pairs; levenshtein on a fixed prefix bounds per-pair cost",
+    "llm_corpus_curation": "quality score + keep-gate + split fuse into one codegen map stage over the scan; the whole curation chain costs one dedup exchange plus a tiny rollup",
 }
 
 
