@@ -88,3 +88,137 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("quality", 6).alias("avg_quality"),
         )
     )
+
+
+# --- test-set decontamination (cross-corpus n-gram containment) --------------
+# The benchmark-leakage check every pre-training pipeline runs before
+# release: a training document is contaminated if it shares any
+# complete N-token shingle with any held-out (test-split) document.
+# Same split hash as the curation pipeline, shingles from the shared
+# shingle_rows plan (posexplode+lead — linear, codegen'd, distinct per
+# doc). The contamination join keys on the shingle string: cost is
+# bounded by shingle-frequency skew, which the distinct-per-doc
+# projection caps; at 100 TB the test side (5% of docs -> broadcast or
+# bucketed) is the small build side by construction.
+
+_DECON_N = 5  # shingle width in tokens
+
+
+@register(
+    "decontaminate_test_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_oracle_hash('doc_id')} % 100 AS bucket,
+         string_split(text, ' ') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, bucket,
+         array_to_string(tk[i:i+{_DECON_N - 1}], chr(31)) AS s
+  FROM toks, UNNEST(generate_series(1, len(tk) - {_DECON_N - 1})) AS t(i)
+),
+hits AS (
+  SELECT tr.doc_id, tr.s, te.doc_id AS test_doc
+  FROM sh tr JOIN sh te ON tr.s = te.s
+  WHERE tr.bucket < 90 AND te.bucket >= 95
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_shared_shingles,
+       CAST(COUNT(DISTINCT test_doc) AS BIGINT) AS n_test_docs
+FROM hits
+GROUP BY doc_id
+""",
+)
+def decontaminate_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (_hash_col("doc_id") % 100).alias("bucket")
+    sh = shingle_rows(docs, n=_DECON_N).join(
+        docs.select("doc_id", bucket), "doc_id"
+    )
+    train = sh.filter(F.col("bucket") < 90).select("doc_id", "s")
+    test = sh.filter(F.col("bucket") >= 95).select(
+        F.col("doc_id").alias("test_doc"), "s"
+    )
+    return (
+        train.join(test, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("s").alias("n_shared_shingles"),
+            F.count_distinct("test_doc").alias("n_test_docs"),
+        )
+    )
+
+
+# --- repetition filter (Gopher-style doc-internal duplication) ---------------
+# Repetitive documents (boilerplate, template spam) poison training
+# data; the standard gates are duplicate-n-gram fraction and
+# top-token dominance. Both are per-document map-side expressions over
+# the token/shingle plans — no cross-doc state, embarrassingly
+# parallel at any scale.
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(tk) AS n_tok,
+         len(tk) - 1 AS n_2gram,
+         (SELECT COUNT(DISTINCT array_to_string(tk[i:i+1], chr(31)))
+          FROM UNNEST(generate_series(1, len(tk) - 1)) AS t(i)) AS n_2gram_uniq,
+         (SELECT MAX(c) FROM (
+            SELECT COUNT(*) AS c FROM UNNEST(tk) AS u(tok) GROUP BY tok)) AS top_tok_n
+  FROM toks
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       FLOOR((1.0 - CAST(n_2gram_uniq AS DOUBLE) / n_2gram) * 1000000.0 + 0.5)
+         / 1000000.0 AS dup_2gram_frac,
+       FLOOR((CAST(top_tok_n AS DOUBLE) / n_tok) * 1000000.0 + 0.5)
+         / 1000000.0 AS top_token_frac,
+       ((1.0 - CAST(n_2gram_uniq AS DOUBLE) / n_2gram) > 0.2
+        OR (CAST(top_tok_n AS DOUBLE) / n_tok) > 0.2) AS is_repetitive
+FROM base
+WHERE n_tok >= 2
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import hround
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    # 2-grams via the HOF zip of the array with its own tail — per-doc
+    # arrays stay bounded, so the HOF form is fine here (unlike the
+    # corpus-wide shingle table, which uses the exploded plan)
+    grams2 = F.zip_with(
+        F.slice(toks, 1, n_tok - 1),
+        F.slice(toks, 2, n_tok - 1),
+        lambda a, b: F.concat_ws("\x1f", a, b),
+    )
+    top_tok_n = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    base = docs.filter(n_tok >= 2).select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        (n_tok - 1).alias("n_2gram"),
+        F.size(F.array_distinct(grams2)).alias("n_2gram_uniq"),
+        top_tok_n.alias("top_tok_n"),
+    )
+    dup_frac = 1.0 - F.col("n_2gram_uniq").cast("double") / F.col("n_2gram")
+    top_frac = F.col("top_tok_n").cast("double") / F.col("n_tok")
+    return base.select(
+        "doc_id",
+        "n_tok",
+        hround(dup_frac).alias("dup_2gram_frac"),
+        hround(top_frac).alias("top_token_frac"),
+        ((dup_frac > 0.2) | (top_frac > 0.2)).alias("is_repetitive"),
+    )
