@@ -739,3 +739,49 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("lang", "len_bucket", "doc_a", "doc_b", "edit_dist")
     )
+
+
+# --- quality-aware exact dedup (best-survivor selection) ---------------------
+# Production corpus dedup keeps the BEST copy, not the first: survivor
+# = argmax(quality) per exact text, ties to min doc_id. Same one-
+# shuffle window plan as keep-first; only the ORDER BY changes. The
+# quality signal reuses the curation formula so the two pipelines
+# agree on what "best" means.
+
+
+from .text import ORACLE_QUALITY_FORMULA as _OQF
+from .text import oracle_quality_counts as _oqc
+
+
+@register(
+    "dedup_exact_best_quality",
+    oracle=f"""
+WITH t AS ({_oqc(", lang, text")}),
+scored AS (
+  SELECT doc_id, text, lang, ROUND({_OQF}, 6) AS quality FROM t
+)
+SELECT doc_id, lang, quality, n_copies FROM (
+  SELECT doc_id, lang, quality,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY quality DESC, doc_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies
+  FROM scored
+) t WHERE rk = 1
+""",
+)
+def dedup_exact_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text import quality_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", "lang", F.round(quality_expr(), 6).alias("quality")
+    )
+    w = Window.partitionBy("text").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    wc = Window.partitionBy("text")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "quality", "n_copies")
+    )

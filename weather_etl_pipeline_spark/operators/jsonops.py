@@ -110,3 +110,37 @@ def json_map_explode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("prop_val").alias("min_val"),
         F.max("prop_val").alias("max_val"),
     )
+
+
+# --- VariantType extraction (Spark 4 semi-structured fast path) --------------
+# VARIANT is Spark 4's answer to schema-on-read JSON: parse once into a
+# binary semi-structured value, then path-extract without re-parsing —
+# at 100 TB the parse cost dominates repeated get_json_object, and
+# columnar variant storage (shredding) keeps extraction vectorized.
+# The oracle replays the same extraction with DuckDB's JSON path API —
+# the VALUES are engine-independent even though the encodings differ.
+
+
+@register(
+    "variant_extract_agg",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS n_k
+FROM events
+GROUP BY event_type
+""",
+)
+def variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").cast("long").alias("n_k"),
+        )
+    )
