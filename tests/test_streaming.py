@@ -216,3 +216,70 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
         for r in user_totals_batch(spark, SF_SMOKE).collect()
     }
     assert streamed == batch
+
+
+def test_foreachbatch_gold_upsert_converges_to_batch(spark, tmp_path):
+    """Streaming hourly rollup upserted into a partitioned gold zone via
+    foreachBatch must converge to the batch aggregation of the same
+    rows — across micro-batches that UPDATE already-written (user, hour)
+    partitions."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from weather_etl_pipeline_spark.streaming.gold_sink import stream_gold_hourly
+
+    src = str(tmp_path / "src")
+    gold = str(tmp_path / "gold")
+    ck = str(tmp_path / "ck")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "user_id long, ts timestamp, value double"
+    rows1 = [
+        (1, base + dt.timedelta(minutes=5), 10.0),
+        (1, base + dt.timedelta(minutes=25), 4.5),
+        (2, base + dt.timedelta(minutes=40), 2.0),
+    ]
+    # second file revisits user 1's first hour (same partition updated
+    # twice) and opens a new hour
+    rows2 = [
+        (1, base + dt.timedelta(minutes=50), 1.0),
+        (2, base + dt.timedelta(hours=1, minutes=10), 7.25),
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_gold_hourly(stream, spark, gold, ck)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["hour_part"], r["user_id"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(gold).collect()
+    }
+    batch = (
+        spark.createDataFrame(rows1 + rows2, schema)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd-HH").alias("hour_part"),
+            "user_id",
+            "n_events",
+            "value_cents",
+        )
+    )
+    want = {
+        (r["hour_part"], r["user_id"]): (r["n_events"], r["value_cents"])
+        for r in batch.collect()
+    }
+    assert got == want
