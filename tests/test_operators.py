@@ -359,3 +359,24 @@ def test_sessionize_rows_agrees_with_session_window(spark):
         | F.col("user_id").isNull()
         | (F.col("n_events") != F.col("a_n"))
     ).count() == 0
+
+
+def test_hll_sketch_estimate_close_to_exact(spark):
+    """Spark 4's Apache DataSketches HLL surface: the mergeable-sketch
+    distinct count (the 100 TB shape — constant memory per group,
+    sketches merge associatively across partitions) must land within
+    the standard HLL error envelope of the exact count."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    row = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est"),
+        F.count_distinct("user_id").alias("exact"),
+    ).collect()[0]
+    assert abs(row["est"] - row["exact"]) <= max(3, 0.02 * row["exact"]), row
+    # sketches merge: union of two half-sketches equals one full sketch
+    halves = ev.withColumn("h", (F.col("event_id") % 2)).groupBy("h").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = halves.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]
+    assert abs(merged["est"] - row["exact"]) <= max(3, 0.02 * row["exact"]), merged

@@ -369,3 +369,33 @@ def outer_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
     )
+
+
+# --- explicit cross join (bounded calendar matrix) ---------------------------
+# The one join type the suite hadn't spelled out. Legitimate only when
+# one side is tiny and bounded (here: 5 regions x distinct order
+# quarters) — the dense matrix that reporting layers join facts onto so
+# empty cells exist. Spark plans BroadcastNestedLoopJoin; at scale the
+# region side broadcasts and the cost stays |quarters| x |regions|.
+
+
+@register(
+    "cross_join_region_quarters",
+    oracle="""
+WITH q AS (
+  SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(quarter(o_orderdate) AS INT) AS qtr
+  FROM orders
+)
+SELECT r.r_name AS region_name, q.yr, q.qtr
+FROM region r CROSS JOIN q
+""",
+)
+def cross_join_region_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    quarters = orders.select(
+        F.year(F.to_date("o_orderdate")).alias("yr"),
+        F.quarter(F.to_date("o_orderdate")).alias("qtr"),
+    ).distinct()
+    return region.select(F.col("r_name").alias("region_name")).crossJoin(quarters)

@@ -142,6 +142,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         rangejoin,
         relational,
+        safefns,
         reshape,
         scaleops,
         setops,
