@@ -240,3 +240,17 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.set(k, v)
     plain = {(r["o_orderpriority"], r["n"]) for r in build().collect()}
     assert with_bloom == plain
+
+
+def test_scale_amplifier_replicates_facts_only(spark):
+    """`<dir>@xN` must amplify fact tables N-fold and leave dimension /
+    other-join-side tables untouched (replicating both join sides would
+    square match cardinality)."""
+    base = SF_SMOKE
+    li1 = load_table(spark, base, "lineitem").count()
+    li3 = load_table(spark, base + "@x3", "lineitem").count()
+    assert li3 == 3 * li1
+    assert (
+        load_table(spark, base + "@x3", "orders").count()
+        == load_table(spark, base, "orders").count()
+    )

@@ -29,9 +29,28 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+# tables amplified by `@xN` — the "fact" set that grows with corpus
+# size. Dimensions (and orders, the other join side of lineitem) stay
+# 1x: replicating BOTH sides of a key join multiplies match
+# cardinality N^2-fold, which models nothing real.
+_SCALE_FACT_TABLES = frozenset({"lineitem", "events", "documents", "embeddings"})
+
+
+def _resolve_sf_dir(sf_dir: str, name: str) -> tuple[str, int]:
+    """``<dir>@xN`` amplifies the fact tables N-fold by listing their
+    parquet N times — a zero-copy synthetic scale-up for local scale
+    testing (tools/scale_sweep.py). Timing-only: duplicated rows change
+    dedup/distinct semantics, so correctness harnesses never use it."""
+    if "@x" in sf_dir:
+        base, _, n = sf_dir.rpartition("@x")
+        return base, max(1, int(n)) if name in _SCALE_FACT_TABLES else 1
+    return sf_dir, 1
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    sf_dir, replication = _resolve_sf_dir(sf_dir, name)
     # the caller may be an external driver with its own session: pin the
     # two runtime confs correctness depends on (UTC so timestamps agree
     # with the UTC-naive DuckDB oracle on any host TZ; nanos-as-long so
@@ -40,7 +59,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(*([path] * replication))
     for c in nanos_cols:
         # integer division keeps full precision (nanos ~1.7e18 would lose
         # microseconds through a double divide)
