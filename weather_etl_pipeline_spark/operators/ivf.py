@@ -130,3 +130,108 @@ def simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+# --- portable one-iteration IVF (oracle-replayable) --------------------------
+# The oracle-verification twin of the kmeans build above, following the
+# same playbook as dedup_minhash_portable / dedup_simhash_portable:
+# make every arithmetic step engine-independent and let DuckDB replay
+# the ALGORITHM end-to-end.
+#
+# - init: cells 0..k-1 = the first k vectors (exact float values);
+# - assignment: squared-L2 as the shared left-fold — identical doubles
+#   both engines, ties to the lower cell;
+# - centroid update: per-dimension QUANTIZED-exact mean — doubles cast
+#   to DECIMAL(20,12) (deterministic scale-12 quantization), summed
+#   exactly (order-free), one double division, hround(6). Production
+#   ANN quantizes centroids anyway; here quantization also buys
+#   cross-engine bit-stability. Fully distributed — no driver collect
+#   (the iterative fast path above round-trips k×dim floats by design;
+#   this variant shows the shuffle-only formulation).
+# - one Lloyd iteration, then the final assignment is the output.
+
+_PK = 8
+
+
+def _portable_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    d = emb.join(F.broadcast(cent)).withColumn(
+        "_d2", _dist2(F.col("e"), F.col("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("_d2", "cell")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "e", "cell")
+    )
+
+
+_DD_D2 = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+)
+
+_IVF_PORTABLE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+c0 AS (SELECT CAST(vec_id AS INT) AS cell, e AS c FROM e WHERE vec_id < {_PK}),
+a0 AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT e.vec_id, e.e, c0.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DD_D2.format(a="e.e", b="c0.c")}, c0.cell) AS rn
+    FROM e CROSS JOIN c0
+  ) t WHERE rn = 1
+),
+upd AS (
+  SELECT cell, generate_subscripts(e, 1) AS dim, UNNEST(e) AS x
+  FROM a0
+),
+cm AS (
+  SELECT cell, dim,
+         FLOOR((CAST(SUM(CAST(x AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*))
+               * 1000000.0 + 0.5) / 1000000.0 AS cv
+  FROM upd GROUP BY cell, dim
+),
+c1 AS (SELECT cell, list(cv ORDER BY dim) AS c FROM cm GROUP BY cell)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+  SELECT e.vec_id, c1.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_DD_D2.format(a="e.e", b="c1.c")}, c1.cell) AS rn
+  FROM e CROSS JOIN c1
+) t WHERE rn = 1
+"""
+
+
+@register("simsearch_ivf_portable", oracle=_IVF_PORTABLE_ORACLE)
+def simsearch_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import hround
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    c0 = emb.filter(F.col("vec_id") < _PK).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("e").alias("c")
+    )
+    a0 = _portable_assign(emb, c0)
+    cm = (
+        a0.select("cell", F.posexplode("e").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(
+            hround(
+                F.sum(F.col("x").cast("decimal(20,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
+    )
+    c1 = cm.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s.cv
+        ).alias("c")
+    )
+    return _portable_assign(emb, c1).select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
