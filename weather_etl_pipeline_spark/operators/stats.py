@@ -205,3 +205,78 @@ def stats_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(slope).alias("price_per_qty_slope"),
         hround(intercept).alias("price_intercept"),
     )
+
+
+# --- higher moments: skewness / kurtosis (exact raw moments) -----------------
+# Engine-native skewness()/kurtosis() are order-dependent FP folds, so
+# they can't hash-match. Same cure as corr/regression: raw moments as
+# exact integer sums (l_quantity is integer-valued — verified — so
+# q..q^4 sums stay exact in int64 AND below 2^53 through ~sf100), then
+# one fixed-order double evaluation of the central-moment formulas.
+# Moments merge associatively — the one-pass distributed shape.
+
+_SKEW_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+             * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sxx,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+             * CAST(ROUND(l_quantity, 0) AS BIGINT)
+             * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sxxx,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+             * CAST(ROUND(l_quantity, 0) AS BIGINT)
+             * CAST(ROUND(l_quantity, 0) AS BIGINT)
+             * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sxxxx
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, n,
+         CAST(sx AS DOUBLE) / n AS mu,
+         CAST(sxx AS DOUBLE) / n AS r2,
+         CAST(sxxx AS DOUBLE) / n AS r3,
+         CAST(sxxxx AS DOUBLE) / n AS r4
+  FROM m
+),
+c AS (
+  SELECT l_returnflag, n, mu,
+         r2 - mu * mu AS m2,
+         r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+         r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu AS m4
+  FROM d
+)
+SELECT l_returnflag, n,
+       FLOOR((m3 / (sqrt(m2) * m2)) * 1000000.0 + 0.5) / 1000000.0 AS qty_skewness,
+       FLOOR((m4 / (m2 * m2) - 3.0) * 1000000.0 + 0.5) / 1000000.0
+         AS qty_kurtosis_excess
+FROM c
+"""
+
+
+@register("stats_skew_kurtosis_moments", oracle=_SKEW_ORACLE)
+def stats_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import hround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity"), 0).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sx"),
+        F.sum(q * q).alias("sxx"),
+        F.sum(q * q * q).alias("sxxx"),
+        F.sum(q * q * q * q).alias("sxxxx"),
+    )
+    n = F.col("n")
+    mu = F.col("sx").cast("double") / n
+    r2 = F.col("sxx").cast("double") / n
+    r3 = F.col("sxxx").cast("double") / n
+    r4 = F.col("sxxxx").cast("double") / n
+    m2 = r2 - mu * mu
+    m3 = r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
+    m4 = r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu
+    return m.select(
+        "l_returnflag",
+        "n",
+        hround(m3 / (F.sqrt(m2) * m2)).alias("qty_skewness"),
+        hround(m4 / (m2 * m2) - 3.0).alias("qty_kurtosis_excess"),
+    )

@@ -89,7 +89,15 @@ def make_shingle_udtf():
 @register("udtf_shingles", oracle=None)
 def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle expansion via Python UDTF (lateral join); columns
-    (doc_id, n_shingles) so the rows-only check is stable."""
+    (doc_id, n_shingles) so the rows-only check is stable.
+
+    UDTF-surface demo ONLY: the ``seen`` set buffers each document's
+    distinct shingles in Python worker memory, which is fine for
+    bounded documents but the wrong place for dedup at scale — the
+    production path is the built-in exploded plan (``dedup.shingle_rows``:
+    posexplode + lead + ``.distinct()``), where dedup happens in the
+    JVM with spillable aggregation. pytest asserts this UDTF's parity
+    with that plan."""
     shingle_udtf = make_shingle_udtf()
     spark.udtf.register("shingle_udtf", shingle_udtf)
     docs = load_table(spark, sf_dir, "documents")
