@@ -295,3 +295,25 @@ def test_failed_validation_leaves_metadata_unmarked(spark, lake):
     result = run_pipeline(spark, lake)
     assert result["silver_partitions"] == 8
     assert result["gold_partitions"] == 8
+
+
+def test_curated_corpus_lake_roundtrip(spark, tmp_path):
+    """The curation composite lands in a (split, lang)-partitioned lake
+    zone: round-trips losslessly, and a split/lang point read prunes to
+    that partition subtree (the downstream trainer's read pattern)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from weather_etl_pipeline_spark.operators.curation import llm_corpus_curation
+
+    out = str(tmp_path / "curated")
+    df = llm_corpus_curation(spark, SF_SMOKE)
+    df.write.partitionBy("split", "lang").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    want = {tuple(r) for r in df.collect()}
+    got = {tuple(r) for r in back.select(*df.columns).collect()}
+    assert got == want
+    pruned = back.filter((F.col("split") == "train") & (F.col("lang") == "en"))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "split" in plan.split("PartitionFilters")[1][:200]
