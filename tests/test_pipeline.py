@@ -317,3 +317,28 @@ def test_curated_corpus_lake_roundtrip(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "split" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_observe_metrics_during_silver_clean(spark):
+    """Data-quality counters ride along the silver clean job via
+    df.observe() — zero extra passes over the data (the reference's
+    validation gates each cost a separate COUNT query; SURVEY §5)."""
+    from pyspark.sql import Observation
+
+    from tests.conftest import SF_SMOKE
+    from weather_etl_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    obs = Observation("silver_quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.sum((F.col("value") < 0).cast("long")).alias("n_negative"),
+    )
+    cleaned = observed.filter(F.col("value").isNotNull())
+    n_out = cleaned.count()  # one action drives both the job and the metrics
+    m = obs.get
+    assert m["n_rows"] == ev.count()
+    assert n_out == m["n_rows"] - m["n_null_value"]
+    assert m["n_negative"] >= 0
