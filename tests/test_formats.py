@@ -150,3 +150,48 @@ def test_corrupt_json_records_are_captured(spark):
     assert sorted(
         r["k"] for r in parsed.filter(F.col("p._corrupt").isNull()).select("p.k").collect()
     ) == [1, 3]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Lake schema evolution: files written before a column existed must
+    coexist with newer files — mergeSchema unions the schemas and
+    back-fills NULL for the missing column (the additive-evolution
+    contract a long-lived corpus depends on)."""
+    zone = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    ).write.mode("append").parquet(zone)
+    spark.createDataFrame(
+        [(2, "beta", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(zone)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(zone)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+
+
+def test_jsonl_sink_datasource_writer(spark, tmp_path):
+    """Custom Python DataSource writer: executor part files + driver
+    commit manifest; every row lands exactly once in published parts."""
+    import json
+    import os
+
+    from weather_etl_pipeline_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "jsonl_out")
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    ).repartition(4)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total"] == 100
+    seen = []
+    for part in sorted(os.listdir(out)):
+        if part.endswith(".jsonl"):
+            with open(os.path.join(out, part)) as f:
+                seen += [json.loads(line)["doc_id"] for line in f]
+    assert sorted(seen) == list(range(100))
+    assert len(manifest["parts"]) == 4
