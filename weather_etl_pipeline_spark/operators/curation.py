@@ -222,3 +222,60 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(top_frac).alias("top_token_frac"),
         ((dup_frac > 0.2) | (top_frac > 0.2)).alias("is_repetitive"),
     )
+
+
+# --- fixed-window document chunking (pretraining / RAG shape) ----------------
+# Long documents become overlapping fixed-token chunks — the op between
+# curation and tokenization in every LLM data pipeline. Pure built-ins:
+# sequence() generates chunk starts executor-side, slice() carves the
+# token window, so the whole thing is one generate+project map stage —
+# no shuffle, no Python, linear in corpus size, and the chunk fan-out
+# is bounded by ceil(n_tok / stride) per document.
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+starts AS (
+  SELECT doc_id, tk,
+         UNNEST(generate_series(0, GREATEST(len(tk) - 1, 0), {_CHUNK_STRIDE}))
+           AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(LEAST(start + {_CHUNK_TOKENS}, len(tk)) - start AS BIGINT)
+         AS n_chunk_tok,
+       array_to_string(tk[start + 1 : LEAST(start + {_CHUNK_TOKENS}, len(tk))], ' ')
+         AS chunk_text
+FROM starts
+""",
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    with_starts = docs.select(
+        "doc_id",
+        toks.alias("tk"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(
+        F.col("tk"), F.col("start") + 1, F.lit(_CHUNK_TOKENS)
+    )
+    return with_starts.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
