@@ -248,3 +248,83 @@ def test_two_level_exact_agg_matches_single_level(spark):
     t = {r["k"]: (r["s"], r["a"], r["n"]) for r in two.collect()}
     o = {r["k"]: (r["s"], r["a"], r["n"]) for r in one.collect()}
     assert t == o
+
+
+# --- row-level sessionization vs naive reference ------------------------------
+
+
+@given(st.lists(st.integers(0, 7200), min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_sessionize_rows_matches_naive(spark, offsets):
+    from weather_etl_pipeline_spark.operators.windows import _SESS_GAP_MIN
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), 7, "click", 1.0, None)
+        for i, off in enumerate(sorted(offsets))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.createOrReplaceTempView("events_prop")
+    # run the same plan the registered query uses, against this tiny df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = _SESS_GAP_MIN * 60 * 1_000_000
+    new_sess = F.when(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us)
+        | F.lag("ts").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    got = {
+        r["event_id"]: r["sess"]
+        for r in df.select(
+            "event_id", F.sum(new_sess).over(wr).alias("sess")
+        ).collect()
+    }
+    # naive single-threaded reference
+    want = {}
+    sess = 0
+    prev = None
+    for i, off in enumerate(sorted(offsets)):
+        ts = base + dt.timedelta(seconds=off)
+        if prev is None or (ts - prev).total_seconds() > _SESS_GAP_MIN * 60:
+            sess += 1
+        want[i] = sess
+        prev = ts
+    assert got == want
+
+
+# --- hround vs decimal half-up model ------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(-10**9, 10**9).map(lambda n: n / 10**6),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_hround_matches_decimal_half_up(spark, vals):
+    """hround(x, 2) must agree with exact decimal ROUND_HALF_UP for every
+    6-decimal-representable input whose double repr is exact enough to
+    carry the half — the contract ~50 oracle twins rely on."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from weather_etl_pipeline_spark.functions.exact import hround
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["r"] for r in df.select(hround(F.col("x"), 2).alias("r")).collect()]
+    for v, g in zip(vals, got):
+        # model: the double nearest to v, scaled, floored at +0.5 — i.e.
+        # replicate hround in exact decimal arithmetic over the DOUBLE
+        # input (not the pre-double rational), which is what both
+        # engines actually compute
+        d = Decimal(v) * 100 + Decimal("0.5")
+        want = float(d.to_integral_value(rounding="ROUND_FLOOR")) / 100
+        assert g == want, (v, g, want)
