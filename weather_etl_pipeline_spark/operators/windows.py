@@ -390,23 +390,35 @@ FROM nat
 """,
 )
 def window_share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.exact import REV_D, rev_scaled, unscale
+    from ..functions.exact import (
+        REV_D,
+        partial_by_partition,
+        rev_scaled,
+        unscale,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    nat = (
+    joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy(
-            F.col("r_name").alias("region_name"),
-            F.col("n_name").alias("nation_name"),
+    )
+    # 25 (region, nation) groups x billions of rows at scale: the d=4
+    # scaled sum needs the two-level combine (partition-local LONG
+    # partials, DECIMAL(38,0) final) exactly like star_join_revenue —
+    # see functions/exact.py overflow budget.
+    nat = (
+        partial_by_partition(
+            joined,
+            [(F.col("r_name"), "region_name"), (F.col("n_name"), "nation_name")],
         )
-        .agg(F.sum(rev_scaled()).alias("rev_scaled"))
+        .sum_long(rev_scaled(), "rev_scaled")
+        .finish()
     )
     w = Window.partitionBy("region_name")
     return nat.select(
