@@ -188,30 +188,38 @@ WHERE n_tok >= 2
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.exact import hround
+    from .dedup import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    # 2-grams via the HOF zip of the array with its own tail — per-doc
-    # arrays stay bounded, so the HOF form is fine here (unlike the
-    # corpus-wide shingle table, which uses the exploded plan)
-    grams2 = F.zip_with(
-        F.slice(toks, 1, n_tok - 1),
-        F.slice(toks, 2, n_tok - 1),
-        lambda a, b: F.concat_ws("\x1f", a, b),
+    n_tok = F.size(F.split("text", " "))
+    # Linear plans only: an array-HOF count of each distinct token
+    # (transform × filter) is O(n_uniq × n_tok) per document — harmless
+    # on 100-token docs, quadratic death on 100k-token docs. Exploded
+    # token rows + hash aggregation keep both signals O(n_tok) with
+    # map-side partial aggregation.
+    tok_rows = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    top_tok_n = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    top_tok = (
+        tok_rows.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_n"))
+    )
+    uniq2 = (
+        shingle_rows(docs, n=2)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_2gram_uniq"))
+    )
+    base = (
+        docs.filter(n_tok >= 2)
+        .select(
+            "doc_id",
+            n_tok.cast("long").alias("n_tok"),
+            (n_tok - 1).alias("n_2gram"),
         )
-    )
-    base = docs.filter(n_tok >= 2).select(
-        "doc_id",
-        n_tok.cast("long").alias("n_tok"),
-        (n_tok - 1).alias("n_2gram"),
-        F.size(F.array_distinct(grams2)).alias("n_2gram_uniq"),
-        top_tok_n.alias("top_tok_n"),
+        .join(uniq2, "doc_id")
+        .join(top_tok, "doc_id")
     )
     dup_frac = 1.0 - F.col("n_2gram_uniq").cast("double") / F.col("n_2gram")
     top_frac = F.col("top_tok_n").cast("double") / F.col("n_tok")
