@@ -117,9 +117,16 @@ sh AS (
          array_to_string(tk[i:i+{_DECON_N - 1}], chr(31)) AS s
   FROM toks, UNNEST(generate_series(1, len(tk) - {_DECON_N - 1})) AS t(i)
 ),
+rare AS (
+  -- stop-shingle cap: boilerplate n-grams shared by many documents are
+  -- not leakage evidence AND are the hot join keys — drop them before
+  -- the containment join (bounds per-key fan-out at any corpus size)
+  SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) <= 10
+),
 hits AS (
   SELECT tr.doc_id, tr.s, te.doc_id AS test_doc
-  FROM sh tr JOIN sh te ON tr.s = te.s
+  FROM sh tr JOIN rare r ON tr.s = r.s
+  JOIN sh te ON tr.s = te.s
   WHERE tr.bucket < 90 AND te.bucket >= 95
 )
 SELECT doc_id,
@@ -137,7 +144,17 @@ def decontaminate_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_rows(docs, n=_DECON_N).join(
         docs.select("doc_id", bucket), "doc_id"
     )
-    train = sh.filter(F.col("bucket") < 90).select("doc_id", "s")
+    # stop-shingle cap (see oracle comment): keep only shingles seen in
+    # <= 10 distinct docs, dropping boilerplate AND the skewed join keys
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") <= 10)
+        .select("s")
+    )
+    train = (
+        sh.filter(F.col("bucket") < 90).select("doc_id", "s").join(rare, "s")
+    )
     test = sh.filter(F.col("bucket") >= 95).select(
         F.col("doc_id").alias("test_doc"), "s"
     )
