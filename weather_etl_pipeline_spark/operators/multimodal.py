@@ -188,3 +188,77 @@ def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return with_blob.mapInPandas(featurize_batches, schema=_FEATURIZE_SCHEMA)
+
+
+# --- audio chunking (fixed-duration windows with overlap) --------------------
+# The audio twin of frame sampling: treat the blob as mono 8-bit PCM at
+# 8 kHz (1 byte = 1 sample; real pipelines put a soundfile/ffmpeg
+# decode here — stubbed like the other codecs, sandbox has no audio
+# libs) and carve overlapping fixed-duration windows — the ASR/audio-
+# tokenizer front-end shape. The kernel is a mapInPandas fan-out like
+# frame_sample, but the output is all-scalar (chunk metadata + exact
+# amplitude sum), so unlike frame_sample this Pandas-UDF path is fully
+# ORACLE-VERIFIED: DuckDB replays the byte math over the same blobs.
+
+AUDIO_RATE = 8000  # samples (bytes) per second
+AUDIO_CHUNK = 256  # 32 ms window
+AUDIO_STRIDE = 192  # 24 ms hop -> 8 ms overlap
+
+
+def audio_chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "chunk_idx": [],
+            "start_ms": [],
+            "n_samples": [],
+            "amp_sum": [],
+        }
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            n = len(blob)
+            for start in range(0, max(n - 1, 0) + 1, AUDIO_STRIDE):
+                window = blob[start : start + AUDIO_CHUNK]
+                out["doc_id"].append(doc_id)
+                out["chunk_idx"].append(start // AUDIO_STRIDE)
+                out["start_ms"].append(start * 1000 // AUDIO_RATE)
+                out["n_samples"].append(len(window))
+                out["amp_sum"].append(int(sum(window)))
+        yield pd.DataFrame(out)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("amp_sum", T.LongType()),
+    ]
+)
+
+_AUDIO_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+starts AS (
+  SELECT doc_id, text, n,
+         UNNEST(generate_series(0, GREATEST(n - 1, 0), {AUDIO_STRIDE})) AS start
+  FROM b
+)
+SELECT doc_id,
+       CAST(start / {AUDIO_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST((start * 1000) / {AUDIO_RATE} AS BIGINT) AS start_ms,
+       CAST(LEAST(start + {AUDIO_CHUNK}, n) - start AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(
+              range(start + 1, LEAST(start + {AUDIO_CHUNK}, n) + 1),
+              i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT)
+         AS amp_sum
+FROM starts
+"""
+
+
+@register("multimodal_audio_chunks", oracle=_AUDIO_ORACLE)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_blob = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return with_blob.mapInPandas(audio_chunk_batches, schema=_AUDIO_SCHEMA)
