@@ -785,3 +785,55 @@ def dedup_exact_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", "lang", "quality", "n_copies")
     )
+
+
+# --- recursive-CTE clustering over closest pairs (one SQL, two engines) ------
+# Spark 4 ships WITH RECURSIVE; DuckDB always had it. This query is the
+# proof the engine speaks PORTABLE SQL for iterative graph work: the
+# IDENTICAL SQL text runs on Spark (over temp views) AND as its own
+# DuckDB oracle. Level-bounded min-label propagation over the sparse
+# closest-pair edges (one edge per levenshtein block -> components are
+# tiny stars/paths, so depth 4 closes them and the UNION ALL path
+# enumeration stays bounded). Spark executes the recursion as iterated
+# joins under AQE — same cost model as the DataFrame loop in
+# clusters.py, chosen by the planner instead of hand-rolled.
+
+_RECURSIVE_CLUSTER_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(n_chars / {_LEV_BUCKET}) AS BIGINT) AS len_bucket,
+         substr(text, 1, {_LEV_PREFIX}) AS prefix
+  FROM documents
+),
+pairs AS (
+  SELECT lang, len_bucket, doc_a, doc_b FROM (
+    SELECT a.lang, a.len_bucket, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.lang, a.len_bucket
+             ORDER BY levenshtein(a.prefix, b.prefix), a.doc_id, b.doc_id) AS rk
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+  ) t WHERE rk = 1
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, label, lvl) AS (
+  SELECT DISTINCT src, src, 0 FROM edges
+  UNION ALL
+  SELECT e.dst, r.label, r.lvl + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.lvl < 4
+)
+SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_clusters_recursive_sql", oracle=_RECURSIVE_CLUSTER_SQL)
+def dedup_clusters_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_RECURSIVE_CLUSTER_SQL)
