@@ -17,11 +17,17 @@ from .schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-# Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos
-# timestamp type and refuses the read by default. We read them as raw
-# int64 nanos (legacy.parquet.nanosAsLong) and truncate to microseconds,
-# which is exactly what DuckDB does when it surfaces them as TIMESTAMP
-# (the test data's nanos are micros*1000, so truncation is lossless).
+# Columns that MAY be stored as parquet TIMESTAMP(NANOS) — Spark has no
+# nanos timestamp type and refuses the read by default. With
+# legacy.parquet.nanosAsLong set, a nanos column reads back as raw int64
+# and we truncate to microseconds (what DuckDB does when it surfaces
+# nanos as TIMESTAMP; the test data's nanos are micros*1000, so
+# truncation is lossless). The conversion is guarded on the OBSERVED
+# dtype: the driver regenerates testdata between rounds and has shipped
+# both TIMESTAMP(NANOS) and timestamp[us] encodings of the same column,
+# so — like the reference, which re-infers file schema on every read
+# (/root/reference/silver.py:36 read_parquet) — we branch on what the
+# file actually contains rather than hard-coding a physical type.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -61,10 +67,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(*([path] * replication))
-    for c in nanos_cols:
-        # integer division keeps full precision (nanos ~1.7e18 would lose
-        # microseconds through a double divide)
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _convert_long_ts_cols(df, nanos_cols)
+
+
+def _convert_long_ts_cols(df: DataFrame, cols) -> DataFrame:
+    """Normalize a maybe-nanos timestamp column to plain TIMESTAMP,
+    branching on the dtype the file actually produced:
+
+    - int64 (genuine TIMESTAMP(NANOS) under nanosAsLong): integer-divide
+      to micros — a double divide at ~1.7e18 nanos would lose precision.
+    - TIMESTAMP_NTZ (plain timestamp[us] parquet): cast to TIMESTAMP.
+      The session TZ is pinned UTC, so the wall-clock value is unchanged;
+      the cast keeps every downstream ``unix_micros``/interval expression
+      (TIMESTAMP-only in Spark 4) analyzing regardless of which encoding
+      the driver regenerated the testdata with.
+    - already TIMESTAMP: pass through.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    for c in cols:
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -84,8 +112,7 @@ def raw_nanos_schema(spark: SparkSession, path: str):
 
 
 def convert_nanos_cols(df: DataFrame, name: str) -> DataFrame:
-    """Apply the same nanos→micros conversion load_table uses, for a
-    DataFrame read elsewhere (e.g. a readStream over staged files)."""
-    for c in _NANOS_TS_COLS.get(name, ()):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    """Apply the same dtype-guarded nanos→micros conversion load_table
+    uses, for a DataFrame read elsewhere (e.g. a readStream over staged
+    files). No-op when the column is already a timestamp."""
+    return _convert_long_ts_cols(df, _NANOS_TS_COLS.get(name, ()))
