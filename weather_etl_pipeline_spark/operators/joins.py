@@ -5,10 +5,14 @@ join-shaped op is the incremental anti-join (relational.py). The driver's
 star-schema corpus mandates full join coverage; every plan here is
 written for the 100 TB shape:
 
-- dimension tables (region/nation/supplier/part/customer) are broadcast —
-  at production scale they stay orders of magnitude below
-  ``spark.sql.autoBroadcastJoinThreshold``'s sensible setting, so the
-  big fact table never shuffles for them;
+- constant-size dimensions (region: 5 rows, nation: 25 rows — fixed at
+  ANY scale factor) carry an explicit ``broadcast()`` hint, so the big
+  fact table never shuffles for them;
+- SF-scaled tables (customer/supplier/part) get NO forced hint: at 100x
+  they blow past any executor's broadcast budget, and a hint bypasses
+  AQE's size check (OOM instead of a graceful shuffle join). AQE still
+  picks broadcast for them at local scale from measured stats — same
+  local plan, safe remote plan;
 - fact-to-fact joins (lineitem ⨝ orders) shuffle on the join key — at
   scale the win is bucketing both tables on orderkey at write time
   (see sources/parquet_io.py), which Catalyst turns into a zero-shuffle
@@ -38,8 +42,11 @@ from ..registry import register
 
 # --- star join: revenue per region/nation ------------------------------------
 # lineitem ⨝ orders (fact-fact, shuffle on orderkey) then customer →
-# nation → region (all broadcast). Catalyst reorders + broadcasts
-# automatically; we hint broadcast() to make the plan explicit.
+# nation → region. nation/region are constant-size (25/5 rows) at ANY
+# scale factor, so those broadcasts are hinted explicitly. customer is
+# fact-scaled: a forced broadcast hint would bypass AQE's size check and
+# OOM a 100x run, so AQE decides it from measured stats (it still
+# broadcasts at local scale, same plan — see EXPLAINS.md).
 
 
 @register(
@@ -67,7 +74,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -106,7 +113,7 @@ def join_part_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantity (<=50/row) and cents (<=1e7/row) stay inside int64 for any
     # realistic rows-per-brand — single-level scaled-LONG sums suffice.
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             dsum("l_quantity", 0).alias("sum_qty"),
@@ -250,7 +257,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is fact-scaled — no forced broadcast; AQE decides
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(unscale(F.sum(rev_scaled()), REV_D, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -293,7 +301,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
     )
-    joined = window.join(F.broadcast(part), window.l_partkey == part.p_partkey)
+    joined = window.join(part, window.l_partkey == part.p_partkey)
     return (
         partial_by_partition(joined, [])
         .sum_long(promo, "_promo")

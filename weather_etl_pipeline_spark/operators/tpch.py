@@ -89,7 +89,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -146,7 +146,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
             & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -215,7 +215,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(
-            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            part.filter(F.col("p_type") == "ECONOMY"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
@@ -229,7 +229,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "AMERICA")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
     vol = rev_scaled()
@@ -279,10 +279,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     joined = (
         li.join(
-            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            part.filter(F.col("p_name").like("%red%")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )
@@ -374,7 +374,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.join(
             F.broadcast(top), F.col("total_revenue") == F.col("_max_rev")
         )
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -408,7 +408,7 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(keep), F.col("l_partkey") == F.col("p_partkey"))
+        .join(keep, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -439,7 +439,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("l_quantity", 0).alias("avg_qty")
     )
     brand = li.join(
-        F.broadcast(part.filter(F.col("p_brand") == "Brand#23")),
+        part.filter(F.col("p_brand") == "Brand#23"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     small = brand.join(
@@ -472,7 +472,7 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    joined = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
     band = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -538,7 +538,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
     )
     europe = (
-        unit.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        unit.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "EUROPE")
@@ -551,7 +551,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         best.join(
-            F.broadcast(part.filter(F.col("p_size") == 15)),
+            part.filter(F.col("p_size") == 15),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select(
@@ -599,7 +599,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     natrev = (
-        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .filter(F.col("n_name") == "NATION_1")
         .select("l_partkey", rev_scaled().alias("v"))
@@ -651,7 +651,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
             & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
         )
-        .join(F.broadcast(green), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(green, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(scaled_long("l_quantity", 0)).alias("_q"))
         .filter(F.col("_q") > 300)
@@ -705,7 +705,7 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supps") > 1)
             & (F.col("l_shipdate") == F.col("last_ship")),
         )
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .filter(F.col("n_name") == "NATION_4")
         .groupBy("s_name")
