@@ -71,12 +71,28 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- n-gram Jaccard near-dup pairs (oracle-verified) -------------------------
-# Inverted index on distinct tokens, blocked by (lang, source); pair
-# candidates share ≥1 token inside a block; Jaccard from exact integer
-# set sizes (|A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|), one double
-# division, round(6).
+# Candidates + exact verify, the shape that survives 100 TB:
+#
+# 1. inverted index on distinct tokens, blocked by (lang, source);
+# 2. POSTING-LIST CAP: candidate generation only sees the first
+#    ``_JACCARD_POSTING_CAP`` docs (by doc_id) of each (block, token)
+#    posting list. Uncapped, the candidate count is Σ_token df(token)² —
+#    quadratic in the frequency of common tokens, the classic inverted-
+#    index scale-killer. Capped, it is ≤ vocab × CAP² — linear in corpus
+#    size. The recall tradeoff (a pair sharing ONLY tokens whose lists
+#    are longer than CAP is missed) is the documented production
+#    tradeoff; near-dup pairs share many tokens, most of them rare.
+# 3. exact verify: n_shared is counted over the FULL token sets of the
+#    candidate pairs (same candidates→verify split as the MinHash-LSH
+#    path), so reported Jaccard scores are exact, not capped
+#    approximations.
+#
+# The DuckDB oracle applies the IDENTICAL deterministic cap (row_number
+# by doc_id), so Spark and oracle agree at any corpus scale by
+# construction, not by luck.
 
 _JACCARD_T = 0.6
+_JACCARD_POSTING_CAP = 64
 
 _JACCARD_ORACLE = f"""
 WITH toks AS (
@@ -85,13 +101,27 @@ WITH toks AS (
          UNNEST(list_distinct(string_split(text, ' '))) AS token
   FROM documents
 ),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.n_tok AS n_a, b.n_tok AS n_b, COUNT(*) AS n_shared
-  FROM toks a JOIN toks b
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, source, token,
+           ROW_NUMBER() OVER (PARTITION BY lang, source, token
+                              ORDER BY doc_id) AS rn
+    FROM toks
+  ) t WHERE rn <= {_JACCARD_POSTING_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
     ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
    AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id, a.n_tok, b.n_tok
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         MIN(a.n_tok) AS n_a, MIN(b.n_tok) AS n_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN toks a ON a.doc_id = c.doc_a
+  JOIN toks b ON b.doc_id = c.doc_b AND b.token = a.token
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
        ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) AS jaccard
@@ -102,6 +132,8 @@ WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {_JACCARD_T}
 
 @register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE, headline=True)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -112,9 +144,17 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = toks.select(
         "doc_id", "lang", "source", "n_tok", F.explode("tokens").alias("token")
     )
-    a = inv.alias("a")
-    b = inv.alias("b")
-    pairs = (
+    # candidate generation over capped posting lists (see header comment)
+    wp = Window.partitionBy("lang", "source", "token").orderBy("doc_id")
+    capped = (
+        inv.select("doc_id", "lang", "source", "token")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _JACCARD_POSTING_CAP)
+        .drop("rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
@@ -122,13 +162,27 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_tok").alias("n_a"),
-            F.col("b.n_tok").alias("n_b"),
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .distinct()
+    )
+    # exact verify over full token sets of the candidate pairs only
+    fa = inv.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"), "token"
+    )
+    fb = inv.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"), "token"
+    )
+    pairs = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
     )
     jac = F.col("n_shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_shared")
