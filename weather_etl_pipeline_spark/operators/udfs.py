@@ -86,10 +86,31 @@ def make_shingle_udtf():
     return ShingleUDTF
 
 
-@register("udtf_shingles", oracle=None)
+_UDTF_SHINGLES_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+)
+SELECT doc_id,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT DISTINCT array_to_string(tk[i:i+2], chr(31)) AS s
+          FROM UNNEST(generate_series(1, len(tk) - 2)) AS t(i))) AS BIGINT)
+         AS n_shingles,
+       CAST((SELECT SUM(LEN(s)) FROM (
+          SELECT DISTINCT array_to_string(tk[i:i+2], chr(31)) AS s
+          FROM UNNEST(generate_series(1, len(tk) - 2)) AS t(i))) AS BIGINT)
+         AS sum_len
+FROM toks
+WHERE len(tk) >= 3
+"""
+
+
+@register("udtf_shingles", oracle=_UDTF_SHINGLES_ORACLE)
 def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle expansion via Python UDTF (lateral join); columns
-    (doc_id, n_shingles) so the rows-only check is stable.
+    """Shingle expansion via Python UDTF (lateral join), scalarized to
+    per-doc (n_shingles, sum_len) so the result is oracle-expressible:
+    the DuckDB twin rebuilds the distinct 3-token shingle set per doc
+    and aggregates the same two scalars — count validates cardinality,
+    summed length validates content.
 
     UDTF-surface demo ONLY: the ``seen`` set buffers each document's
     distinct shingles in Python worker memory, which is fine for
@@ -104,7 +125,8 @@ def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.createOrReplaceTempView("_docs_for_udtf")
     return spark.sql(
         """
-        SELECT s.doc_id, COUNT(*) AS n_shingles
+        SELECT s.doc_id, COUNT(*) AS n_shingles,
+               SUM(LENGTH(s.shingle)) AS sum_len
         FROM _docs_for_udtf d,
              LATERAL shingle_udtf(d.doc_id, d.text) s
         GROUP BY s.doc_id
