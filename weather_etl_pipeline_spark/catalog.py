@@ -96,6 +96,22 @@ def _convert_long_ts_cols(df: DataFrame, cols) -> DataFrame:
     return df
 
 
+def spread_to_cores(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to ``defaultParallelism``.
+
+    Scan split planning provisions partitions by INPUT BYTES, which
+    under-parallelizes compute-amplifying operators: blocked pair
+    generation (levenshtein, simhash chunk join) multiplies work by
+    block-size², k-means assignment by k×dim — a 600 KB documents file
+    is one scan split but minutes of single-threaded expression work.
+    Spreading the base rows across cores before the amplifying stage
+    costs one narrow shuffle of the SMALL side and parallelizes
+    everything downstream; at cluster scale the same holds per-executor
+    (pair-gen stages should be core-bound, not split-bound)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for the SQL API path)."""
     for name in TESTDATA_TABLES:

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_to_cores
 from ..registry import register
 
 # --- exact dedup: canonical row per content ----------------------------------
@@ -364,7 +364,8 @@ def simhash_df(docs: DataFrame) -> DataFrame:
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via SimHash banding; (doc_a, doc_b, hamming)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # 62 hashes/token + chunk-join pair-gen: core-bound, not split-bound
+    docs = spread_to_cores(load_table(spark, sf_dir, "documents"))
     sh = simhash_df(docs)
     chunk_w = 16
     chunks = sh.select(
@@ -494,7 +495,8 @@ WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {_MH_VERIFY_T}
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # 32 affine permutations per shingle before the first shuffle
+    docs = spread_to_cores(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
@@ -661,7 +663,7 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_CHUNKS - 1}
 @register("dedup_simhash_portable", oracle=_portable_simhash_oracle())
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via portable-hash SimHash; (doc_a, doc_b, hamming)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_to_cores(load_table(spark, sf_dir, "documents"))
     toks = F.array_distinct(F.split("text", " "))
     hashes = F.transform(toks, lambda t: _portable_token_hash(t))
     bv = docs.select(
@@ -764,7 +766,9 @@ SELECT lang, len_bucket, doc_a, doc_b, edit_dist FROM (
 def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # levenshtein pair-gen amplifies work by block-size² — spread the
+    # base rows so the probe side isn't bound to the scan's split count
+    docs = spread_to_cores(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / _LEV_BUCKET).cast("long").alias("len_bucket"),
@@ -843,17 +847,25 @@ def dedup_exact_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- recursive-CTE clustering over closest pairs (one SQL, two engines) ------
 # Spark 4 ships WITH RECURSIVE; DuckDB always had it. This query is the
-# proof the engine speaks PORTABLE SQL for iterative graph work: the
-# IDENTICAL SQL text runs on Spark (over temp views) AND as its own
-# DuckDB oracle. Level-bounded min-label propagation over the sparse
-# closest-pair edges (one edge per levenshtein block -> components are
-# tiny stars/paths, so depth 4 closes them and the UNION ALL path
-# enumeration stays bounded). Spark executes the recursion as iterated
-# joins under AQE — same cost model as the DataFrame loop in
-# clusters.py, chosen by the planner instead of hand-rolled.
+# proof the engine speaks PORTABLE SQL for iterative graph work: both
+# engines run the SAME SQL fragments (composed below). Level-bounded
+# min-label propagation over the sparse closest-pair edges (one edge per
+# levenshtein block -> components are tiny stars/paths, so depth 4
+# closes them and the UNION ALL path enumeration stays bounded).
+#
+# Materialization split: the recursive member references `edges` once
+# per iteration. DuckDB's optimizer materializes a multiply-referenced
+# CTE automatically; Spark INLINES it — and the recursion's per-level
+# plan rewrite also defeats a .cache() (measured: ~15s/level at sf0.1
+# even with the edge view cached and fully populated; 80s total).
+# ``localCheckpoint`` truncates the lineage so the view is backed by a
+# materialized RDD the recursion cannot re-derive: depth-4 recursion
+# drops to ~2s. (On a durable cluster use ``checkpoint()`` with a
+# checkpoint dir — same shape, executor-loss-safe.) Same SQL dialect,
+# explicit materialization where Spark's planner lacks it.
 
-_RECURSIVE_CLUSTER_SQL = f"""
-WITH RECURSIVE d AS (
+_REC_EDGES_BODY = f"""
+d AS (
   SELECT doc_id, lang,
          CAST(FLOOR(n_chars / {_LEV_BUCKET}) AS BIGINT) AS len_bucket,
          substr(text, 1, {_LEV_PREFIX}) AS prefix
@@ -869,12 +881,15 @@ pairs AS (
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket
      AND a.doc_id < b.doc_id
   ) t WHERE rk = 1
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION ALL
-  SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
+)"""
+
+_REC_EDGES_SELECT = """
+SELECT doc_a AS src, doc_b AS dst FROM pairs
+UNION ALL
+SELECT doc_b AS src, doc_a AS dst FROM pairs
+"""
+
+_REC_REACH_BODY = """
 reach(node, label, lvl) AS (
   SELECT DISTINCT src, src, 0 FROM edges
   UNION ALL
@@ -886,8 +901,21 @@ SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node
 """
 
+_RECURSIVE_CLUSTER_SQL = (
+    "WITH RECURSIVE "
+    + _REC_EDGES_BODY
+    + ",\nedges AS ("
+    + _REC_EDGES_SELECT
+    + "),\n"
+    + _REC_REACH_BODY
+)
+
 
 @register("dedup_clusters_recursive_sql", oracle=_RECURSIVE_CLUSTER_SQL)
 def dedup_clusters_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_RECURSIVE_CLUSTER_SQL)
+    spread_to_cores(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "documents"
+    )
+    edges = spark.sql("WITH " + _REC_EDGES_BODY + _REC_EDGES_SELECT).localCheckpoint()
+    edges.createOrReplaceTempView("edges")
+    return spark.sql("WITH RECURSIVE " + _REC_REACH_BODY)

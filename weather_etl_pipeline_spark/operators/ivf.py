@@ -89,9 +89,11 @@ def kmeans_centroids(
 
 def build_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell) assignment table — the IVF index."""
+    # cache: every Lloyd iteration re-derives emb's lineage otherwise
+    # (k x dim math per row is trivial next to per-iteration re-scans)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
-    )
+    ).cache()
     cent = kmeans_centroids(emb)
     return _assign(emb, cent).select("vec_id", F.col("cell").cast("long").alias("cell"))
 
@@ -103,9 +105,11 @@ def simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output (query_id, neighbor_id, cos_sim, rk) — same shape as the
     brute-force baseline; recall vs brute force asserted in pytest.
     """
+    # cache: every Lloyd iteration re-derives emb's lineage otherwise
+    # (k x dim math per row is trivial next to per-iteration re-scans)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
-    )
+    ).cache()
     cent = kmeans_centroids(emb)
     cells = _assign(emb, cent)
     queries = cells.filter(F.col("vec_id") < 8).select(
