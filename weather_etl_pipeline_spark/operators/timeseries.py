@@ -186,10 +186,17 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wf = (
+    # "next non-null at-or-after this row" as a RUNNING last() over the
+    # DESCENDING order — semantically identical to first() over
+    # (currentRow, unboundedFollowing), but O(n): Spark's
+    # UnboundedFollowing frame processor re-aggregates the remainder of
+    # the partition for every row (O(n²) — measured 11.5s vs ~2s here).
+    # Running frames stream in one pass; the two opposite sort orders
+    # share the single user_id shuffle.
+    wfd = (
         Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("hour").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     present_us = F.when(F.col("avg_value").isNotNull(), F.col("hour_us"))
     edged = joined.select(
@@ -200,8 +207,8 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         "hour_us",
         F.last("avg_value", ignorenulls=True).over(wb).alias("prev_val"),
         F.last(present_us, ignorenulls=True).over(wb).alias("prev_us"),
-        F.first("avg_value", ignorenulls=True).over(wf).alias("next_val"),
-        F.first(present_us, ignorenulls=True).over(wf).alias("next_us"),
+        F.last("avg_value", ignorenulls=True).over(wfd).alias("next_val"),
+        F.last(present_us, ignorenulls=True).over(wfd).alias("next_us"),
     )
     interp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
         (F.col("hour_us") - F.col("prev_us")).cast("double")
