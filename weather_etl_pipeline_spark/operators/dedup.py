@@ -141,9 +141,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_distinct(F.split("text", " ")).alias("tokens"),
     ).withColumn("n_tok", F.size("tokens"))
+    # cache: the exploded index feeds capped candidate generation AND
+    # both sides of the exact-verify join — three re-derivations without it
     inv = toks.select(
         "doc_id", "lang", "source", "n_tok", F.explode("tokens").alias("token")
-    )
+    ).cache()
     # candidate generation over capped posting lists (see header comment)
     wp = Window.partitionBy("lang", "source", "token").orderBy("doc_id")
     capped = (
@@ -504,31 +506,44 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1, t2, t3 = F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
     c1, c2, c3 = (_portable_token_code(t) for t in (t1, t2, t3))
     shcode = ((c1 * _PMH_B + c2) % _PMH_P * _PMH_B + c3) % _PMH_P
+    # cache: the shingle pipeline (window + distinct) feeds the
+    # signature build, BOTH sides of the verify join, and sizes — four
+    # re-executions without it
     sh = (
         toks.select("doc_id", shcode.alias("h"), t3.alias("_t3"))
         .filter(F.col("_t3").isNotNull())
         .select("doc_id", "h")
         .distinct()
+        .cache()
     )
-    ks = sh.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(_MH_K - 1))).alias("k")
+    # k minhashes as FLAT AGG COLUMNS over one row per shingle (the same
+    # shape as minhash_signatures): map-side partial mins, no k-fold row
+    # explosion through the shuffle. The affine permutation uses literal
+    # k, so each min is a plain column expression; band signatures are
+    # then pure projections over the 32 mins — arithmetic identical to
+    # the oracle's SUM(mh * 131^(k%4)) GROUP BY k//4.
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(((2 * k + 1) * F.col("h") + (k * k + 17)) % _PMH_P).alias(
+                f"mh{k}"
+            )
+            for k in range(_MH_K)
+        ]
     )
-    sig = ks.groupBy("doc_id", "k").agg(
-        F.min(
-            ((2 * F.col("k") + 1) * F.col("h") + F.col("k") * F.col("k") + 17)
-            % _PMH_P
-        ).alias("mh")
-    )
-    mult = (
-        F.when(F.col("k") % _MH_ROWS == 0, _PMH_BANDMULT[0])
-        .when(F.col("k") % _MH_ROWS == 1, _PMH_BANDMULT[1])
-        .when(F.col("k") % _MH_ROWS == 2, _PMH_BANDMULT[2])
-        .otherwise(_PMH_BANDMULT[3])
-    )
-    bands = (
-        sig.groupBy("doc_id", F.floor(F.col("k") / _MH_ROWS).alias("band"))
-        .agg(F.sum(F.col("mh") * mult).alias("band_sig"))
-    )
+    band_structs = []
+    for band in range(_MH_BANDS):
+        sig_expr = F.lit(0).cast("long")
+        for j in range(_MH_ROWS):
+            sig_expr = sig_expr + F.col(f"mh{band * _MH_ROWS + j}") * _PMH_BANDMULT[j]
+        band_structs.append(
+            F.struct(
+                F.lit(band).cast("long").alias("band"),
+                sig_expr.alias("band_sig"),
+            )
+        )
+    bands = mins.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
