@@ -52,3 +52,102 @@ def array_vector_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("argmax_dim"),
         hround(F.sqrt(dot(vec, vec))).alias("l2_norm"),
     )
+
+
+# --- symmetric int8 quantization (embedding compression) ---------------------
+# At 100 TB an fp32 embedding column dominates storage; the standard
+# mitigation is per-vector symmetric int8: scale = max|x| / 127,
+# code = round(x / scale). Map-only projection (scan speed, no
+# shuffle). Scalarized output — per-vector scale, exact code sum,
+# saturation count, max reconstruction error — so the whole transform
+# is oracle-verifiable: code sum is an exact integer over the identical
+# rounding formula, and the error fold is the shared left-to-right
+# double reduction. round-half-up is written as FLOOR(x + 0.5) so both
+# engines tie-break identically.
+
+_Q_MAXCODE = 127
+
+
+def _q_codes(vec, scale):
+    return F.transform(
+        vec, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+                     (acc, x) -> greatest(acc, x)) / {_Q_MAXCODE} AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT)) AS codes
+  FROM s
+)
+SELECT vec_id,
+       {oracle_hround("scale")} AS scale,
+       CAST(list_reduce(list_prepend(0::BIGINT, codes), (acc, x) -> acc + x)
+            AS BIGINT) AS sum_codes,
+       CAST(len(list_filter(codes, c -> abs(c) >= {_Q_MAXCODE})) AS INT)
+         AS n_saturated,
+       {oracle_hround(
+           "list_reduce(list_prepend(0.0, "
+           "list_transform(list_zip(v, codes), p -> abs(p[1] - p[2] * scale))), "
+           "(acc, x) -> greatest(acc, x))")} AS max_abs_err
+FROM q
+""",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    base = emb.select("vec_id", v.alias("v")).select(
+        "vec_id",
+        "v",
+        (
+            F.aggregate(
+                F.col("v"),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x)),
+            )
+            / _Q_MAXCODE
+        ).alias("scale"),
+    )
+    q = base.select(
+        "vec_id", "v", "scale", _q_codes(F.col("v"), F.col("scale")).alias("codes")
+    )
+    err = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("codes"), lambda x, c: F.abs(x - c * F.col("scale"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    # two projections: aliasing hround(scale) AS scale in the same
+    # select that evaluates `err` would let Spark 4's lateral column
+    # alias resolution feed the ROUNDED scale into the reconstruction
+    raw = q.select(
+        "vec_id",
+        F.col("scale").alias("_scale_raw"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_codes"),
+        F.size(
+            F.filter(F.col("codes"), lambda c: F.abs(c) >= _Q_MAXCODE)
+        ).cast("int").alias("n_saturated"),
+        err.alias("_err_raw"),
+    )
+    return raw.select(
+        "vec_id",
+        hround(F.col("_scale_raw")).alias("scale"),
+        "sum_codes",
+        "n_saturated",
+        hround(F.col("_err_raw")).alias("max_abs_err"),
+    )

@@ -304,3 +304,65 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_chunk_tok"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# --- training-sequence packing (concat-then-split, GPT-style) ----------------
+# Pre-training examples are fixed-length token sequences packed from
+# variable-length documents: concatenate docs in a deterministic order,
+# then split the token stream at SEQ_LEN boundaries. Each doc maps to
+# the sequence(s) it occupies — first_seq/last_seq differ when a doc
+# straddles a boundary. Packing runs PER (lang, source) SHARD: a global
+# total order would serialize the window into one partition at 100 TB,
+# while per-shard streams keep the window partitioned (and match how
+# packing is sharded in production — one stream per corpus slice).
+
+_SEQ_LEN = 256
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, source, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, source, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY lang, source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM d
+)
+SELECT doc_id, lang, source,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum // {_SEQ_LEN} AS BIGINT) AS first_seq,
+       CAST((cum + n_tok - 1) // {_SEQ_LEN} AS BIGINT) AS last_seq,
+       CAST(cum % {_SEQ_LEN} AS BIGINT) AS offset_in_seq
+FROM c
+""",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    return base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tok",
+        F.floor(cum / _SEQ_LEN).cast("long").alias("first_seq"),
+        F.floor((cum + F.col("n_tok") - 1) / _SEQ_LEN).cast("long").alias("last_seq"),
+        (cum % _SEQ_LEN).cast("long").alias("offset_in_seq"),
+    )

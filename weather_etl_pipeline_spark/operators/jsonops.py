@@ -144,3 +144,31 @@ def variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("k").cast("long").alias("n_k"),
         )
     )
+
+
+# --- redaction / scrubbing (PII-pipeline shape) ------------------------------
+# Training-data pipelines scrub sensitive spans (numbers, emails, ids)
+# before corpus assembly. The engine shape is a map-only projection:
+# regexp_replace + regexp_count inside whole-stage codegen — at 100 TB
+# this runs at scan speed, no shuffle, and the pattern set is a config
+# constant broadcast with the plan. Digit runs stand in for the pattern
+# family here because the synthetic corpus carries them in ``props``;
+# real deployments swap in the compiled PII alternation.
+
+
+@register(
+    "props_redact_pii",
+    oracle="""
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redacted
+FROM events
+""",
+)
+def props_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_redacted"),
+        F.regexp_count("props", F.lit("[0-9]+")).cast("int").alias("n_redacted"),
+    )

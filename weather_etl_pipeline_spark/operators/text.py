@@ -509,3 +509,73 @@ def text_langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unk")
     )
     return docs.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+# --- bigram language-model profile (corpus n-gram statistics) ----------------
+# Training-data QA builds per-language n-gram statistics: bigram counts
+# and the most likely continuation of each token (argmax conditional
+# probability). The engine shape: posexplode + per-doc lead (one
+# doc_id-partitioned window), hash groupBy with map-side partial
+# counts, then a (lang, t1)-partitioned argmax window. Shuffles on
+# (lang, t1) — high cardinality, no hot key; the same plan carries a
+# full KenLM-style count pipeline at 100 TB. Gated to t1 totals >= 20
+# so the output is a profile, not a corpus dump.
+
+_BIGRAM_MIN_T1 = 20
+
+
+@register(
+    "text_bigram_top",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+),
+big AS (
+  SELECT lang, tk[i] AS t1, tk[i + 1] AS t2
+  FROM (
+    SELECT doc_id, lang, tk, UNNEST(generate_series(1, len(tk) - 1)) AS i
+    FROM toks
+  )
+),
+counts AS (
+  SELECT lang, t1, t2, COUNT(*) AS c FROM big GROUP BY lang, t1, t2
+),
+ranked AS (
+  SELECT lang, t1, t2, c,
+         SUM(c) OVER (PARTITION BY lang, t1) AS c_t1,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, t1 ORDER BY c DESC, t2) AS rk
+  FROM counts
+)
+SELECT lang, t1, t2, CAST(c AS BIGINT) AS c,
+       FLOOR((CAST(c AS DOUBLE) / c_t1) * 1000000.0 + 0.5) / 1000000.0 AS p_next
+FROM ranked WHERE rk = 1 AND c_t1 >= {_BIGRAM_MIN_T1}
+""",
+)
+def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "t1")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select("lang", "t1", F.lead("t1").over(wd).alias("t2"))
+        .filter(F.col("t2").isNotNull())
+    )
+    counts = big.groupBy("lang", "t1", "t2").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("lang", "t1")
+    wr = Window.partitionBy("lang", "t1").orderBy(F.col("c").desc(), "t2")
+    ranked = counts.withColumn("c_t1", F.sum("c").over(wt)).withColumn(
+        "rk", F.row_number().over(wr)
+    )
+    return ranked.filter(
+        (F.col("rk") == 1) & (F.col("c_t1") >= _BIGRAM_MIN_T1)
+    ).select(
+        "lang",
+        "t1",
+        "t2",
+        F.col("c").cast("long").alias("c"),
+        hround(F.col("c").cast("double") / F.col("c_t1")).alias("p_next"),
+    )
