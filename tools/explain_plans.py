@@ -17,7 +17,7 @@ from weather_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 ANNOTATED = {
     "q1_pricing_summary": "two-level exact agg: map-side LONG partials collapse each partition before the first Exchange (which carries only #partitions x #groups rows); the second HashAggregate pair combines those partials with DECIMAL(38,0) sums over a few hundred rows — filter + column pruning pushed into the parquet scan",
-    "star_join_revenue": "all four dimension joins broadcast — the fact table never shuffles for them",
+    "star_join_revenue": "all four dimension joins broadcast — nation/region by explicit hint (constant-size at any SF), customer by AQE's measured-size decision (fact-scaled: a forced hint would OOM a 100x run) — the fact table never shuffles for them",
     "window_topk_orders_per_customer": "WindowGroupLimit pushes the rank<=3 limit below the sort — per-partition top-k, not full materialization",
     "global_topk_orders": "TakeOrderedAndProject — per-partition heap + merge, no global sort",
     "stream_session_windows": "one Exchange + one Sort for sessionization — minimal for a stateful window",
@@ -31,10 +31,123 @@ ANNOTATED = {
     "split_train_val_test": "deterministic hash split is a pure narrow projection — no shuffle until the count rollup; at scale the split column is computed inline during any downstream write",
     "sessionize_events_rows": "one Exchange on user_id feeds all three windows; the in-session row_number needs only a partition-local re-sort on (user_id, sess_seq), never a second shuffle",
     "window_share_of_region_revenue": "the window runs over the 25-row rollup output, not the fact table — all heavy lifting stays in the map-side-combinable agg below it",
-    "timeseries_interpolate_linear": "grid generation is executor-side (sequence+explode); both carry windows share the user_id partitioning with the rollup",
+    "timeseries_interpolate_linear": "grid generation is executor-side (sequence+explode); both carry windows share the user_id partitioning — the forward carry runs as last() over the DESCENDING order, a streaming O(n) frame, not the O(n^2) UnboundedFollowing processor",
     "dedup_levenshtein_blocked": "self-join keyed on (lang, len_bucket) — candidate pairs bounded by block size, never all-pairs; levenshtein on a fixed prefix bounds per-pair cost",
     "llm_corpus_curation": "quality score + keep-gate + split fuse into one codegen map stage over the scan; the whole curation chain costs one dedup exchange plus a tiny rollup",
+    "dedup_jaccard_pairs": "candidates from 64-doc-capped posting lists (row_number window), exact verify joins over the cached inverted index — candidate count bounded by vocab x cap^2, never df^2",
+    "pack_training_sequences": "per-(lang,source) shard windows — packing parallelizes across shards instead of serializing into one global total order",
+    "text_bigram_top": "posexplode + per-doc lead, then hash agg with map-side partials; the argmax window runs over (lang,t1) groups — high cardinality, no hot key",
+    "emb_quantize_int8": "pure map-stage HOF projection — quantization runs at scan speed with no shuffle",
 }
+
+
+EPILOGUE = """\
+## Synthetic 10x sweep (fact tables amplified, fixed 32 cores)
+
+`tools/scale_sweep.py` — zero-copy `@x10` path replication of the fact
+tables (6M-row lineitem, 1M events, 5k docs); dimensions stay 1x so
+join multiplicities model real growth. Interleaved best-of-2:
+
+| query | sf0.1 | sf0.1@x10 | ratio |
+|---|---|---|---|
+| q1_pricing_summary | 0.90s | 1.05s | 1.2x |
+| star_join_revenue | 1.41s | 1.23s | 0.9x |
+| q3_shipping_priority | 0.86s | 0.97s | 1.1x |
+| llm_corpus_curation | 0.76s | 0.91s | 1.2x |
+| sessionize_events_rows | 0.95s | 0.94s | 1.0x |
+| window_trailing_hour_range | 1.23s | 2.00s | 1.6x |
+
+10x the data for 1.0-1.6x the time on fixed cores: the plans are
+scheduling-floor-dominated locally and scale by adding executors, not
+by rewriting — the property that matters at 100 TB.
+
+## Jaccard posting-list cap (round 4)
+
+`dedup_jaccard_pairs` now bounds candidate generation to the first 64
+docs (by doc_id) of each `(lang, source, token)` posting list, with
+exact-Jaccard verification over the full token sets of the surviving
+candidates — the same candidates→verify split as the MinHash-LSH path.
+Uncapped, candidates are Σ_token df(token)², quadratic in common-token
+frequency; capped they are ≤ vocab × 64². The DuckDB oracle applies the
+identical deterministic cap, so the hash-match holds by construction
+(at the test corpora max df = 15 < 64, so results are bit-identical to
+the uncapped form).
+
+@x10 amplified sweep (fixed 32 cores, warm, noop sink):
+
+| variant | sf0.1 | sf0.1@x10 | ratio |
+|---|---|---|---|
+| capped (64) | 2.77s | 15.13s | 5.5x |
+| uncapped | 2.77s* | 26.03s | 9.4x |
+
+(*identical plan at sf0.1: no posting list exceeds the cap there; the
+@x10 corpus replicates every doc 10×, so every posting list is 10× and
+every doc gains 9 exact duplicates — true pair output itself grows
+~50×, which bounds how sub-linear any correct implementation can be.)
+The capped variant's growth is candidate-bounded, not df²-bounded; the
+gap widens quadratically with further amplification.
+
+## window_trailing_hour_range @x10 re-measure (round 4)
+
+Best-of-3, warm, noop sink, fixed 32 cores: sf0.1 0.67s → sf0.1@x10
+0.66s (1.0x). The r2-era 1.6x ratio was host noise, not plan growth —
+the RANGE frame is linear in events and needs no pre-bucketing.
+
+## Round-4 performance audit (sf0.1, warm best-of-2, noop sink)
+
+Systematic sweep of all 129 registered queries surfaced four
+pathologies; each fix is a plan-shape change, not a tuning knob:
+
+| query | before | after | root cause → fix |
+|---|---|---|---|
+| dedup_clusters_recursive_sql | 80.1s | 2.0s | Spark inlines the `edges` CTE into every recursion level and the per-level plan rewrite defeats `.cache()` (measured ~15s/level over 90 cached rows) → `localCheckpoint` the edge list; recursion reads a materialized RDD |
+| timeseries_interpolate_linear | 11.4s | 1.8s | `currentRow → unboundedFollowing` frame re-aggregates the partition remainder per row (O(n²)) → running `last()` over DESCENDING order, same semantics, O(n) |
+| dedup_levenshtein_blocked | 8.1s | 0.95s | 600 KB single-row-group scan = 1 partition; block-size² pair-gen ran single-threaded on 32 cores → `spread_to_cores` before the amplifying join |
+| dedup_simhash(+portable) | 5.3s | 2.2s | same split-bound single-thread hashing → `spread_to_cores` |
+| dedup_minhash_portable | 6.7s | 3.3s | shingle pipeline re-executed 4× (signatures + 2 verify sides + sizes) and k=32 row explosion through the shuffle → cache + flat per-k aggregate mins |
+
+Counter-example worth recording: `simsearch_ivf_kmeans` got SLOWER with
+spread_to_cores (4.7→7.8s) — its per-row math (k×dim=512 flops) is
+trivial, so the added per-iteration shuffle only bought scheduling
+overhead. Reverted to cache-only (4.2s). The rule that generalizes:
+repartition to cores when per-row compute amplifies (pair-gen, heavy
+hashing), never for iteration-bound loops where the fix is caching the
+loop invariant.
+
+Headline bench after the round: **13.2s** total (r01 19.8s, r02 15.9s),
+with `star_join_revenue` at 1.14s under AQE-chosen broadcasts (the
+forced customer hint is gone — same local plan, no 100× OOM hazard).
+
+## Post-fix @x10 sweep (round 4, warm best-of-2, fixed 32 cores)
+
+| query | sf0.1 | sf0.1@x10 | ratio |
+|---|---|---|---|
+| q1_pricing_summary | 1.27s | 0.93s | 0.7x |
+| star_join_revenue | 1.76s | 1.37s | 0.8x |
+| timeseries_gapfill_hourly | 1.03s | 1.12s | 1.1x |
+| timeseries_interpolate_linear | 1.35s | 1.45s | 1.1x |
+| window_trailing_hour_range | 0.47s | 0.55s | 1.2x |
+| asof_join_last_error | 0.51s | 0.67s | 1.3x |
+| dedup_jaccard_pairs | 3.02s | 2.00s | 0.7x |
+| dedup_minhash_lsh | 1.69s | 5.51s | 3.3x |
+| dedup_clusters_recursive_sql | 1.83s | 31.4s | 17x |
+| dedup_levenshtein_blocked | 0.89s | 27.7s | 31x |
+
+Reading the two groups honestly: row-bound plans (aggregation, joins,
+windows, grid gap-fill, capped jaccard candidates) hold at 0.7-1.3x —
+scheduling-floor-dominated, scale by adding executors. PAIR-OUTPUT-bound
+dedup is different: `@x10` replicates every document 10x, which inflates
+the TRUE near-duplicate pair density ~100x (every doc gains 9 exact
+clones; every block's membership grows 10x with identical content), and
+any correct pair-emitting implementation must pay for the pairs that
+actually exist. At a real 100 TB corpus, new data adds mostly NEW
+content — block sizes and per-band collision rates grow far slower than
+under synthetic cloning, and the banded/blocked/capped structures keep
+candidates ~linear. The levenshtein/minhash @x10 ratios measure the
+adversarial-duplication worst case, not the production growth curve; the
+capped jaccard row (0.7x) shows the posting-list cap doing exactly its
+job under that same adversarial input.
+"""
 
 
 def main() -> None:
@@ -82,6 +195,8 @@ def main() -> None:
         "Near-flat times across 100× scale-up: local runs are dominated by",
         "fixed job overhead, i.e. the plans have headroom — the work per",
         "row stays constant and the shuffles stay partial-aggregated.",
+        "",
+        EPILOGUE,
     ]
 
     Path(_REPO, "EXPLAINS.md").write_text("\n".join(out) + "\n")
