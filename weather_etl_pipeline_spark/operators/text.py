@@ -579,3 +579,73 @@ def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("c"),
         hround(F.col("c").cast("double") / F.col("c_t1")).alias("p_next"),
     )
+
+
+# --- vocabulary coverage / OOV rate ------------------------------------------
+# Tokenizer-vocabulary QA: build the top-K corpus vocabulary (by global
+# term frequency, deterministic ties by token), then score every doc's
+# out-of-vocabulary rate. The scale shape: the vocab is top-K BOUNDED,
+# so it broadcasts regardless of corpus size; the per-doc rollup is a
+# map-side-combinable count over the exploded tokens — one broadcast
+# join, one doc_id agg, no all-pairs anything.
+
+_VOCAB_K = 200
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH tf AS (
+  SELECT token, COUNT(*) AS tf FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rk FROM tf
+  ) t WHERE rk <= {_VOCAB_K}
+),
+toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tok,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       FLOOR((CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    # top-K via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps + merge) — a row_number window here would drag the whole
+    # vocabulary through ONE partition; (tf, token) is a total order so
+    # the K rows are deterministic either way
+    vocab = (
+        tf.orderBy(F.col("tf").desc(), "token")
+        .limit(_VOCAB_K)
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            hround(F.col("n_oov").cast("double") / F.col("n_tok")).alias(
+                "oov_rate"
+            ),
+        )
+    )
