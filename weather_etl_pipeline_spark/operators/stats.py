@@ -280,3 +280,35 @@ def stats_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(m3 / (F.sqrt(m2) * m2)).alias("qty_skewness"),
         hround(m4 / (m2 * m2) - 3.0).alias("qty_kurtosis_excess"),
     )
+
+
+# --- grouped exact quantiles -------------------------------------------------
+# Per-group percentile profiles (p25/p50/p75) with EXACT interpolation:
+# Spark's percentile() and DuckDB's quantile_cont() both sort the group
+# and evaluate the identical (1-f)*lower + f*upper linear interpolation
+# over the same doubles — verified bit-equal, no rounding shim needed.
+# Scale: exact percentile materializes each group's values (fine for
+# bounded per-type groups); unbounded groups switch to the
+# approx_percentile sketch registered in operators/approx.py.
+
+
+@register(
+    "stats_grouped_quantiles",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.75) AS p75
+FROM events
+GROUP BY event_type
+""",
+)
+def stats_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.50)").alias("p50"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import hround, oracle_hround
 from ..registry import register
 
 # --- grouped-map applyInPandas: per-user rank --------------------------------
@@ -150,3 +151,53 @@ def udf_scalar_halve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ev.select("event_id", _halve("value").alias("half_value"))
+
+
+# --- applyInPandas EWMA: recursive per-key fold, oracle-replayed -------------
+# Exponentially-weighted moving average is the canonical ORDER-DEPENDENT
+# recursive kernel (ewma_t = a*x_t + (1-a)*ewma_{t-1}) — not expressible
+# as a plain window aggregate, the textbook applyInPandas case. Both
+# sides evaluate the IDENTICAL recursion over the identical total order
+# (ts, event_id) in float64: the kernel writes the fold as an explicit
+# loop (not pandas .ewm, whose adjust/bias options invite drift), and
+# DuckDB replays it as list_reduce over the ordered value list. Alpha
+# 0.25 keeps both multipliers exact binary fractions. Output is the
+# final state + count per user — the bounded-size accumulator shape
+# that streams through applyInPandasWithState unchanged.
+
+_EWMA_ALPHA = 0.25
+
+_EWMA_SCHEMA = "user_id bigint, n bigint, ewma_last double"
+
+
+def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"])
+    acc = None
+    for x in pdf["value"].to_numpy():
+        acc = float(x) if acc is None else _EWMA_ALPHA * float(x) + (1 - _EWMA_ALPHA) * acc
+    return pd.DataFrame(
+        {"user_id": [pdf["user_id"].iloc[0]], "n": [len(pdf)], "ewma_last": [acc]}
+    )
+
+
+@register(
+    "udf_ewma_per_user",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(xs) AS BIGINT) AS n,
+       {oracle_hround(
+         f"list_reduce(xs, (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc)")}
+         AS ewma_last
+FROM ordered
+""",
+)
+def udf_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = ev.groupBy("user_id").applyInPandas(_ewma_group, schema=_EWMA_SCHEMA)
+    return out.select("user_id", "n", hround(F.col("ewma_last")).alias("ewma_last"))
