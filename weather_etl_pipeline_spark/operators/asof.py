@@ -34,6 +34,7 @@ def asof_join(
     right_ts: str,
     carry: str,
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Generic as-of: left rows + ``asof_<carry>`` = nearest right
     ``carry`` within the key group — the last right row with
@@ -45,6 +46,14 @@ def asof_join(
     order" IS the nearest following row, so no second implementation
     is needed and the cost model (one shuffle + one sort per key) is
     identical.
+
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)``):
+    matches farther than the tolerance from the left timestamp come
+    back NULL. Applied as a post-carry filter on the matched right
+    timestamp — nulling the NEAREST match outside the window is
+    equivalent to restricting the match range, because the nearest
+    match being outside implies no right row inside. Zero extra
+    shuffles.
     """
     l_tag = left.select(
         F.col(key).alias("_k"),
@@ -52,6 +61,7 @@ def asof_join(
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
         F.lit(None).cast(right.schema[carry].dataType).alias("_carry"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
     )
     # determinism guards on the right side:
     # - drop NULL timestamps (they sort NULLS FIRST and would forward-
@@ -71,6 +81,7 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
         F.col(carry).alias("_carry"),
+        F.col(right_ts).alias("_rts"),
     )
     # right rows sort before left rows at equal timestamps so "at or
     # before" / "at or after" includes ties; forward mode flips the
@@ -82,11 +93,20 @@ def asof_join(
         .orderBy(ts_order, F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.withColumn("_asof", F.last("_carry", ignorenulls=True).over(w))
-    return (
-        carried.filter(F.col("_is_left") == 1)
-        .select("_row.*", F.col("_asof").alias(f"asof_{carry}"))
-    )
+    carried = u.withColumn(
+        "_asof", F.last("_carry", ignorenulls=True).over(w)
+    ).withColumn("_asof_rts", F.last("_rts", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_is_left") == 1)
+    asof = F.col("_asof")
+    if tolerance_seconds is not None:
+        # epoch-seconds gap of the MATCHED right row vs the left row
+        gap = (
+            F.col("_ts").cast("double") - F.col("_asof_rts").cast("double")
+            if direction == "backward"
+            else F.col("_asof_rts").cast("double") - F.col("_ts").cast("double")
+        )
+        asof = F.when(gap <= F.lit(float(tolerance_seconds)), asof)
+    return out.select("_row.*", asof.alias(f"asof_{carry}"))
 
 
 @register(
@@ -140,4 +160,37 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         carry="ts",
         direction="forward",
+    )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT MAX(e.ts) FROM events e
+        WHERE e.user_id = p.user_id AND e.event_type = 'error'
+          AND e.ts <= p.ts AND e.ts >= p.ts - INTERVAL 1 HOUR) AS asof_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 1-hour tolerance (pandas merge_asof
+    ``tolerance=`` semantics): matches older than the window come back
+    NULL. The oracle constrains the correlated MAX's range instead —
+    equivalent, because the nearest match being outside the window
+    implies no match inside it."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        errors,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        carry="ts",
+        tolerance_seconds=3600,
     )
