@@ -172,11 +172,18 @@ _EWMA_SCHEMA = "user_id bigint, n bigint, ewma_last double"
 
 def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(["ts", "event_id"])
-    acc = None
-    for x in pdf["value"].to_numpy():
-        acc = float(x) if acc is None else _EWMA_ALPHA * float(x) + (1 - _EWMA_ALPHA) * acc
+    # pandas' C kernel (adjust=False) evaluates the IDENTICAL recursion
+    # a*x + (1-a)*acc — verified bit-equal to the explicit float64 loop
+    # over 5k elements. At this corpus shape (1.5k groups x ~70 rows)
+    # wall time is per-group-call overhead either way; the C kernel is
+    # what survives LONG per-key series, the shape that matters at scale
+    ew = pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
     return pd.DataFrame(
-        {"user_id": [pdf["user_id"].iloc[0]], "n": [len(pdf)], "ewma_last": [acc]}
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n": [len(pdf)],
+            "ewma_last": [float(ew.iloc[-1])],
+        }
     )
 
 
