@@ -749,19 +749,40 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # comparing a fixed-length prefix. Emitting the closest pair per cell
 # keeps the output deterministic and non-degenerate regardless of the
 # corpus's true dup density. Built-in F.levenshtein — JVM-side, no UDF.
+#
+# MEMBERSHIP CAP: the blocking key (lang, len_bucket) has FIXED
+# cardinality, so uncapped block membership grows linearly with the
+# corpus and pair-gen grows quadratically (the @x10 sweep measured 31×,
+# EXPLAINS.md). Same medicine as the jaccard posting cap: only the
+# first ``_LEV_MEMBER_CAP`` docs (deterministic row_number by doc_id)
+# of each cell enter pair generation, bounding pairs at
+# cells × CAP² — constant per cell at any corpus scale. The DuckDB
+# oracle applies the IDENTICAL cap, so both engines agree at any scale
+# by construction. Tradeoff: the reported closest pair is the closest
+# among the cell's first CAP docs — the documented sampling posture for
+# a diagnostics-style operator (production near-dup goes through the
+# MinHash-LSH / jaccard paths, which scale by banding, not sampling).
 
 _LEV_PREFIX = 48  # chars compared per doc (bounds per-pair cost)
 _LEV_BUCKET = 64  # n_chars per length bucket (blocking granularity)
+_LEV_MEMBER_CAP = 128  # docs per cell entering pair-gen (bounds pairs/cell)
 
 
 @register(
     "dedup_levenshtein_blocked",
     oracle=f"""
-WITH d AS (
+WITH d0 AS (
   SELECT doc_id, lang,
          CAST(FLOOR(n_chars / {_LEV_BUCKET}) AS BIGINT) AS len_bucket,
          substr(text, 1, {_LEV_PREFIX}) AS prefix
   FROM documents
+),
+d AS (
+  SELECT doc_id, lang, len_bucket, prefix FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, len_bucket
+                                 ORDER BY doc_id) AS rn
+    FROM d0
+  ) t WHERE rn <= {_LEV_MEMBER_CAP}
 ),
 pairs AS (
   SELECT a.lang, a.len_bucket, a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -781,15 +802,25 @@ SELECT lang, len_bucket, doc_a, doc_b, edit_dist FROM (
 def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    # levenshtein pair-gen amplifies work by block-size² — spread the
-    # base rows so the probe side isn't bound to the scan's split count
-    docs = spread_to_cores(load_table(spark, sf_dir, "documents")).select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / _LEV_BUCKET).cast("long").alias("len_bucket"),
         F.substring("text", 1, _LEV_PREFIX).alias("prefix"),
     )
-    a, b = docs.alias("a"), docs.alias("b")
+    # membership cap (see header comment): deterministic first CAP docs
+    # per cell — bounds pair-gen at cells × CAP² regardless of corpus size
+    wcap = Window.partitionBy("lang", "len_bucket").orderBy("doc_id")
+    capped = (
+        docs.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _LEV_MEMBER_CAP)
+        .drop("rn")
+    )
+    # pair-gen amplifies work by block-size² — spread the capped rows so
+    # the probe side isn't bound to the cap window's (low-cardinality)
+    # output partitioning
+    capped = spread_to_cores(capped)
+    a, b = capped.alias("a"), capped.alias("b")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
