@@ -283,6 +283,52 @@ def test_asof_forward_picks_nearest_following(spark):
     assert recheck == 0
 
 
+def test_asof_tolerance_ignores_null_carry_rows(spark):
+    """A null-carry right row nearer to the left timestamp must not
+    anchor the tolerance gap: the gap is measured against the row whose
+    carry is actually returned. Here the returned carry sits 90s back
+    (outside the 30s tolerance) while a null-carry row sits 1s back —
+    the result must be NULL, not the out-of-tolerance carry."""
+    import datetime as dt
+
+    from weather_etl_pipeline_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, base + dt.timedelta(seconds=100))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(seconds=10), "far"),
+            (1, base + dt.timedelta(seconds=99), None),
+        ],
+        "user_id long, ts timestamp, payload string",
+    )
+    out = asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        carry="payload",
+        tolerance_seconds=30.0,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["asof_payload"] is None
+    # same shape within tolerance still matches
+    ok = asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        carry="payload",
+        tolerance_seconds=120.0,
+    ).collect()
+    assert ok[0]["asof_payload"] == "far"
+
+
 def test_interpolation_matches_observations_and_fills_gaps(spark):
     """Observed buckets keep their (rounded) average; every grid row has
     a non-null interpolated value (grid spans min..max per key, so all

@@ -81,7 +81,13 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
         F.col(carry).alias("_carry"),
-        F.col(right_ts).alias("_rts"),
+        # _rts is NULL exactly when _carry is NULL: both ignorenulls
+        # lasts below then skip the SAME rows, so the tolerance gap is
+        # always measured against the row whose carry is returned. (With
+        # an unconditional _rts, a nearer null-carry right row would
+        # anchor the gap while the returned carry came from a farther
+        # row — letting an out-of-tolerance carry through.)
+        F.when(F.col(carry).isNotNull(), F.col(right_ts)).alias("_rts"),
     )
     # right rows sort before left rows at equal timestamps so "at or
     # before" / "at or after" includes ties; forward mode flips the
