@@ -134,63 +134,69 @@ WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {_JACCARD_T}
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(F.split("text", " ")).alias("tokens"),
-    ).withColumn("n_tok", F.size("tokens"))
-    # cache: the exploded index feeds capped candidate generation AND
-    # both sides of the exact-verify join — three re-derivations without it
-    inv = toks.select(
-        "doc_id", "lang", "source", "n_tok", F.explode("tokens").alias("token")
-    ).cache()
-    # candidate generation over capped posting lists (see header comment)
-    wp = Window.partitionBy("lang", "source", "token").orderBy("doc_id")
-    capped = (
-        inv.select("doc_id", "lang", "source", "token")
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= _JACCARD_POSTING_CAP)
-        .drop("rn")
+    docs = spread_to_cores(load_table(spark, sf_dir, "documents"))
+    # cache ONE ROW PER DOC with the distinct-token ARRAY (not the
+    # exploded index): candidate generation explodes from this cache,
+    # and the exact verify reads the arrays directly — the full token
+    # volume never crosses the wire a second time. Cache lifetime:
+    # released by the catalog.clearCache() the harness runs between
+    # registry entries; longer-lived callers should unpersist after
+    # materializing the result.
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array_distinct(F.split("text", " ")).alias("tokens"),
+        )
+        .withColumn("n_tok", F.size("tokens"))
+        .cache()
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
+    inv = toks.select(
+        "doc_id", "lang", "source", F.explode("tokens").alias("token")
+    )
+    # cap via window row_number (streams/spills — a raw collect_list of
+    # UNCAPPED posting lists would materialize per-group arrays bounded
+    # only by token frequency: an OOM at corpus scale), then collect the
+    # already-capped ≤CAP doc_ids per token in the SAME partitioning —
+    # the groupBy reuses the window's (lang, source, token) exchange, so
+    # the capped posting arrays cost no extra shuffle and are bounded by
+    # construction
+    wp = Window.partitionBy("lang", "source", "token").orderBy("doc_id")
+    capped = inv.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= _JACCARD_POSTING_CAP
+    )
+    posting = capped.groupBy("lang", "source", "token").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    # pair-gen by double-explode of the bounded posting arrays — narrow
+    # (no self-join shuffle of the exploded index; ≤ CAP²/2 rows per
+    # token row by construction)
     cand = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        posting.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     # exact verify over full token sets of the candidate pairs only
-    fa = inv.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"), "token"
-    )
-    fb = inv.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"), "token"
-    )
+    fa = inv.select(F.col("doc_id").alias("doc_a"), "token")
+    fb = inv.select(F.col("doc_id").alias("doc_b"), "token")
     pairs = (
         cand.join(fa, "doc_a")
         .join(fb, ["doc_b", "token"])
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.min("n_a").alias("n_a"),
-            F.min("n_b").alias("n_b"),
-            F.count(F.lit(1)).alias("n_shared"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    sizes = toks.select("doc_id", "n_tok")
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
     jac = F.col("n_shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_shared")
     )
     return (
-        pairs.filter(jac >= _JACCARD_T)
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= _JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
