@@ -34,11 +34,36 @@ def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- approximate distinct (HLL++; rows-only check) ---------------------------
+# --- approximate distinct (HLL++; oracle-checked accuracy contract) ----------
+# The sketch ESTIMATE is implementation-specific (DuckDB cannot replay
+# Spark's HLL++), but the sketch's accuracy CONTRACT is checkable
+# differentially: emit a per-group boolean "estimate within tolerance
+# of the true distinct count" and have the oracle assert TRUE for every
+# group by computing the exact side. rsd=0.01 → 5× slack at 0.05 keeps
+# the boolean stable across partitioning/merge-order variation.
+
+_HLL_RTOL = 0.05
 
 
-@register("approx_distinct_users", oracle=None)
+@register(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type, TRUE AS hll_within_tol
+FROM events GROUP BY event_type
+""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    est = F.approx_count_distinct("user_id", rsd=0.01).cast("double")
+    exact = F.countDistinct("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        (F.abs(est - exact) <= F.lit(_HLL_RTOL) * exact).alias("hll_within_tol")
+    )
+
+
+def approx_distinct_users_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL++ estimates (the production query; estimates are
+    implementation-specific so this form is not oracle-registerable)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
@@ -70,13 +95,54 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- approximate quantiles (GK sketch; rows-only check) ----------------------
+# --- approximate quantiles (GK sketch; oracle-checked rank contract) ---------
+# Same posture as approx_distinct_users: DuckDB cannot replay the GK
+# sketch, but the sketch's RANK guarantee is checkable. For the
+# returned estimate x at quantile q the check is the tie-robust rank
+# interval  frac(value < x) <= q + δ  AND  frac(value <= x) >= q - δ
+# (with heavy ties frac(<) and frac(<=) straddle q — comparing either
+# one alone to q would false-alarm). accuracy=10000 → rank error
+# <= 1e-4; δ=0.01 adds two orders of slack for merge-order variation.
+
+_GK_RANK_TOL = 0.01
 
 
-@register("approx_quantiles", oracle=None)
+def _rank_ok(q: float, est_col: str):
+    lt = F.avg((F.col("value") < F.col(est_col)).cast("double"))
+    le = F.avg((F.col("value") <= F.col(est_col)).cast("double"))
+    return (lt <= F.lit(q + _GK_RANK_TOL)) & (le >= F.lit(q - _GK_RANK_TOL))
+
+
+@register(
+    "approx_quantiles",
+    oracle="""
+SELECT event_type, TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+FROM events GROUP BY event_type
+""",
+)
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scalar double columns, not array<double> — the driver's result
-    # canonicalizer requires hashable cells even for rows-only checks.
+    ev = load_table(spark, sf_dir, "events")
+    appr = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("a50"),
+        F.percentile_approx("value", 0.95, 10000).alias("a95"),
+    )
+    # one pass back over events per group to place the estimates'
+    # ranks; avg() ignores NULL values the same way the sketch does
+    return (
+        ev.join(appr, "event_type")
+        .groupBy("event_type")
+        .agg(
+            _rank_ok(0.5, "a50").alias("p50_rank_ok"),
+            _rank_ok(0.95, "a95").alias("p95_rank_ok"),
+        )
+    )
+
+
+def approx_quantiles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw GK estimates (the production query; estimates are
+    implementation-specific so this form is not oracle-registerable).
+    Scalar double columns, not array<double> — the driver's result
+    canonicalizer requires hashable cells even for rows-only checks."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
