@@ -233,14 +233,14 @@ def test_multimodal_frame_sampling_math(spark):
     """Frame sampling: every 4th 64-byte chunk, byte-exact."""
     from weather_etl_pipeline_spark.operators.multimodal import (
         FRAME_BYTES,
-        multimodal_frame_sample,
+        multimodal_frame_sample_raw,
         resize_image,
     )
     import pytest as _pytest
 
     docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF_SMOKE, "documents").limit(5).collect()}
     frames = {}
-    for r in multimodal_frame_sample(spark, SF_SMOKE).collect():
+    for r in multimodal_frame_sample_raw(spark, SF_SMOKE).collect():
         frames.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
     for doc_id, text in docs.items():
         blob = text.encode("utf-8")

@@ -96,7 +96,13 @@ def sample_frames_batches(every_k: int):
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "frame": [], "frame_sum": []}
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame": [],
+                "n_frame_bytes": [],
+                "frame_sum": [],
+            }
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 # slice only the sampled frames — materializing every
                 # frame first would allocate every_k× more for nothing
@@ -106,6 +112,7 @@ def sample_frames_batches(every_k: int):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(off // FRAME_BYTES)
                     out["frame"].append(frame)
+                    out["n_frame_bytes"].append(len(frame))
                     out["frame_sum"].append(int(sum(frame)))
             yield pd.DataFrame(out)
 
@@ -117,18 +124,57 @@ _FRAMES_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.LongType()),
         T.StructField("frame", T.BinaryType()),
+        T.StructField("n_frame_bytes", T.LongType()),
         T.StructField("frame_sum", T.LongType()),
     ]
 )
 
+_FRAME_STEP = 4  # sample every 4th frame
 
-@register("multimodal_frame_sample", oracle=None)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every 4th 64-byte frame of each synthesized blob; rows-only
-    check (pytest verifies the chunk/sample math byte-for-byte)."""
+# DuckDB twin of the SAMPLING math (same posture as the audio oracle):
+# the text is ASCII so code point == byte value; frames start at every
+# FRAME_BYTES*step offset and the last frame may be short. The binary
+# frame payload itself stays Spark-side (codec stubbed) — the oracle
+# checks offset, size, and checksum of every sampled frame, which pins
+# the byte math end-to-end through the Arrow round trip.
+_FRAMES_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+starts AS (
+  SELECT doc_id, text, n,
+         UNNEST(generate_series(0, n - 1, {FRAME_BYTES * _FRAME_STEP})) AS off
+  FROM b
+)
+SELECT doc_id,
+       CAST(off / {FRAME_BYTES} AS BIGINT) AS frame_idx,
+       CAST(LEAST(off + {FRAME_BYTES}, n) - off AS BIGINT) AS n_frame_bytes,
+       CAST(list_sum(list_transform(
+              range(off + 1, LEAST(off + {FRAME_BYTES}, n) + 1),
+              i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT)
+         AS frame_sum
+FROM starts
+"""
+
+
+def multimodal_frame_sample_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full frame rows INCLUDING the binary frame payload (the
+    production output; pytest verifies the bytes byte-for-byte)."""
     docs = load_table(spark, sf_dir, "documents")
     with_blob = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
-    return with_blob.mapInPandas(sample_frames_batches(4), schema=_FRAMES_SCHEMA)
+    return with_blob.mapInPandas(
+        sample_frames_batches(_FRAME_STEP), schema=_FRAMES_SCHEMA
+    )
+
+
+@register("multimodal_frame_sample", oracle=_FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4th 64-byte frame of each synthesized blob — scalar frame
+    metadata (offset math + checksum), fully oracle-verified; the raw
+    binary frames live in multimodal_frame_sample_raw."""
+    return multimodal_frame_sample_raw(spark, sf_dir).select(
+        "doc_id", "frame_idx", "n_frame_bytes", "frame_sum"
+    )
 
 
 _FEATURIZE_SCHEMA = T.StructType(
