@@ -1,0 +1,111 @@
+"""Registry-wide plan-shape guard.
+
+Explains EVERY registered query and asserts the two plan pathologies
+that would silently wreck a 100 TB run never reappear:
+
+1. ``CartesianProduct`` — a shuffle-based all-pairs join. (The bounded
+   ``cross_join_region_quarters`` demo is broadcast-nested-loop over a
+   constant-size side, which is a different — and allowed — operator.)
+2. An ORDER BY window with NO PARTITION BY — every row funnels through
+   one task (``Exchange SinglePartition`` + global Sort): the plan that
+   turned up as the O(n²)/serial hot spots in earlier perf audits.
+
+Plans are built (analysis + physical planning only, nothing executes)
+at sf0.001, so the sweep stays cheap. A regression turns into a named
+test failure instead of a bench surprise.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from weather_etl_pipeline_spark.registry import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries allowed to contain a deliberate, bounded exception
+ALLOW_CARTESIAN: set[str] = set()
+ALLOW_GLOBAL_WINDOW: set[str] = set()
+
+_REGISTRY = load_all()
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split ``[a], [b], [c]`` into top-level bracket groups."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(s[start + 1 : i])
+                start = None
+    return groups
+
+
+_WINDOW_LINE = re.compile(r"(?:^|[\s:+-])Window (\[.*)$")
+
+
+def unpartitioned_ordered_windows(plan: str) -> list[str]:
+    """Window nodes printed as ``Window [exprs], [order]`` (two groups,
+    second is a sort order) — i.e. ORDER BY with no PARTITION BY.
+    Partitioned windows print three groups: exprs, partition, order."""
+    bad = []
+    for line in plan.splitlines():
+        m = _WINDOW_LINE.search(line)
+        if not m:
+            continue
+        groups = _top_level_groups(m.group(1))
+        if len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
+            bad.append(line.strip())
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(_REGISTRY))
+def test_plan_shape(spark, name):
+    q = _REGISTRY[name]
+    plan = _physical_plan(q.fn(spark, SF_DIR))
+    if name not in ALLOW_CARTESIAN:
+        assert "CartesianProduct" not in plan, (
+            f"{name}: CartesianProduct in physical plan\n{plan}"
+        )
+    if name not in ALLOW_GLOBAL_WINDOW:
+        bad = unpartitioned_ordered_windows(plan)
+        assert not bad, (
+            f"{name}: ORDER BY window without PARTITION BY "
+            f"(single-task funnel):\n" + "\n".join(bad)
+        )
+
+
+def test_guard_catches_seeded_regressions(spark):
+    """The guard itself must fire on known-bad plans."""
+    from pyspark.sql import Window, functions as F
+
+    # seeded unpartitioned ordered window
+    bad_window = spark.range(10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert unpartitioned_ordered_windows(_physical_plan(bad_window))
+    # seeded cartesian: non-equi join with broadcast disabled
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(10)
+        b = spark.range(10).withColumnRenamed("id", "j")
+        cart = a.join(b, F.col("id") * F.col("j") > 5)
+        assert "CartesianProduct" in _physical_plan(cart)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # a healthy partitioned window must NOT fire
+    good = spark.range(10).withColumn("g", F.col("id") % 2).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert not unpartitioned_ordered_windows(_physical_plan(good))
