@@ -960,11 +960,25 @@ def dedup_exact_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # explicit materialization where Spark's planner lacks it.
 
 _REC_EDGES_BODY = f"""
-d AS (
+d0 AS (
   SELECT doc_id, lang,
          CAST(FLOOR(n_chars / {_LEV_BUCKET}) AS BIGINT) AS len_bucket,
          substr(text, 1, {_LEV_PREFIX}) AS prefix
   FROM documents
+),
+d AS (
+  -- same membership cap as dedup_levenshtein_blocked: pair-gen is
+  -- bounded at cells x CAP^2 at any corpus scale (SQL shared verbatim
+  -- by the Spark run and the DuckDB oracle, so both agree). The
+  -- REPARTITION hint re-spreads the cap window's low-cardinality
+  -- (lang, len_bucket) partitioning before the quadratic self-join —
+  -- Spark-only; DuckDB parses it as a plain block comment.
+  SELECT /*+ REPARTITION(32, doc_id) */ doc_id, lang, len_bucket, prefix
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, len_bucket
+                                 ORDER BY doc_id) AS rn
+    FROM d0
+  ) t WHERE rn <= {_LEV_MEMBER_CAP}
 ),
 pairs AS (
   SELECT lang, len_bucket, doc_a, doc_b FROM (
@@ -1008,6 +1022,13 @@ _RECURSIVE_CLUSTER_SQL = (
 
 @register("dedup_clusters_recursive_sql", oracle=_RECURSIVE_CLUSTER_SQL)
 def dedup_clusters_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels via Spark 4 WITH RECURSIVE — a DEMO of
+    the recursive-CTE surface beside the production clustering path
+    (operators/clusters.py, iterative min-label with bounded rounds).
+    Edge generation reuses the capped levenshtein blocking (pair-gen
+    bounded at cells × CAP²), the edge set is materialized once via
+    localCheckpoint (the recursion would otherwise re-execute it per
+    level), and recursion depth is bounded at 4."""
     spread_to_cores(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
         "documents"
     )
