@@ -45,7 +45,7 @@ def test_every_table_loads_with_normalized_types(spark, sf_dir):
             continue
         df = load_table(spark, sf_dir, name)
         # loads and has rows at every sf (schema resolution + one scan)
-        assert df.limit(1).count() >= 0, f"{name} @ {sf_dir} failed to scan"
+        assert df.limit(1).count() == 1, f"{name} @ {sf_dir} empty or unscannable"
         for c in _TS_COLS.get(name, []):
             assert isinstance(df.schema[c].dataType, TimestampType), (
                 f"{name}.{c} @ {sf_dir}: expected TIMESTAMP after "

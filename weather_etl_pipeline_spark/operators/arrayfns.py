@@ -69,8 +69,15 @@ _Q_MAXCODE = 127
 
 
 def _q_codes(vec, scale):
+    # scale == 0 (all-zero vector) guard: Spark's non-ANSI 0/0 is NULL
+    # while DuckDB's IEEE division is NaN — both twins emit code 0 for
+    # degenerate vectors instead (testdata regenerates between rounds,
+    # so zero vectors cannot be assumed absent)
     return F.transform(
-        vec, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")
+        vec,
+        lambda x: F.when(scale == F.lit(0.0), F.lit(0).cast("long")).otherwise(
+            F.floor(x / scale + F.lit(0.5)).cast("long")
+        ),
     )
 
 
@@ -89,7 +96,9 @@ s AS (
 ),
 q AS (
   SELECT vec_id, v, scale,
-         list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT)) AS codes
+         list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                                ELSE CAST(FLOOR(x / scale + 0.5) AS BIGINT)
+                                END) AS codes
   FROM s
 )
 SELECT vec_id,

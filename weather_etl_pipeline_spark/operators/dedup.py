@@ -557,7 +557,9 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     shcode = ((c1 * _PMH_B + c2) % _PMH_P * _PMH_B + c3) % _PMH_P
     # cache: the shingle pipeline (window + distinct) feeds the
     # signature build, BOTH sides of the verify join, and sizes — four
-    # re-executions without it
+    # re-executions without it. Lifetime: released by the
+    # catalog.clearCache() the harness runs between registry entries;
+    # longer-lived callers should unpersist after materializing.
     sh = (
         toks.select("doc_id", shcode.alias("h"), t3.alias("_t3"))
         .filter(F.col("_t3").isNotNull())

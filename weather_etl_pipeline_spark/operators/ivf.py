@@ -90,7 +90,10 @@ def kmeans_centroids(
 def build_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell) assignment table — the IVF index."""
     # cache: every Lloyd iteration re-derives emb's lineage otherwise
-    # (k x dim math per row is trivial next to per-iteration re-scans)
+    # (k x dim math per row is trivial next to per-iteration re-scans).
+    # Lifetime: released by the catalog.clearCache() the harness runs
+    # between registry entries; longer-lived callers should unpersist
+    # after materializing.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     ).cache()
@@ -106,7 +109,10 @@ def simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline; recall vs brute force asserted in pytest.
     """
     # cache: every Lloyd iteration re-derives emb's lineage otherwise
-    # (k x dim math per row is trivial next to per-iteration re-scans)
+    # (k x dim math per row is trivial next to per-iteration re-scans).
+    # Lifetime: released by the catalog.clearCache() the harness runs
+    # between registry entries; longer-lived callers should unpersist
+    # after materializing.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     ).cache()
