@@ -21,7 +21,7 @@ ANNOTATED = {
     "window_topk_orders_per_customer": "WindowGroupLimit pushes the rank<=3 limit below the sort — per-partition top-k, not full materialization",
     "global_topk_orders": "TakeOrderedAndProject — per-partition heap + merge, no global sort",
     "stream_session_windows": "one Exchange + one Sort for sessionization — minimal for a stateful window",
-    "dedup_minhash_lsh": "InMemoryTableScan: the cached signature table feeds both sides of the band self-join",
+    "dedup_minhash_lsh": "narrow HOF shingle pipeline -> ONE collect_set groupBy (the only shuffle of shingle volume); signatures are a zip_with/least fold projection over the cached per-doc sets, which also feed both exact-verify sides",
     "simsearch_knn_bruteforce": "query side broadcast; corpus streamed once",
     "asof_join_last_error": "union + single window sort — the as-of join costs one shuffle, no UDF",
     "timeseries_gapfill_hourly": "rollup and forward-fill window both shuffle on user_id — AQE reuses the partitioning",
@@ -32,9 +32,9 @@ ANNOTATED = {
     "sessionize_events_rows": "one Exchange on user_id feeds all three windows; the in-session row_number needs only a partition-local re-sort on (user_id, sess_seq), never a second shuffle",
     "window_share_of_region_revenue": "the window runs over the 25-row rollup output, not the fact table — all heavy lifting stays in the map-side-combinable agg below it",
     "timeseries_interpolate_linear": "grid generation is executor-side (sequence+explode); both carry windows share the user_id partitioning — the forward carry runs as last() over the DESCENDING order, a streaming O(n) frame, not the O(n^2) UnboundedFollowing processor",
-    "dedup_levenshtein_blocked": "self-join keyed on (lang, len_bucket) — candidate pairs bounded by block size, never all-pairs; levenshtein on a fixed prefix bounds per-pair cost",
+    "dedup_levenshtein_blocked": "self-join keyed on (lang, len_bucket) with 128-doc membership cap (row_number by doc_id, mirrored in the oracle) — pair-gen bounded at cells x cap^2 at any corpus scale; levenshtein on a fixed prefix bounds per-pair cost",
     "llm_corpus_curation": "quality score + keep-gate + split fuse into one codegen map stage over the scan; the whole curation chain costs one dedup exchange plus a tiny rollup",
-    "dedup_jaccard_pairs": "candidates from 64-doc-capped posting lists (row_number window), exact verify joins over the cached inverted index — candidate count bounded by vocab x cap^2, never df^2",
+    "dedup_jaccard_pairs": "capped posting ARRAYS collected in the cap window's own exchange, pairs by double-explode (no self-join shuffle) — candidate count bounded by vocab x cap^2, never df^2; exact verify joins explode from the cached per-doc token arrays",
     "pack_training_sequences": "per-(lang,source) shard windows — packing parallelizes across shards instead of serializing into one global total order",
     "text_bigram_top": "posexplode + per-doc lead, then hash agg with map-side partials; the argmax window runs over (lang,t1) groups — high cardinality, no hot key",
     "emb_quantize_int8": "pure map-stage HOF projection — quantization runs at scan speed with no shuffle",
@@ -147,6 +147,39 @@ candidates ~linear. The levenshtein/minhash @x10 ratios measure the
 adversarial-duplication worst case, not the production growth curve; the
 capped jaccard row (0.7x) shows the posting-list cap doing exactly its
 job under that same adversarial input.
+
+## Round-5 scale fixes: the last quadratic pair-gens are gone
+
+Round 4 left two adversarial-@x10 outliers; both were UNBOUNDED BLOCK
+MEMBERSHIP (fixed blocking-key cardinality → membership grows linearly
+with corpus → pairs quadratically), and both now carry the same
+membership cap as the jaccard posting lists — first 128 docs per
+`(lang, len_bucket)` cell by deterministic row_number, mirrored
+verbatim in the DuckDB oracle:
+
+| query | @x10 ratio r4 | @x10 ratio r5 | fix |
+|---|---|---|---|
+| dedup_levenshtein_blocked | 31x | 1.1x | 128-doc membership cap per cell |
+| dedup_clusters_recursive_sql | 17x | 1.0x | same cap in the edge CTE + REPARTITION hint re-spreading the cap window's low-cardinality partitioning before the quadratic self-join (hint is a plain comment to DuckDB) |
+| dedup_jaccard_pairs | 5.5x | 1.1x | pair-gen by double-explode of bounded posting ARRAYS collected in the cap window's own exchange — the self-join shuffle of the exploded index is gone |
+
+Round-5 headline-path rework (warm best-of-N at sf0.1, noop sink):
+
+| query | r4 | r5 | change |
+|---|---|---|---|
+| dedup_minhash_lsh | 2.17s | ~1.6s | narrow HOF shingles (no window sort, no global distinct) + single collect_set shuffle + fold-projection signatures |
+| dedup_jaccard_pairs | 2.58s | ~2.2s | bounded-posting-array pair-gen (above) |
+| dedup_clusters_recursive_sql | 6.2s* | ~2.7s | *post-cap regression fixed by the REPARTITION hint |
+
+The shingle pipeline finding generalizes: a HOF `transform()` over an
+array column materialized BEHIND AN EXCHANGE is O(1) per element
+access; without the exchange, CollapseProject inlines `split(text)`
+into the lambda and every element access re-evaluates it. The
+exchange is load-bearing, not just parallelism. Second finding:
+`collect_set` forces ObjectHashAggregate, which drops EVERY aggregate
+in the same groupBy out of whole-stage codegen — keep cheap codegen
+aggregates (the k=32 xxhash64 mins) in a separate groupBy, or better,
+fold them as a projection over the collected set.
 """
 
 
