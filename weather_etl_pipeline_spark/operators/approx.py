@@ -54,9 +54,14 @@ FROM events GROUP BY event_type
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # pre-dedup (event_type, user_id) with map-side partial aggregation,
+    # then count + sketch the distinct pairs: HLL over a set equals HLL
+    # over the multiset, and this avoids the expand-based distinct-agg
+    # rewrite (one wide shuffle instead of an Expand of the fact rows)
+    pairs = ev.groupBy("event_type", "user_id").agg(F.lit(1).alias("_one"))
     est = F.approx_count_distinct("user_id", rsd=0.01).cast("double")
-    exact = F.countDistinct("user_id").cast("double")
-    return ev.groupBy("event_type").agg(
+    exact = F.count(F.lit(1)).cast("double")
+    return pairs.groupBy("event_type").agg(
         (F.abs(est - exact) <= F.lit(_HLL_RTOL) * exact).alias("hll_within_tol")
     )
 

@@ -6,13 +6,16 @@ COMPONENTS. Computed with iterative min-label propagation:
 
     label(v) ← min(label(v), min over neighbors(label(u)))
 
-repeated until fixpoint. Each iteration is one join + one aggregation
-(both shuffle on doc_id); iterations needed = graph diameter, which for
-near-dup clusters is tiny (dup groups are near-cliques, so 2-3 passes
-converge). The driver only sees a one-row convergence counter per
-iteration — labels never leave the executors. This is the standard
-large-graph CC shape (hash-partitioned label propagation), bounded here
-at ``max_iters`` as a runaway guard.
+repeated until fixpoint. Each iteration is ONE join (neighbor messages)
+unioned with the current labels into ONE min-aggregation — the standard
+hash-partitioned label-propagation shape; iterations needed = graph
+diameter, which for near-dup clusters is tiny (dup groups are
+near-cliques, so 2-3 passes converge). Convergence is detected from the
+LABEL SUM: labels only ever decrease, so the sum is strictly monotone
+while anything changes and stationary exactly at the fixpoint — a
+one-row aggregate per iteration instead of an old-vs-new join. The
+driver only sees that one number; labels never leave the executors.
+Bounded at ``max_iters`` as a runaway guard.
 
 Non-SQL-expressible (iterative) → rows-only driver check; pytest
 verifies against a driver-side union-find on the same edges.
@@ -38,44 +41,43 @@ def connected_components(
     # symmetric adjacency so propagation flows both ways; materialized
     # ONCE — without this every iteration would re-derive the edges
     # (for near-dup edges that is the expensive inverted-index join)
+    # pre-partitioned by dst — the per-iteration message join keys on
+    # (adj.dst = labels.doc_id) and labels come out of groupBy(doc_id)
+    # hash-partitioned, so with adj laid out by dst the join needs NO
+    # exchange on either side (localCheckpoint preserves partitioning)
     adj = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
+        .repartition("dst")
         .localCheckpoint(eager=True)
     )
-    changed = 0
+    prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
-        neighbor_min = (
-            adj.join(labels, adj.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster").alias("nbr_cluster"))
+        # neighbor messages: each edge forwards its dst's label to src;
+        # union with the self-labels and take the min in ONE aggregation
+        msgs = adj.join(labels, adj.dst == labels.doc_id).select(
+            F.col("src").alias("doc_id"), "cluster"
         )
         new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
-                ).alias("cluster"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "doc_id")
-            .filter(F.col("o.cluster") != F.col("n.cluster"))
-            .count()
+            msgs.unionByName(labels.select("doc_id", "cluster"))
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint(eager=True)  # cut lineage growth
         )
         labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+        if cur_sum == prev_sum:
+            converged = True
             break
-    if changed:
+        prev_sum = cur_sum
+    if not converged:
         # returning silently would hand back split components
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} iterations "
-            f"({changed} labels still changing); raise max_iters for graphs "
+            "(label sum still decreasing); raise max_iters for graphs "
             "with diameter > max_iters"
         )
     return labels
