@@ -213,40 +213,57 @@ _MH_ROWS = _MH_K // _MH_BANDS
 _MH_VERIFY_T = 0.5
 
 
-def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct n-token shingles, one row per (doc_id, shingle).
+def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """One row per doc with the ARRAY of its distinct n-token shingles
+    — a fully NARROW pipeline (no shuffle at all).
 
     Shape: materialize the token array once per doc behind a round-robin
     exchange, then build shingles with a transform() over the ARRAY
-    COLUMN and dedup per doc with array_distinct — fully narrow after
-    the exchange (no per-doc window sort, no global distinct shuffle).
+    COLUMN and dedup per doc with array_distinct. (The explode +
+    groupBy/collect_set round trip this replaces cost a full shuffle of
+    the shingle volume to rebuild exactly this array.) Docs with fewer
+    than n tokens produce no row, matching the exploded form's grouping
+    semantics.
 
     The exchange is LOAD-BEARING, not just for parallelism: without it
     CollapseProject inlines split(text) into the transform lambda and
     every element_at re-evaluates the split — quadratic per document
     (measured 3× slower even at sf0.1). Behind the exchange, _toks is a
-    bound input attribute and element access is O(1).
+    bound input attribute and element access is O(1). For the same
+    reason the ≥n-tokens gate is a filter on size(_toks) BEFORE the
+    shingle transform, never on the output array: a predicate over the
+    transformed column gets pushed below the exchange to the scan side,
+    where it re-derives the whole shingle array with split() inlined
+    (measured 8× slower).
     """
     toked = spread_to_cores(
-        docs.select("doc_id", F.split("text", " ").alias("_toks"))
+        docs.select("doc_id", F.split("text", " ").alias("_toks")).filter(
+            F.size(F.split("text", " ")) >= n
+        )
     )
     # '\x1f' (unit separator) keeps token boundaries: with no separator
-    # ('ab','c') and ('a','bc') would collide into the same shingle
+    # ('ab','c') and ('a','bc') would collide into the same shingle.
+    # sequence() is safe unguarded here: the ≥n filter above means
+    # start <= stop always.
     arr = F.array_distinct(
-        F.when(
-            F.size("_toks") >= n,
-            F.transform(
-                # sequence() with start > stop counts DOWN — the when()
-                # guard keeps short docs out of that branch entirely
-                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-                lambda i: F.concat_ws(
-                    "\x1f",
-                    *[F.element_at(F.col("_toks"), i + j) for j in range(n)],
-                ),
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                "\x1f",
+                *[F.element_at(F.col("_toks"), i + j) for j in range(n)],
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        )
     )
-    return toked.select("doc_id", F.explode(arr).alias("s"))
+    return toked.select("doc_id", arr.alias("shingles"))
+
+
+def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-token shingles, one row per (doc_id, shingle) — the
+    exploded view of shingle_arrays for consumers that aggregate or
+    join per shingle (decontamination, repetition filter, UDTF twin)."""
+    return shingle_arrays(docs, n).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
 
 
 def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -279,34 +296,26 @@ def _fold_signature(k: int = _MH_K):
 def minhash_signatures(docs: DataFrame, k: int = _MH_K) -> DataFrame:
     """doc_id + k-vector of minhashes over 3-token shingles.
 
-    Shape: ONE groupBy collects the per-doc distinct shingle set (the
-    only shuffle — map-side partial set-merge), then the k minhashes
-    are a pure fold projection over the set (see _fold_signature).
+    Fully NARROW: per-doc shingle arrays (shingle_arrays — no shuffle)
+    with the k minhashes folded as a projection (_fold_signature).
     Docs with fewer than 3 tokens have no shingles and no output row.
     """
-    sets = shingle_rows(docs).groupBy("doc_id").agg(
-        F.collect_set("s").alias("shingles")
+    return shingle_arrays(docs).select(
+        "doc_id", _fold_signature(k).alias("sig")
     )
-    return sets.select("doc_id", _fold_signature(k).alias("sig"))
 
 
 @register("dedup_minhash_lsh", oracle=None, headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MinHash-LSH; columns (doc_a, doc_b, jaccard_shingles)."""
     docs = load_table(spark, sf_dir, "documents")  # shingle_rows spreads
-    # ONE shuffle for the whole signature side: collect the per-doc
-    # shingle set (map-side partial set-merge), cache the 1-row-per-doc
-    # result, and derive BOTH the minhash signatures and the exact-
-    # verify sets from that cache. Cache lifetime: released by the
-    # catalog.clearCache() the harness runs between registry entries
-    # (profile_registry.py / driver); callers embedding this in a
-    # longer session should unpersist after materializing the result.
-    sets = (
-        shingle_rows(docs)
-        .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("shingles"))
-        .cache()
-    )
+    # ZERO shuffles on the signature side: the per-doc shingle arrays
+    # are a narrow projection (shingle_arrays), cached once — they feed
+    # the signature fold AND both exact-verify sides. Cache lifetime:
+    # released by the catalog.clearCache() the harness runs between
+    # registry entries (profile_registry.py / driver); callers embedding
+    # this in a longer session should unpersist after materializing.
+    sets = shingle_arrays(docs).cache()
     sigs = sets.select("doc_id", _fold_signature().alias("sig"))
     # band bucket = hash of the band's slice of the signature vector —
     # pure projection, no second aggregation
@@ -544,48 +553,59 @@ WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {_MH_VERIFY_T}
 
 @register("dedup_minhash_portable", oracle=_portable_minhash_oracle())
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # Same narrow shape as dedup_minhash_lsh: per-doc distinct shingle-
+    # CODE arrays built with a transform over the materialized token
+    # array (zero shuffles — the exchange inside spread_to_cores is the
+    # CollapseProject barrier, see shingle_arrays), signatures folded as
+    # a projection, band buckets pure arithmetic. The cached code arrays
+    # feed the fold AND both exact-verify sides. Arithmetic is identical
+    # to the oracle's: shingle code, affine permutations, 131^pos band
+    # mix. Cache lifetime: released by the harness's clearCache between
+    # registry entries.
+    docs = load_table(spark, sf_dir, "documents")
+    # ≥3-tokens gate BEFORE the transform, never on the output array —
+    # a predicate over the transformed column would be pushed below the
+    # exchange and re-derive the array with split() inlined (see
+    # shingle_arrays)
+    toked = spread_to_cores(
+        docs.select("doc_id", F.split("text", " ").alias("_toks")).filter(
+            F.size(F.split("text", " ")) >= 3
+        )
+    )
 
-    # 32 affine permutations per shingle before the first shuffle
-    docs = spread_to_cores(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    def code_at(i):
+        return _portable_token_code(F.element_at(F.col("_toks"), i))
+
+    def shcode(i):
+        return (
+            (code_at(i) * _PMH_B + code_at(i + 1)) % _PMH_P * _PMH_B
+            + code_at(i + 2)
+        ) % _PMH_P
+
+    arr = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.size("_toks") - 2), shcode)
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    t1, t2, t3 = F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-    c1, c2, c3 = (_portable_token_code(t) for t in (t1, t2, t3))
-    shcode = ((c1 * _PMH_B + c2) % _PMH_P * _PMH_B + c3) % _PMH_P
-    # cache: the shingle pipeline (window + distinct) feeds the
-    # signature build, BOTH sides of the verify join, and sizes — four
-    # re-executions without it. Lifetime: released by the
-    # catalog.clearCache() the harness runs between registry entries;
-    # longer-lived callers should unpersist after materializing.
-    sh = (
-        toks.select("doc_id", shcode.alias("h"), t3.alias("_t3"))
-        .filter(F.col("_t3").isNotNull())
-        .select("doc_id", "h")
-        .distinct()
-        .cache()
+    sh = toked.select("doc_id", arr.alias("hs")).cache()
+    # k affine-permutation mins folded in ONE pass over the code array
+    # (permutation values are < _PMH_P, so _PMH_P is +infinity here)
+    init = F.array(*[F.lit(_PMH_P).cast("long")] * _MH_K)
+    sig = F.aggregate(
+        "hs",
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[((2 * k + 1) * h + (k * k + 17)) % _PMH_P for k in range(_MH_K)]
+            ),
+            lambda x, y: F.least(x, y),
+        ),
     )
-    # k minhashes as FLAT AGG COLUMNS over one row per shingle (the same
-    # shape as minhash_signatures): map-side partial mins, no k-fold row
-    # explosion through the shuffle. The affine permutation uses literal
-    # k, so each min is a plain column expression; band signatures are
-    # then pure projections over the 32 mins — arithmetic identical to
-    # the oracle's SUM(mh * 131^(k%4)) GROUP BY k//4.
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(((2 * k + 1) * F.col("h") + (k * k + 17)) % _PMH_P).alias(
-                f"mh{k}"
-            )
-            for k in range(_MH_K)
-        ]
-    )
+    mins = sh.select("doc_id", sig.alias("sig"))
     band_structs = []
     for band in range(_MH_BANDS):
         sig_expr = F.lit(0).cast("long")
         for j in range(_MH_ROWS):
-            sig_expr = sig_expr + F.col(f"mh{band * _MH_ROWS + j}") * _PMH_BANDMULT[j]
+            sig_expr = sig_expr + F.col("sig")[band * _MH_ROWS + j] * _PMH_BANDMULT[j]
         band_structs.append(
             F.struct(
                 F.lit(band).cast("long").alias("band"),
@@ -606,21 +626,16 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("_hx"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("_hy"))
-    inter = (
-        cand.join(x, "doc_a")
-        .join(y.withColumnRenamed("_hy", "_hx"), ["doc_b", "_hx"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    # exact verify: band candidates are few, so array_intersect over the
+    # cached per-doc code arrays (joined in by doc_id) replaces the
+    # explode + count-group over code rows
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("h_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("h_b"))
+    ni = F.size(F.array_intersect("h_a", "h_b"))
+    jac = ni.cast("double") / (F.size("h_a") + F.size("h_b") - ni)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
         .filter(jac >= _MH_VERIFY_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_shingles"))
     )
