@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_to_cores
 from ..functions.exact import hround
 from ..registry import register
 
@@ -406,26 +406,29 @@ FROM scores
 
 @register("text_langid_trigram", oracle=_TRIGRAM_ORACLE)
 def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    profile_rows = [
-        (t, lang) for lang, tris in _TRIGRAM_PROFILE.items() for t in tris
-    ]
-    profile = spark.createDataFrame(profile_rows, "tri string, plang string")
-    tris = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
-        ).alias("tri"),
+    # Fully NARROW: the per-language profiles are tiny literal lists, so
+    # the occurrence counts are HOF size(filter(...)) folds over the
+    # per-doc trigram array — no explode of #chars rows per doc, no
+    # broadcast join, no groupBy shuffle. (A production-size trigram-
+    # frequency profile would flip back to the broadcast-join shape;
+    # the cutover point is when the profile stops fitting in a literal
+    # InSet.) The trigram array is built behind the spread exchange so
+    # substring() reads a materialized attribute.
+    docs = spread_to_cores(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    scores = (
-        tris.join(F.broadcast(profile), "tri", "left")
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.count(F.when(F.col("plang") == lang, 1)).alias(f"s_{lang}")
-                for lang in ["en", "de", "es", "fr"]
-            ]
-        )
+    tris = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+        lambda i: F.substring(F.col("text"), i, F.lit(3)),
+    )
+    scores = docs.select(
+        "doc_id",
+        *[
+            F.size(
+                F.filter(tris, lambda t: t.isin(*_TRIGRAM_PROFILE[lang]))
+            ).cast("long").alias(f"s_{lang}")
+            for lang in ["en", "de", "es", "fr"]
+        ],
     )
     s = {lang: F.col(f"s_{lang}") for lang in ["en", "de", "es", "fr"]}
     pred = (
