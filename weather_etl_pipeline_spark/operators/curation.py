@@ -95,8 +95,9 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # release: a training document is contaminated if it shares any
 # complete N-token shingle with any held-out (test-split) document.
 # Same split hash as the curation pipeline, shingles from the shared
-# shingle_rows plan (posexplode+lead — linear, codegen'd, distinct per
-# doc). The contamination join keys on the shingle string: cost is
+# shingle_arrays plan (narrow per-doc distinct arrays; the split bucket
+# is a pure expression of doc_id computed inline on the exploded rows —
+# no join). The contamination join keys on the shingle string: cost is
 # bounded by shingle-frequency skew, which the distinct-per-doc
 # projection caps; at 100 TB the test side (5% of docs -> broadcast or
 # bucketed) is the small build side by construction.
@@ -140,9 +141,12 @@ def decontaminate_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (_hash_col("doc_id") % 100).alias("bucket")
-    sh = shingle_rows(docs, n=_DECON_N).join(
-        docs.select("doc_id", bucket), "doc_id"
+    # bucket inline AFTER the explode — it is a pure expression of
+    # doc_id, so attaching it via a join would shuffle the exploded
+    # shingle rows for nothing (and a projection above the Generate
+    # costs nothing, unlike one below it — see shingle_rows docstring)
+    sh = shingle_rows(docs, n=_DECON_N).select(
+        "doc_id", (_hash_col("doc_id") % 100).alias("bucket"), "s"
     )
     # stop-shingle cap (see oracle comment): keep only shingles seen in
     # <= 10 distinct docs, dropping boilerplate AND the skewed join keys
@@ -205,15 +209,17 @@ WHERE n_tok >= 2
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.exact import hround
-    from .dedup import shingle_rows
+    from .dedup import shingle_arrays
 
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
     # Linear plans only: an array-HOF count of each distinct token
     # (transform × filter) is O(n_uniq × n_tok) per document — harmless
     # on 100-token docs, quadratic death on 100k-token docs. Exploded
-    # token rows + hash aggregation keep both signals O(n_tok) with
-    # map-side partial aggregation.
+    # token rows + hash aggregation keep the top-token signal O(n_tok)
+    # with map-side partial aggregation; the distinct-bigram count is
+    # size(shingle_arrays) — array_distinct is O(n_tok) per doc and the
+    # whole signal stays narrow (no explode + re-group round trip).
     tok_rows = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -223,10 +229,8 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_tok_n"))
     )
-    uniq2 = (
-        shingle_rows(docs, n=2)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_2gram_uniq"))
+    uniq2 = shingle_arrays(docs, n=2).select(
+        "doc_id", F.size("shingles").cast("long").alias("n_2gram_uniq")
     )
     base = (
         docs.filter(n_tok >= 2)

@@ -236,16 +236,25 @@ def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
     where it re-derives the whole shingle array with split() inlined
     (measured 8× slower).
     """
-    toked = spread_to_cores(
+    return _shingle_base(docs, n).select(
+        "doc_id", _shingle_expr(n).alias("shingles")
+    )
+
+
+def _shingle_base(docs: DataFrame, n: int) -> DataFrame:
+    return spread_to_cores(
         docs.select("doc_id", F.split("text", " ").alias("_toks")).filter(
             F.size(F.split("text", " ")) >= n
         )
     )
+
+
+def _shingle_expr(n: int):
     # '\x1f' (unit separator) keeps token boundaries: with no separator
     # ('ab','c') and ('a','bc') would collide into the same shingle.
-    # sequence() is safe unguarded here: the ≥n filter above means
-    # start <= stop always.
-    arr = F.array_distinct(
+    # sequence() is safe unguarded here: the ≥n filter in _shingle_base
+    # means start <= stop always.
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
             lambda i: F.concat_ws(
@@ -254,15 +263,22 @@ def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
             ),
         )
     )
-    return toked.select("doc_id", arr.alias("shingles"))
 
 
 def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct n-token shingles, one row per (doc_id, shingle) — the
-    exploded view of shingle_arrays for consumers that aggregate or
-    join per shingle (decontamination, repetition filter, UDTF twin)."""
-    return shingle_arrays(docs, n).select(
-        "doc_id", F.explode("shingles").alias("s")
+    exploded view for consumers that aggregate or join per shingle
+    (decontamination, UDTF twin).
+
+    The explode MUST live in the same select that builds the array:
+    projecting the array and exploding it in a later select makes the
+    optimizer inline the array expression into the Generate node, where
+    it is re-evaluated per OUTPUT row — measured 14× slower (0.33s →
+    4.68s at sf0.1, n=5). Don't "simplify" this to
+    shingle_arrays(...).select(explode(...)).
+    """
+    return _shingle_base(docs, n).select(
+        "doc_id", F.explode(_shingle_expr(n)).alias("s")
     )
 
 
