@@ -163,23 +163,36 @@ verbatim in the DuckDB oracle:
 | dedup_clusters_recursive_sql | 17x | 1.0x | same cap in the edge CTE + REPARTITION hint re-spreading the cap window's low-cardinality partitioning before the quadratic self-join (hint is a plain comment to DuckDB) |
 | dedup_jaccard_pairs | 5.5x | 1.1x | pair-gen by double-explode of bounded posting ARRAYS collected in the cap window's own exchange — the self-join shuffle of the exploded index is gone |
 
-Round-5 headline-path rework (warm best-of-N at sf0.1, noop sink):
+Round-5 rework (warm best-of-N at sf0.1, noop sink):
 
 | query | r4 | r5 | change |
 |---|---|---|---|
-| dedup_minhash_lsh | 2.17s | ~1.6s | narrow HOF shingles (no window sort, no global distinct) + single collect_set shuffle + fold-projection signatures |
+| dedup_minhash_lsh | 2.17s | ~1.0s | fully narrow signature path: per-doc shingle ARRAYS as a projection (zero shuffles), signatures as zip_with/least folds |
+| dedup_minhash_portable | 3.26s | ~1.5s | same narrow shape with arithmetic shingle codes; array_intersect verify |
 | dedup_jaccard_pairs | 2.58s | ~2.2s | bounded-posting-array pair-gen (above) |
 | dedup_clusters_recursive_sql | 6.2s* | ~2.7s | *post-cap regression fixed by the REPARTITION hint |
+| text_langid_trigram | 2.44s | ~0.7s | literal profiles as HOF size(filter(...)) folds — no explode/join/shuffle |
+| approx_distinct_users | 2.2s | ~0.7s | pre-dedup (type, user) pairs — no Expand-based distinct agg |
+| decontaminate_test_overlap | 2.62s | ~1.4s | split bucket computed inline above the explode (no doc_id join) |
+| text_repetition_filter | ~1.1s | ~0.8s | distinct-bigram count as size(shingle_arrays) — no explode round trip |
 
-The shingle pipeline finding generalizes: a HOF `transform()` over an
-array column materialized BEHIND AN EXCHANGE is O(1) per element
-access; without the exchange, CollapseProject inlines `split(text)`
-into the lambda and every element access re-evaluates it. The
-exchange is load-bearing, not just parallelism. Second finding:
-`collect_set` forces ObjectHashAggregate, which drops EVERY aggregate
-in the same groupBy out of whole-stage codegen — keep cheap codegen
-aggregates (the k=32 xxhash64 mins) in a separate groupBy, or better,
-fold them as a projection over the collected set.
+Three generalizable Catalyst findings from this work:
+
+1. A HOF `transform()` over an array column materialized BEHIND AN
+   EXCHANGE is O(1) per element access; without the exchange,
+   CollapseProject inlines `split(text)` into the lambda and every
+   element access re-evaluates it. The exchange is load-bearing, not
+   just parallelism. Corollary: a FILTER over the transformed column
+   gets pushed below the exchange and re-derives the array on the scan
+   side — gate on size(_toks) BEFORE the transform instead (8×).
+2. `collect_set` forces ObjectHashAggregate, which drops EVERY
+   aggregate in the same groupBy out of whole-stage codegen — keep
+   cheap codegen aggregates in a separate groupBy, or better, fold
+   them as a projection over the collected array.
+3. Project an array, explode it in a LATER select, and the optimizer
+   inlines the array expression into the Generate node, re-evaluating
+   it per OUTPUT row (14×: 0.33s → 4.68s at sf0.1 n=5). The explode
+   must live in the same select that builds the array.
 """
 
 
