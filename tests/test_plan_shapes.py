@@ -86,6 +86,31 @@ def test_plan_shape(spark, name):
         )
 
 
+def test_minhash_signature_path_is_narrow(spark):
+    """The round-5 rework made the whole MinHash signature derivation a
+    narrow pipeline: the ONLY exchange is the round-robin spread (no
+    hash/range partitioning anywhere). A hashpartitioning exchange
+    reappearing means someone reintroduced the explode +
+    groupBy/collect_set round trip."""
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _physical_plan(minhash_signatures(docs))
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, (
+        "minhash signature path gained a shuffle:\n" + plan
+    )
+
+
+def test_langid_trigram_is_narrow(spark):
+    """Trigram language-ID scores with HOF folds over literal profiles
+    — no explode/join/aggregation shuffle."""
+    plan = _physical_plan(_REGISTRY["text_langid_trigram"].fn(spark, SF_DIR))
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, (
+        "text_langid_trigram gained a shuffle:\n" + plan
+    )
+
+
 def test_guard_catches_seeded_regressions(spark):
     """The guard itself must fire on known-bad plans."""
     from pyspark.sql import Window, functions as F
