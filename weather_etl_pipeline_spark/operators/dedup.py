@@ -282,13 +282,6 @@ def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id + array of distinct n-token shingles (for verification)."""
-    return shingle_rows(docs, n).groupBy("doc_id").agg(
-        F.collect_set("s").alias("shingles")
-    )
-
-
 def _fold_signature(k: int = _MH_K):
     """k-vector of minhashes folded over a ``shingles`` array column:
     one pass over the shingles, k xxhash64 per element, elementwise
