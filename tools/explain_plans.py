@@ -176,6 +176,12 @@ Round-5 rework (warm best-of-N at sf0.1, noop sink):
 | decontaminate_test_overlap | 2.62s | ~1.4s | split bucket computed inline above the explode (no doc_id join) |
 | text_repetition_filter | ~1.1s | ~0.8s | distinct-bigram count as size(shingle_arrays) — no explode round trip |
 
+@x10 check of the reworked non-dedup plans (interleaved best-of-2,
+fixed 32 cores): `text_langid_trigram` 3.5x, `text_repetition_filter`
+2.6x, `decontaminate_test_overlap` 2.4x, `approx_distinct_users` 1.1x,
+`dedup_clusters` 1.1x — 10x the row volume for 1-3.5x the time; every
+plan is linear-work and scales by adding executors.
+
 Three generalizable Catalyst findings from this work:
 
 1. A HOF `transform()` over an array column materialized BEHIND AN
