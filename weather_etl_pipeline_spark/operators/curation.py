@@ -370,3 +370,69 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((cum + F.col("n_tok") - 1) / _SEQ_LEN).cast("long").alias("last_seq"),
         (cum % _SEQ_LEN).cast("long").alias("offset_in_seq"),
     )
+
+
+# --- per-source quality percentile gate --------------------------------------
+# "Keep the best quarter of every (lang, source) shard" — the relative
+# quality filter pipelines use when absolute score thresholds drift
+# across domains (a 0.45 cut means different things for web scrape vs
+# curated text; a per-shard percentile does not).
+#
+# Deliberately a THRESHOLD-BROADCAST-JOIN, not a percent_rank window:
+# the window form globally sorts every (lang, source) block by score —
+# at 100 TB that is a full sort of the corpus inside each shard. This
+# form aggregates per-shard exact p75 thresholds (bounded: #langs x
+# #sources rows), broadcasts them, and gates on the scan with a
+# map-side comparison; the corpus shuffles only into the final tiny
+# rollup. Exact percentile() materializes each shard's scores during
+# the agg — for unbounded shards switch to approx_percentile (same
+# switch stats_grouped_quantiles documents); the gate plan is unchanged.
+#
+# Engine agreement: Spark percentile() and DuckDB quantile_cont() are
+# bit-equal on the same doubles (proved by stats_grouped_quantiles), so
+# the >= threshold comparison needs no epsilon on either side.
+
+_QGATE_P = 0.75
+
+
+@register(
+    "quality_percentile_gate",
+    oracle=f"""
+WITH t AS ({oracle_quality_counts(", lang, source, n_chars")}),
+scored AS (
+  SELECT doc_id, lang, source, n_chars,
+         ROUND({ORACLE_QUALITY_FORMULA}, 6) AS quality
+  FROM t
+),
+thr AS (
+  SELECT lang, source, quantile_cont(quality, {_QGATE_P}) AS q75,
+         COUNT(*) AS n_total
+  FROM scored GROUP BY lang, source
+)
+SELECT s.lang, s.source, ROUND(MIN(t.q75), 6) AS q75,
+       MIN(t.n_total) AS n_total, COUNT(*) AS n_kept,
+       CAST(SUM(s.n_chars) AS BIGINT) AS kept_chars
+FROM scored s
+JOIN thr t ON s.lang = t.lang AND s.source = t.source
+WHERE s.quality >= t.q75
+GROUP BY s.lang, s.source
+""",
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", "source", "n_chars", F.round(quality_expr(), 6).alias("quality")
+    )
+    thr = scored.groupBy("lang", "source").agg(
+        F.expr(f"percentile(quality, {_QGATE_P})").alias("q75"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    kept = scored.join(F.broadcast(thr), ["lang", "source"]).filter(
+        F.col("quality") >= F.col("q75")
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.round(F.min("q75"), 6).alias("q75"),
+        F.min("n_total").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )

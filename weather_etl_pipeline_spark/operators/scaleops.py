@@ -151,3 +151,99 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(_hash_col("doc_id") % 100 < 10).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# --- corpus mixture resampling -----------------------------------------------
+# The domain-reweighting step of a pre-training pipeline: given a target
+# language mixture, derive the per-language sampling rate that hits the
+# mixture exactly while keeping 100% of the scarcest (binding) language,
+# then keep/drop documents deterministically by hash threshold.
+#
+# All arithmetic is BIGINT so Spark and the DuckDB oracle agree bit-for-
+# bit with no float thresholds anywhere:
+#
+# - binding language = argmin over langs of count/target. Compared via
+#   integer division of count*10^6 by the target percent: two distinct
+#   rationals c1/t1 != c2/t2 with t <= 100 differ by >= 1/10^4, so the
+#   10^6-scaled quotients differ by >= 100 — integer division preserves
+#   the exact order (lang breaks true ties).
+# - keep rule: h * t_b * c_l < c_b * t_l * 10^6 with h = knuth-hash(doc_id)
+#   mod 10^6, i.e. h < rate_l * 10^6 with the rate as an exact rational,
+#   never a rounded double. Products stay inside int64 up to ~9e10 docs
+#   per language; beyond that cast the comparison to decimal(38,0)
+#   (both engines have exact int128 decimals).
+#
+# Plan at scale: one tiny groupBy for counts, a 1-row argmin, a
+# broadcast of the 5-row rates table onto the scan, a map-side filter,
+# and one final tiny aggregate — the corpus itself is never shuffled.
+
+_MIX_TARGET = {"en": 30, "de": 20, "es": 20, "fr": 15, "zh": 15}
+_MIX_SCALE = 1_000_000
+
+
+def _mix_values_sql() -> str:
+    rows = ", ".join(f"('{k}', {v})" for k, v in sorted(_MIX_TARGET.items()))
+    return f"(VALUES {rows}) AS tgt(lang, t)"
+
+
+@register(
+    "corpus_mixture_resample",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+),
+j AS (
+  SELECT counts.lang, c, t FROM counts JOIN {_mix_values_sql()} USING (lang)
+),
+b AS (
+  SELECT c AS cb, t AS tb FROM j
+  ORDER BY (c * {_MIX_SCALE}) // t, lang LIMIT 1
+),
+rates AS (
+  SELECT lang, c, t, cb, tb,
+         LEAST({_MIX_SCALE}, (cb * t * {_MIX_SCALE}) // (tb * c)) AS rate_ppm
+  FROM j, b
+)
+SELECT d.lang, MIN(r.rate_ppm) AS rate_ppm,
+       COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE ({_oracle_hash('d.doc_id')} % {_MIX_SCALE}) * r.tb * r.c
+      < r.cb * r.t * {_MIX_SCALE}
+GROUP BY d.lang
+""",
+)
+def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t_expr = F.lit(None).cast("long")
+    for k, v in sorted(_MIX_TARGET.items(), reverse=True):
+        t_expr = F.when(F.col("lang") == k, F.lit(v).cast("long")).otherwise(
+            t_expr
+        )
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("t", t_expr)
+        .filter(F.col("t").isNotNull())
+    )
+    binding = (
+        counts.orderBy(F.expr(f"c * {_MIX_SCALE} DIV t"), "lang")
+        .limit(1)
+        .select(F.col("c").alias("cb"), F.col("t").alias("tb"))
+    )
+    rates = counts.crossJoin(F.broadcast(binding)).withColumn(
+        "rate_ppm",
+        F.least(
+            F.lit(_MIX_SCALE).cast("long"),
+            F.expr(f"cb * t * {_MIX_SCALE} DIV (tb * c)"),
+        ),
+    )
+    h = _hash_col("doc_id") % _MIX_SCALE
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(h * F.col("tb") * F.col("c") < F.col("cb") * F.col("t") * _MIX_SCALE)
+    )
+    return kept.groupBy("lang").agg(
+        F.min("rate_ppm").alias("rate_ppm"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
