@@ -35,9 +35,17 @@ _RANK_SCHEMA = (
 
 
 def _rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
-    pdf = pdf.assign(value_rank=range(1, len(pdf) + 1))
-    return pdf
+    # rank via one numpy lexsort instead of sort_values + row reorder:
+    # the kernel runs once PER GROUP (1500 user groups at sf0.1), so
+    # per-call pandas overhead dominates — assigning ranks in place
+    # without materializing a reordered frame roughly halves it. Output
+    # row order is irrelevant (grouped-map output is unordered anyway).
+    import numpy as np
+
+    order = np.lexsort((pdf["event_id"].to_numpy(), -pdf["value"].to_numpy()))
+    ranks = np.empty(len(pdf), dtype=np.int32)
+    ranks[order] = np.arange(1, len(pdf) + 1, dtype=np.int32)
+    return pdf.assign(value_rank=ranks)
 
 
 @register(
