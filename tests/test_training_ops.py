@@ -59,3 +59,56 @@ def test_emb_quantize_int8_bounds(spark):
     # every vector has at least one code at ±127
     assert out.filter(F.col("n_saturated") < 1).count() == 0
     out.unpersist()
+
+
+def test_corpus_mixture_resample_invariants(spark):
+    from weather_etl_pipeline_spark.operators.scaleops import (
+        _MIX_SCALE,
+        _MIX_TARGET,
+        corpus_mixture_resample,
+    )
+
+    rows = {
+        r["lang"]: r
+        for r in corpus_mixture_resample(spark, SF).collect()
+    }
+    # every target language with surviving docs appears, no others
+    assert set(rows) <= set(_MIX_TARGET)
+    # exactly one binding language is kept at 100%
+    full = [lang for lang, r in rows.items() if r["rate_ppm"] == _MIX_SCALE]
+    assert len(full) == 1
+    # rates never exceed 100%
+    assert all(0 < r["rate_ppm"] <= _MIX_SCALE for r in rows.values())
+    # realized mixture tracks the target: kept counts are proportional
+    # to target weights up to hash-sampling noise (few-hundred-doc
+    # strata -> allow a generous band; determinism is the real check,
+    # exactness is the oracle's job)
+    total_kept = sum(r["n_kept"] for r in rows.values())
+    for lang, r in rows.items():
+        want = _MIX_TARGET[lang] / 100
+        got = r["n_kept"] / total_kept
+        assert abs(got - want) < 0.15, (lang, got, want)
+    # deterministic: a rerun keeps the identical documents
+    again = {
+        r["lang"]: r for r in corpus_mixture_resample(spark, SF).collect()
+    }
+    assert {k: (v["n_kept"], v["rate_ppm"]) for k, v in rows.items()} == {
+        k: (v["n_kept"], v["rate_ppm"]) for k, v in again.items()
+    }
+
+
+def test_quality_percentile_gate_invariants(spark):
+    from weather_etl_pipeline_spark.operators.curation import (
+        quality_percentile_gate,
+    )
+
+    out = quality_percentile_gate(spark, SF).collect()
+    assert out, "gate returned no shards"
+    for r in out:
+        # a p75 gate keeps at least a quarter of the shard (>= threshold
+        # includes ties) and can't keep more than the shard
+        assert 0 < r["n_kept"] <= r["n_total"]
+        assert r["n_kept"] >= r["n_total"] * 0.25 - 1
+    # per-shard upper bounds are tie-sensitive in tiny sf0.001 shards;
+    # the meaningful global invariant is that the gate actually gates
+    assert sum(r["n_kept"] for r in out) < sum(r["n_total"] for r in out)

@@ -219,11 +219,15 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_expr = F.when(F.col("lang") == k, F.lit(v).cast("long")).otherwise(
             t_expr
         )
+    # cached: both the binding argmin and the rates table read counts,
+    # and without the cache each would re-scan the full corpus for its
+    # own copy of this 5-row aggregate (lifetime: harness clearCache)
     counts = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("t", t_expr)
         .filter(F.col("t").isNotNull())
+        .cache()
     )
     binding = (
         counts.orderBy(F.expr(f"c * {_MIX_SCALE} DIV t"), "lang")
