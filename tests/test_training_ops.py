@@ -68,9 +68,13 @@ def test_corpus_mixture_resample_invariants(spark):
         corpus_mixture_resample,
     )
 
+    # sf0.01 (500 docs), not the suite's sf0.001: with ~50 docs the
+    # binomial noise of hash sampling is the same size as the mixture
+    # band and the assertion would flake across testdata regeneration
+    sf = "/root/testdata/sf0.01"
     rows = {
         r["lang"]: r
-        for r in corpus_mixture_resample(spark, SF).collect()
+        for r in corpus_mixture_resample(spark, sf).collect()
     }
     # every target language with surviving docs appears, no others
     assert set(rows) <= set(_MIX_TARGET)
@@ -90,7 +94,7 @@ def test_corpus_mixture_resample_invariants(spark):
         assert abs(got - want) < 0.15, (lang, got, want)
     # deterministic: a rerun keeps the identical documents
     again = {
-        r["lang"]: r for r in corpus_mixture_resample(spark, SF).collect()
+        r["lang"]: r for r in corpus_mixture_resample(spark, sf).collect()
     }
     assert {k: (v["n_kept"], v["rate_ppm"]) for k, v in rows.items()} == {
         k: (v["n_kept"], v["rate_ppm"]) for k, v in again.items()
