@@ -36,8 +36,15 @@ def connected_components(
     """(doc_id, cluster) with cluster = min doc_id in the component.
 
     ``edges``: columns (doc_a, doc_b); ``vertices``: column (doc_id).
+
+    Propagation runs ONLY over the edge-touched vertex set: an isolated
+    vertex can never change label, and at corpus scale isolated docs
+    are the overwhelming majority — keeping them in the loop would
+    multiply every iteration's join + min-aggregation shuffle (and the
+    convergence collect) by corpus size for zero information. They are
+    joined back as their own singleton clusters once the fixpoint over
+    the duplicate subgraph is reached, so the result is identical.
     """
-    labels = vertices.select("doc_id", F.col("doc_id").alias("cluster"))
     # symmetric adjacency so propagation flows both ways; materialized
     # ONCE — without this every iteration would re-derive the edges
     # (for near-dup edges that is the expensive inverted-index join)
@@ -52,6 +59,14 @@ def connected_components(
         )
         .repartition("dst")
         .localCheckpoint(eager=True)
+    )
+    # edge-touched vertex set FROM THE CHECKPOINTED adjacency (the dst
+    # side covers both endpoints — adj is symmetric; and adj is laid
+    # out by dst, so this distinct reuses the checkpoint's partitioning
+    # with no exchange): deriving it from the raw `edges` plan would
+    # re-execute the whole edge derivation instead
+    labels = adj.select(F.col("dst").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster")
     )
     prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
     converged = False
@@ -84,7 +99,10 @@ def connected_components(
             "(label sum still decreasing); raise max_iters for graphs "
             "with diameter > max_iters"
         )
-    return labels
+    # isolated vertices rejoin as singleton clusters (cluster = self)
+    return vertices.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
+    )
 
 
 # Oracle: the same fixpoint as SQL — recursive reachability over the
