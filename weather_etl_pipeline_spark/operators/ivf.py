@@ -5,11 +5,12 @@ k-means centroids partition the corpus into cells; queries probe the
 nearest cell(s) only. This module builds that index with Lloyd's
 algorithm — the canonical ITERATIVE Spark workload shape:
 
-- centroids are a tiny DataFrame (k rows), broadcast-joined against the
-  corpus each iteration; distance is one generic higher-order-function
+- centroids ride along as ONE array column via a single-row broadcast
+  join each iteration; distance is one generic higher-order-function
   expression (NOT k×dim unrolled literals — that bloats codegen into
   tens of seconds of compile time);
-- assignment = row_number over (vec, distance) — one window;
+- assignment = transform + array_min over struct(d2, cell) — a pure
+  map-side projection, no per-vector window and no n×k-row shuffle;
 - centroid update = one aggregation with map-side partial sums;
 - iteration count is fixed and small — at 100 TB run the iterations on
   a sample, then one final assignment pass over everything.
@@ -43,15 +44,34 @@ def _dist2(a, b):
 
 
 def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast join + window argmin."""
-    d = emb.join(F.broadcast(cent)).withColumn(
-        "_d2", _dist2(F.col("e"), F.col("centroid"))
+    """Nearest-centroid assignment as a MAP-ONLY projection.
+
+    The k centroids ride along as ONE array column via a single-row
+    broadcast join (no row explosion), and the argmin is a generic
+    transform + array_min over struct(d2, cell) — struct ordering gives
+    exactly the (min distance, then lower cell) tie-break the previous
+    window argmin used. This removes the n×k-row shuffle the
+    broadcast-join + row_number shape paid per Lloyd iteration, with no
+    per-centroid literal unrolling (which bloats codegen — see module
+    docstring). sort_array pins the fold order so collect_list's
+    nondeterministic ordering can't leak into results.
+    """
+    cs = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "centroid"))).alias("_cs")
     )
-    w = Window.partitionBy("vec_id").orderBy("_d2", "cell")
+    best = F.array_min(
+        F.transform(
+            "_cs",
+            lambda c: F.struct(
+                _dist2(F.col("e"), c["centroid"]).alias("d2"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
     return (
-        d.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "e", "cell")
+        emb.join(F.broadcast(cs))
+        .withColumn("_best", best)
+        .select("vec_id", "e", F.col("_best.cell").alias("cell"))
     )
 
 
