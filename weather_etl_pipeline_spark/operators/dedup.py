@@ -507,12 +507,14 @@ _PMH_ORACLE_CODE = (
 )
 
 
-def _portable_minhash_oracle() -> str:
+def _portable_minhash_cte_prefix() -> str:
+    """Shared oracle CTE chain ``toks → sh → sig → bands`` (shingle
+    codes, affine-permutation minima, banded signatures) — used by the
+    full-corpus pair query and the incremental new-vs-corpus query."""
     c1 = _PMH_ORACLE_CODE.format(t="L[i]")
     c2 = _PMH_ORACLE_CODE.format(t="L[i+1]")
     c3 = _PMH_ORACLE_CODE.format(t="L[i+2]")
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS L FROM documents
 ),
 sh AS (
@@ -536,7 +538,12 @@ bands AS (
                WHEN 0 THEN {_PMH_BANDMULT[0]} WHEN 1 THEN {_PMH_BANDMULT[1]}
                WHEN 2 THEN {_PMH_BANDMULT[2]} ELSE {_PMH_BANDMULT[3]} END) AS band_sig
   FROM sig GROUP BY doc_id, k // {_MH_ROWS}
-),
+)"""
+
+
+def _portable_minhash_oracle() -> str:
+    return f"""
+WITH {_portable_minhash_cte_prefix()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
@@ -560,8 +567,7 @@ WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {_MH_VERIFY_T}
 """
 
 
-@register("dedup_minhash_portable", oracle=_portable_minhash_oracle())
-def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _portable_minhash_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     # Same narrow shape as dedup_minhash_lsh: per-doc distinct shingle-
     # CODE arrays built with a transform over the materialized token
     # array (zero shuffles — the exchange inside spread_to_cores is the
@@ -570,8 +576,8 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feed the fold AND both exact-verify sides. Arithmetic is identical
     # to the oracle's: shingle code, affine permutations, 131^pos band
     # mix. Cache lifetime: released by the harness's clearCache between
-    # registry entries.
-    docs = load_table(spark, sf_dir, "documents")
+    # registry entries. Returns (sh = (doc_id, hs code array),
+    # bands = (doc_id, band, band_sig)).
     # ≥3-tokens gate BEFORE the transform, never on the output array —
     # a predicate over the transformed column would be pushed below the
     # exchange and re-derive the array with split() inlined (see
@@ -624,6 +630,12 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mins.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+    return sh, bands
+
+
+@register("dedup_minhash_portable", oracle=_portable_minhash_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh, bands = _portable_minhash_tables(load_table(spark, sf_dir, "documents"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -647,6 +659,86 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hb, "doc_b")
         .filter(jac >= _MH_VERIFY_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_shingles"))
+    )
+
+
+# --- incremental minhash dedup: new batch vs existing corpus -----------------
+# The PRODUCTION shape of near-dup dedup: a crawl lands as a small new
+# batch and is checked against the (much larger) already-ingested
+# corpus — nobody re-pairs the whole corpus per ingest. Here the "new"
+# batch is the deterministic 5% hash split (the same multiplicative
+# hash the split/curation operators use) and the corpus is the rest;
+# both sides reuse the portable banded-signature pipeline, so the
+# candidate join is new-bands × corpus-bands on (band, band_sig) — cost
+# proportional to the BATCH, not the corpus, once corpus signatures are
+# stored (in production the corpus side of `_portable_minhash_tables`
+# is a persisted signature table keyed by band for pruned probes;
+# computing it inline here keeps the query self-contained). Verify =
+# exact shingle-code jaccard, as the full-corpus variant.
+
+_INC_NEW_PCT = 95  # hash bucket >= this → "new batch" (5%)
+
+
+def _inc_minhash_oracle() -> str:
+    # same split hash as operators/scaleops.py (Knuth multiplicative)
+    split = "((doc_id * 2654435761) % 4294967296) % 100"
+    return f"""
+WITH {_portable_minhash_cte_prefix()},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n
+  JOIN bands o ON n.band = o.band AND n.band_sig = o.band_sig
+  WHERE ({split.replace('doc_id', 'n.doc_id')}) >= {_INC_NEW_PCT}
+    AND ({split.replace('doc_id', 'o.doc_id')}) < {_INC_NEW_PCT}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.old_id, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.new_id
+  JOIN sh y ON y.doc_id = c.old_id AND y.h = x.h
+  GROUP BY c.new_id, c.old_id
+)
+SELECT i.new_id, i.old_id,
+       ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard_shingles
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.new_id
+JOIN sizes sb ON sb.doc_id = i.old_id
+WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {_MH_VERIFY_T}
+"""
+
+
+@register("dedup_incremental_minhash", oracle=_inc_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(new_id, old_id, jaccard_shingles) — new-batch docs near-duplicating
+    an existing-corpus doc. Candidates from the banded signature join
+    (new side small by construction → AQE broadcasts it; the corpus
+    side never self-joins), verify from the cached per-doc code arrays."""
+    sh, bands = _portable_minhash_tables(load_table(spark, sf_dir, "documents"))
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    new_b = bands.filter(bucket >= _INC_NEW_PCT)
+    old_b = bands.filter(bucket < _INC_NEW_PCT)
+    cand = (
+        new_b.alias("n")
+        .join(
+            old_b.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_sig") == F.col("o.band_sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    ha = sh.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("h_a"))
+    hb = sh.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("h_b"))
+    ni = F.size(F.array_intersect("h_a", "h_b"))
+    jac = ni.cast("double") / (F.size("h_a") + F.size("h_b") - ni)
+    return (
+        cand.join(ha, "new_id")
+        .join(hb, "old_id")
+        .filter(jac >= _MH_VERIFY_T)
+        .select("new_id", "old_id", F.round(jac, 6).alias("jaccard_shingles"))
     )
 
 
