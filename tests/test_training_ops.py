@@ -116,3 +116,34 @@ def test_quality_percentile_gate_invariants(spark):
     # per-shard upper bounds are tie-sensitive in tiny sf0.001 shards;
     # the meaningful global invariant is that the gate actually gates
     assert sum(r["n_kept"] for r in out) < sum(r["n_total"] for r in out)
+
+
+def test_incremental_minhash_matches_full_corpus_restriction(spark):
+    """The incremental query must equal the full-corpus portable pair
+    set restricted to (new-batch, corpus) pairs — same signatures, same
+    verify — and every id must land in its split bucket."""
+    from weather_etl_pipeline_spark.operators.dedup import (
+        _INC_NEW_PCT,
+        dedup_incremental_minhash,
+        dedup_minhash_portable,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    bucket = lambda d: (d * 2654435761) % 4294967296 % 100  # noqa: E731
+    inc = {
+        (r["new_id"], r["old_id"], r["jaccard_shingles"])
+        for r in dedup_incremental_minhash(spark, sf).collect()
+    }
+    for new_id, old_id, _ in inc:
+        assert bucket(new_id) >= _INC_NEW_PCT
+        assert bucket(old_id) < _INC_NEW_PCT
+    full = dedup_minhash_portable(spark, sf).collect()
+    want = set()
+    for r in full:
+        a, b, j = r["doc_a"], r["doc_b"], r["jaccard_shingles"]
+        # full-corpus pairs are doc_a < doc_b; orient to (new, old)
+        if bucket(a) >= _INC_NEW_PCT and bucket(b) < _INC_NEW_PCT:
+            want.add((a, b, j))
+        elif bucket(b) >= _INC_NEW_PCT and bucket(a) < _INC_NEW_PCT:
+            want.add((b, a, j))
+    assert inc == want
