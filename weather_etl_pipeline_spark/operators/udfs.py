@@ -179,13 +179,18 @@ _EWMA_SCHEMA = "user_id bigint, n bigint, ewma_last double"
 
 
 def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["ts", "event_id"])
-    # pandas' C kernel (adjust=False) evaluates the IDENTICAL recursion
-    # a*x + (1-a)*acc — verified bit-equal to the explicit float64 loop
-    # over 5k elements. At this corpus shape (1.5k groups x ~70 rows)
-    # wall time is per-group-call overhead either way; the C kernel is
-    # what survives LONG per-key series, the shape that matters at scale
-    ew = pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
+    # order via one numpy lexsort of just the sort keys (the kernel runs
+    # once per user group, so per-call pandas overhead dominates —
+    # sort_values would reorder the whole frame); pandas' C ewm kernel
+    # (adjust=False) evaluates the IDENTICAL recursion a*x + (1-a)*acc —
+    # verified bit-equal to the explicit float64 loop over 5k elements.
+    # The C kernel is what survives LONG per-key series, the shape that
+    # matters at scale.
+    import numpy as np
+
+    order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
+    vals = pd.Series(pdf["value"].to_numpy()[order])
+    ew = vals.ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
     return pd.DataFrame(
         {
             "user_id": [pdf["user_id"].iloc[0]],
