@@ -195,3 +195,60 @@ def test_jsonl_sink_datasource_writer(spark, tmp_path):
                 seen += [json.loads(line)["doc_id"] for line in f]
     assert sorted(seen) == list(range(100))
     assert len(manifest["parts"]) == 4
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
+    """Fragmented partitions (20 files each) compact to 1 file per
+    partition at this size, with the exact same row multiset."""
+    from pathlib import Path
+
+    from weather_etl_pipeline_spark.sources.parquet_io import (
+        compact_partitions,
+    )
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "zone")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 2 AS STRING) AS city",
+        "CAST(id % 2 AS STRING) AS date",
+        "id AS v",
+    )
+    # 20 tiny files per partition
+    df.repartition(20).write.partitionBy("city", "date").parquet(src)
+    n_files_before = len(list(Path(src).rglob("*.parquet")))
+    assert n_files_before >= 40
+
+    n = compact_partitions(spark, src, dst)
+    assert n == 2
+    n_files_after = len(list(Path(dst).rglob("*.parquet")))
+    assert n_files_after == 2  # tiny partitions -> 1 file each
+
+    a = spark.read.parquet(src).groupBy("city", "date").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    b = spark.read.parquet(dst).groupBy("city", "date").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_compact_partitions_splits_large_partition(spark, tmp_path):
+    """A partition above the byte target fans out to multiple files."""
+    from pathlib import Path
+
+    from weather_etl_pipeline_spark.sources.parquet_io import (
+        compact_partitions,
+    )
+
+    src = str(tmp_path / "zone2")
+    dst = str(tmp_path / "compacted2")
+    df = spark.range(20000).selectExpr(
+        "'x' AS city", "'d' AS date", "id AS v", "uuid() AS pad"
+    )
+    df.repartition(4).write.partitionBy("city", "date").parquet(src)
+    compact_partitions(spark, src, dst, target_file_bytes=64 * 1024)
+    files = [p for p in Path(dst).rglob("*.parquet")]
+    assert len(files) > 1  # re-binned into multiple target-size files
+    assert spark.read.parquet(dst).count() == 20000

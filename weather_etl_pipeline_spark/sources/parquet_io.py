@@ -58,3 +58,99 @@ def append_partitions(
 ) -> None:
     """Append-mode landing write (bronze: reference bronze.py:12-17)."""
     df.write.mode("append").partitionBy(*partition_cols).parquet(zone_path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    zone_path: str,
+    dest_path: str,
+    partition_cols: tuple[str, ...] = DEFAULT_PARTITION_COLS,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite each Hive partition into
+    ~``target_file_bytes``-sized files at ``dest_path``. Returns the
+    number of partitions compacted.
+
+    The lakehouse maintenance job every streaming/incremental sink
+    needs: micro-batch and per-ingest writes accumulate many small
+    files per partition, and at scale the scan cost becomes
+    file-open-bound (driver listing + one task per tiny file) instead
+    of byte-bound. Compaction = read the zone, re-bin rows so each
+    partition writes ceil(bytes/target) files, dynamic-overwrite in
+    ONE job. The destination is a separate staging zone because Spark
+    (correctly) refuses to overwrite a path it is reading — production
+    swaps staging into place via the metadata/catalog pointer (or uses
+    Delta OPTIMIZE, which does the same dance transactionally); an
+    incremental variant pre-filters to recently-touched partitions
+    from the metadata table, same plan.
+
+    Two mechanisms, two jobs for one reason each:
+
+    - **file size** — ``maxRecordsPerFile`` derived from each
+      partition's observed bytes-per-row (file metadata columns, no
+      driver-side listing; the global option takes the densest
+      partition's value so no file overshoots the byte target). Task
+      count alone can't control file size: AQE coalesces small
+      shuffles into one task, and a task writes one arbitrarily-large
+      file per Hive partition it holds.
+    - **write parallelism** — rows shuffle on (partition cols, _bin)
+      with ceil(bytes/target) bins per partition, so a huge partition's
+      write fans out across executors instead of serializing in one
+      task; each task's output still lands in coherent
+      ~target-size files via the record cap.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(zone_path)
+    pcols = list(partition_cols)
+    # per-partition on-disk bytes + row counts from the scan's file
+    # metadata — distributed, no FileSystem calls on the driver
+    fsizes = (
+        df.select(*pcols, F.col("_metadata.file_path").alias("_fp"),
+                  F.col("_metadata.file_size").alias("_fsz"))
+        .dropDuplicates(["_fp"])
+        .groupBy(*pcols)
+        .agg(F.sum("_fsz").alias("_bytes"))
+    )
+    rows = df.groupBy(*pcols).agg(F.count(F.lit(1)).alias("_rows"))
+    plan = (
+        fsizes.join(rows, pcols)
+        .withColumn(
+            "_nbins",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_bytes") / F.lit(target_file_bytes))
+            ).cast("int"),
+        )
+        .withColumn(
+            "_max_rows",
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.lit(target_file_bytes) * F.col("_rows") / F.col("_bytes")
+                ),
+            ),
+        )
+        .select(*pcols, "_nbins", "_max_rows")
+    )
+    per_part = plan.collect()  # driver-sized: one row per Hive partition
+    n_parts = len(per_part)
+    if n_parts == 0:
+        return 0
+    max_records = int(min(r["_max_rows"] for r in per_part))
+    binned = (
+        df.join(F.broadcast(plan.select(*pcols, "_nbins")), pcols)
+        .withColumn(
+            "_bin",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col("_nbins")),
+        )
+        .repartition(*(pcols + ["_bin"]))
+        .drop("_nbins", "_bin")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        binned.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records)
+        .partitionBy(*pcols)
+        .parquet(dest_path)
+    )
+    return n_parts
