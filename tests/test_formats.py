@@ -252,3 +252,45 @@ def test_compact_partitions_splits_large_partition(spark, tmp_path):
     files = [p for p in Path(dst).rglob("*.parquet")]
     assert len(files) > 1  # re-binned into multiple target-size files
     assert spark.read.parquet(dst).count() == 20000
+
+
+def test_compact_partitions_sorted_tightens_file_stats(spark, tmp_path):
+    """With sort_cols, each output file covers a disjoint key range —
+    parquet min/max footer stats become selective (the data-skipping
+    payoff), vs the unsorted layout where every file spans ~the whole
+    domain."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from weather_etl_pipeline_spark.sources.parquet_io import (
+        compact_partitions,
+    )
+
+    src = str(tmp_path / "zone3")
+    sorted_dst = str(tmp_path / "sorted")
+    df = spark.range(40000).selectExpr(
+        "'x' AS city", "'d' AS date", "id AS v", "uuid() AS pad"
+    )
+    df.repartition(8).write.partitionBy("city", "date").parquet(src)
+    compact_partitions(
+        spark, src, sorted_dst, target_file_bytes=256 * 1024, sort_cols=("v",)
+    )
+    files = sorted(Path(sorted_dst).rglob("*.parquet"))
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["v"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    # disjoint, ordered ranges: each file's max < next file's min
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # and together they cover the domain with no loss
+    assert spark.read.parquet(sorted_dst).count() == 40000
