@@ -69,3 +69,91 @@ def range_join_purchases_after_signup(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.sum("hit").alias("n_purchases_1h"))
     )
     return matched
+
+
+# --- interval OVERLAP join (interval × interval) ------------------------------
+# The harder sibling of the point-in-interval range join above: BOTH
+# sides are intervals and the predicate is symmetric overlap
+# (a.start < b.end AND b.start < a.end). The naive form is again a
+# theta cross join; the scalable composition explodes each interval to
+# the W-sized time cells it covers, equi-joins on (key, cell) — an
+# interval of length L lands in ceil(L/W)+1 cells, so candidates are
+# bounded by interval length, not corpus size — then refines with the
+# exact predicate and dedups pairs that met in several cells. Bucket
+# width trades join fan-out (small W → many cells per interval) against
+# candidate precision (large W → more false candidates per cell).
+#
+# Demo: per user, error incident windows [ts, ts+1h) overlapping
+# purchase attention windows [ts-30m, ts+30m). Exact integer overlap
+# length from epoch micros. Oracle = the plain theta join (DuckDB is
+# fine with it at oracle scale).
+
+_OV_W = 3600  # bucket width (s) = max interval length: <=2 cells/interval
+_ERR_LEN = 3600
+_PUR_PAD = 1800
+
+
+@register(
+    "interval_overlap_error_purchase",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id AS error_id, user_id,
+         epoch_us(ts) AS s, epoch_us(ts) + {_ERR_LEN} * 1000000::BIGINT AS f
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id,
+         epoch_us(ts) - {_PUR_PAD} * 1000000::BIGINT AS s,
+         epoch_us(ts) + {_PUR_PAD} * 1000000::BIGINT AS f
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.user_id, e.error_id, p.purchase_id,
+       CAST((LEAST(e.f, p.f) - GREATEST(e.s, p.s)) // 1000000 AS BIGINT)
+         AS overlap_seconds
+FROM e JOIN p ON e.user_id = p.user_id
+             AND e.s < p.f AND p.s < e.f
+""",
+)
+def interval_overlap_error_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c)  # noqa: E731
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        us(F.col("ts")).alias("e_s"),
+        (us(F.col("ts")) + _ERR_LEN * 1_000_000).alias("e_f"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        (us(F.col("ts")) - _PUR_PAD * 1_000_000).alias("p_s"),
+        (us(F.col("ts")) + _PUR_PAD * 1_000_000).alias("p_f"),
+    )
+    cells = lambda s, f: F.sequence(  # noqa: E731
+        F.floor(s / (_OV_W * 1_000_000)), F.floor((f - 1) / (_OV_W * 1_000_000))
+    )
+    err_b = err.withColumn("cell", F.explode(cells(F.col("e_s"), F.col("e_f"))))
+    pur_b = pur.withColumn("cell", F.explode(cells(F.col("p_s"), F.col("p_f"))))
+    pairs = (
+        err_b.join(
+            pur_b,
+            (F.col("user_id") == F.col("p_user")) & (err_b.cell == pur_b.cell),
+        )
+        .filter((F.col("e_s") < F.col("p_f")) & (F.col("p_s") < F.col("e_f")))
+        .select(
+            "user_id",
+            "error_id",
+            "purchase_id",
+            (
+                (
+                    F.least(F.col("e_f"), F.col("p_f"))
+                    - F.greatest(F.col("e_s"), F.col("p_s"))
+                )
+                / 1_000_000
+            ).cast("long").alias("overlap_seconds"),
+        )
+        .dropDuplicates(["user_id", "error_id", "purchase_id"])
+    )
+    return pairs
