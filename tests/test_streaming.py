@@ -334,3 +334,52 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
     # once across the restart: all three events, each exactly once
     got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
     assert got == [1, 2, 3], got
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarks on both sides bound the
+    buffered state) emits exactly the pairs the batch join produces
+    once the watermarks pass."""
+    import datetime as dt
+
+    from weather_etl_pipeline_spark.streaming.joins import (
+        stream_join_purchases_after_signup,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    signups = [
+        (100, 1, base),
+        (101, 2, base + dt.timedelta(minutes=5)),
+        (102, 3, base + dt.timedelta(hours=3)),
+    ]
+    purchases = [
+        (200, 1, base + dt.timedelta(minutes=30)),       # match s100
+        (201, 1, base + dt.timedelta(hours=2)),          # outside 1h
+        (202, 2, base + dt.timedelta(minutes=50)),       # match s101
+        (203, 3, base + dt.timedelta(hours=3, minutes=59)),  # match s102
+        (204, 9, base + dt.timedelta(minutes=10)),       # no signup
+        # late sentinel far in the future advances both watermarks so
+        # every joinable pair above is emitted in append mode
+        (205, 8, base + dt.timedelta(days=2)),
+    ]
+    s_path, p_path = str(tmp_path / "s"), str(tmp_path / "p")
+    spark.createDataFrame(
+        signups + [(103, 7, base + dt.timedelta(days=2))],
+        "event_id long, user_id long, ts timestamp",
+    ).coalesce(1).write.parquet(s_path)
+    spark.createDataFrame(
+        purchases, "event_id long, user_id long, ts timestamp"
+    ).coalesce(1).write.parquet(p_path)
+
+    q = stream_join_purchases_after_signup(
+        spark, s_path, p_path, str(tmp_path / "ck"), query_name="ssj_test"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["signup_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    assert got == {(100, 200), (101, 202), (102, 203)}

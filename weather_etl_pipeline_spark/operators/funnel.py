@@ -67,3 +67,56 @@ def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "signup_ts", "first_purchase_ts", latency.alias("conversion_seconds")
     )
+
+
+# --- cohort retention ---------------------------------------------------------
+# The other product-analytics staple: bucket users into WEEKLY COHORTS
+# by first activity, then count how many of each cohort are still
+# active k weeks later. Plan: per-user first timestamp (one map-side-
+# combinable MIN), distinct (user, week) activity pairs (one pre-
+# aggregation that also collapses the per-user event skew before the
+# join), broadcast-or-shuffle join back on user, final tiny rollup on
+# (cohort_week, week_offset). At 100 TB: two aggregations + one join,
+# all on user-partitioned streams — no window, no total order. Week
+# arithmetic is integer epoch-day division (identical both engines);
+# DuckDB's date_trunc('week') would disagree with Spark's on locale
+# anchoring, so both sides use days-since-epoch // 7 directly.
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle=f"""
+WITH first_seen AS (
+  SELECT user_id, MIN(epoch_us(ts)) // {_WEEK_US} AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week
+  FROM events
+)
+SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+       COUNT(*) AS n_active_users
+FROM active a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, a.week - f.cohort_week
+""",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.unix_micros(F.col("ts")) / _WEEK_US).cast("long")
+    first_seen = (
+        ev.select("user_id", week.alias("week"))
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    active = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
