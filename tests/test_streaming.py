@@ -383,3 +383,45 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssj_test").collect()
     }
     assert got == {(100, 200), (101, 202), (102, 203)}
+
+
+def test_stream_stream_left_outer_emits_deferred_nulls(spark, tmp_path):
+    """left_outer stream-stream join: an unmatched signup emits a
+    NULL-purchase row, but only after the purchase watermark passes
+    signup_ts + window (until then a match could still arrive)."""
+    import datetime as dt
+
+    from weather_etl_pipeline_spark.streaming.joins import (
+        stream_join_purchases_after_signup,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    s_path, p_path = str(tmp_path / "s"), str(tmp_path / "p")
+    spark.createDataFrame(
+        [
+            (100, 1, base),                              # will match
+            (101, 2, base + dt.timedelta(minutes=5)),    # never matches
+            (103, 7, base + dt.timedelta(days=2)),       # watermark mover
+        ],
+        "event_id long, user_id long, ts timestamp",
+    ).coalesce(1).write.parquet(s_path)
+    spark.createDataFrame(
+        [
+            (200, 1, base + dt.timedelta(minutes=30)),
+            (205, 8, base + dt.timedelta(days=2)),       # watermark mover
+        ],
+        "event_id long, user_id long, ts timestamp",
+    ).coalesce(1).write.parquet(p_path)
+
+    q = stream_join_purchases_after_signup(
+        spark, s_path, p_path, str(tmp_path / "ck"),
+        query_name="ssj_outer", how="left_outer",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ssj_outer").collect()
+    by_signup = {r["signup_id"]: r["purchase_id"] for r in rows}
+    assert by_signup[100] == 200          # matched pair
+    assert by_signup[101] is None         # deferred null emission

@@ -36,9 +36,17 @@ def stream_join_purchases_after_signup(
     window_seconds: int = 3600,
     lateness: str = "30 minutes",
     query_name: str = "ss_join_out",
+    how: str = "inner",
 ) -> StreamingQuery:
     """Purchases within ``window_seconds`` after each signup, streamed
-    from two file sources into a memory sink (append mode)."""
+    from two file sources into a memory sink (append mode).
+
+    ``how="left_outer"`` additionally emits unmatched signups with NULL
+    purchase columns — but only once the PURCHASE-side watermark passes
+    signup_ts + window (before that, a match could still arrive, so the
+    row sits in state; this deferred-null emission is the part of outer
+    stream joins that surprises everyone).
+    """
     s = (
         spark.readStream.schema(_SCHEMA)
         .parquet(signup_path)
@@ -58,6 +66,7 @@ def stream_join_purchases_after_signup(
             AND p.ts > s.ts
             AND p.ts <= s.ts + INTERVAL {window_seconds} SECOND"""
         ),
+        how,
     ).select(
         F.col("s.user_id").alias("user_id"),
         F.col("s.event_id").alias("signup_id"),
