@@ -60,13 +60,23 @@ def connected_components(
         .repartition("dst")
         .localCheckpoint(eager=True)
     )
-    # edge-touched vertex set FROM THE CHECKPOINTED adjacency (the dst
-    # side covers both endpoints — adj is symmetric; and adj is laid
-    # out by dst, so this distinct reuses the checkpoint's partitioning
-    # with no exchange): deriving it from the raw `edges` plan would
-    # re-execute the whole edge derivation instead
-    labels = adj.select(F.col("dst").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("cluster")
+    # initial labels = FIRST PROPAGATION HOP fused into initialization:
+    # label(v) = min(v, neighbors(v)) comes straight out of one
+    # aggregation over the checkpointed adjacency (grouped on dst, so it
+    # reuses the checkpoint's partitioning with no exchange). This also
+    # pins the vertex set to edge-touched vertices only. Starting from
+    # identity labels instead would spend a full join+agg round
+    # computing exactly this. Deriving anything from the raw `edges`
+    # plan would re-execute the whole edge derivation — everything
+    # reads the checkpoint.
+    labels = (
+        adj.groupBy("dst")
+        .agg(F.min("src").alias("_min_nbr"))
+        .select(
+            F.col("dst").alias("doc_id"),
+            F.least("dst", "_min_nbr").alias("cluster"),
+        )
+        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
     converged = False
