@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import davg, oracle_davg
+from ..functions.exact import davg, hround, oracle_davg
 from ..registry import register
 from .scaleops import _hash_col, _oracle_hash
 from .text import ORACLE_QUALITY_FORMULA, oracle_quality_counts, quality_expr
@@ -390,7 +390,10 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Engine agreement: Spark percentile() and DuckDB quantile_cont() are
 # bit-equal on the same doubles (proved by stats_grouped_quantiles), so
-# the >= threshold comparison needs no epsilon on either side.
+# the >= threshold comparison needs no epsilon on either side. The
+# DISPLAYED q75 goes through hround (floor(x*1e6+0.5)) — the 0.75
+# interpolation lands on exactly-representable decimal halves often
+# enough that plain ROUND drifted one ulp between engines at sf0.1.
 
 _QGATE_P = 0.75
 
@@ -409,7 +412,7 @@ thr AS (
          COUNT(*) AS n_total
   FROM scored GROUP BY lang, source
 )
-SELECT s.lang, s.source, ROUND(MIN(t.q75), 6) AS q75,
+SELECT s.lang, s.source, FLOOR(MIN(t.q75) * 1000000.0 + 0.5) / 1000000.0 AS q75,
        MIN(t.n_total) AS n_total, COUNT(*) AS n_kept,
        CAST(SUM(s.n_chars) AS BIGINT) AS kept_chars
 FROM scored s
@@ -431,7 +434,7 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality") >= F.col("q75")
     )
     return kept.groupBy("lang", "source").agg(
-        F.round(F.min("q75"), 6).alias("q75"),
+        hround(F.min("q75")).alias("q75"),
         F.min("n_total").alias("n_total"),
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("kept_chars"),
