@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread_to_cores
+from ..functions.exact import hround
 from ..registry import register
 
 # --- exact dedup: canonical row per content ----------------------------------
@@ -124,7 +125,7 @@ pairs AS (
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
-       ROUND(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) AS jaccard
+       FLOOR(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
 FROM pairs
 WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {_JACCARD_T}
 """
@@ -197,7 +198,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(na, "doc_a")
         .join(nb, "doc_b")
         .filter(jac >= _JACCARD_T)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", hround(jac).alias("jaccard"))
     )
 
 
@@ -374,7 +375,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
-        .withColumn("jaccard_shingles", F.round(jac, 6))
+        .withColumn("jaccard_shingles", hround(jac))
         .filter(F.col("jaccard_shingles") >= _MH_VERIFY_T)
         .select("doc_a", "doc_b", "jaccard_shingles")
     )
@@ -559,7 +560,7 @@ inter AS (
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
-       ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard_shingles
+       FLOOR(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) * 1000000.0 + 0.5) / 1000000.0 AS jaccard_shingles
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
@@ -658,7 +659,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ha, "doc_a")
         .join(hb, "doc_b")
         .filter(jac >= _MH_VERIFY_T)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_shingles"))
+        .select("doc_a", "doc_b", hround(jac).alias("jaccard_shingles"))
     )
 
 
@@ -700,7 +701,7 @@ inter AS (
   GROUP BY c.new_id, c.old_id
 )
 SELECT i.new_id, i.old_id,
-       ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard_shingles
+       FLOOR(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) * 1000000.0 + 0.5) / 1000000.0 AS jaccard_shingles
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.new_id
 JOIN sizes sb ON sb.doc_id = i.old_id
@@ -738,7 +739,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ha, "new_id")
         .join(hb, "old_id")
         .filter(jac >= _MH_VERIFY_T)
-        .select("new_id", "old_id", F.round(jac, 6).alias("jaccard_shingles"))
+        .select("new_id", "old_id", hround(jac).alias("jaccard_shingles"))
     )
 
 
