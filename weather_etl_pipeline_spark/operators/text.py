@@ -652,3 +652,63 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- n-gram novelty (incremental-contribution curation signal) ---------------
+# "How much of this document's content is FIRST SEEN here?" — the
+# shingle-level novelty score curation pipelines use to rank documents
+# by incremental contribution to the corpus (a near-dup of earlier
+# material scores ~0; boilerplate-heavy docs score low even when no
+# single earlier doc matches). First-seen = min doc_id over the docs
+# containing the shingle, which makes the score deterministic and
+# order-free (ingestion order at scale would use an ingest sequence
+# column the same way).
+#
+# Plan: narrow per-doc distinct shingle arrays (shared shingle_arrays
+# pipeline) → one (shingle → min doc) aggregation over the exploded
+# stream → join back on shingle → per-doc rollup. Two shuffles of the
+# shingle stream + one vocab-sized aggregate; the first-seen side joins
+# 1 row per shingle so common shingles cause no fan-out.
+
+_NOV_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], chr(31)) AS s
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS t(i)
+),
+fs AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       FLOOR(CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+         AS novelty
+FROM sh JOIN fs ON sh.s = fs.s
+GROUP BY sh.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOV_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingle_arrays
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = shingle_arrays(docs).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    first = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        ex.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            hround(novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
