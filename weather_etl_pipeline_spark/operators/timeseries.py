@@ -224,3 +224,92 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("value_interp"),
     )
+
+
+# --- trailing z-score (windowed anomaly detection) ---------------------------
+# "How unusual is this reading vs the key's recent history?" — the
+# standard streaming-anomaly gate, composed as ONE partitioned window
+# pass: per user, a trailing 24-row frame supplies exact integer
+# moments (count, Σcents, Σcents²) and the z-score is a fixed-order
+# double formula over them. Cross-engine determinism comes from the
+# moments being EXACT (long sums of scaled ints — the same trick the
+# repo's global moments use, in window form): both engines then
+# evaluate the identical IEEE expression, so no stddev_samp /
+# Welford-vs-textbook drift can appear. Frame is ROWS-bounded →
+# streaming-O(n) per key, no unbounded-following processor; a key's
+# history never leaves its partition.
+#
+# Null contract (identical both engines): z is NULL until the frame has
+# >= 5 rows, and NULL when the window variance is 0 (constant history).
+
+_Z_MIN_N = 5
+
+
+@register(
+    "timeseries_trailing_zscore",
+    oracle=f"""
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_id, user_id, cents,
+         COUNT(*) OVER w AS n,
+         SUM(cents) OVER w AS s1,
+         SUM(cents * cents) OVER w AS s2
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, CAST(n AS BIGINT) AS n_window,
+       CASE WHEN n >= {_Z_MIN_N}
+             AND CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+            THEN FLOOR(
+              (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+              / SQRT((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (n - 1)))
+              * 1000000.0 + 0.5) / 1000000.0
+            ELSE NULL END AS zscore
+FROM m
+""",
+)
+def timeseries_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.exact import scaled_long
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id", "user_id", "ts", scaled_long("value", 2).alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, 0)
+    )
+    m = c.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    var_num = s2_d * F.col("n") - s1_d * s1_d
+    z = (
+        (F.col("cents").cast("double") - s1_d / F.col("n"))
+        / F.sqrt(var_num / (n_d * (F.col("n") - 1)))
+    )
+    zr = F.floor(z * 1_000_000.0 + 0.5) / 1_000_000.0
+    return m.select(
+        "event_id",
+        "user_id",
+        F.col("n").alias("n_window"),
+        F.when((F.col("n") >= _Z_MIN_N) & (var_num > 0), zr)
+        .otherwise(F.lit(None))
+        .alias("zscore"),
+    )
