@@ -439,3 +439,67 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("kept_chars"),
     )
+
+
+# --- token-budget corpus selection -------------------------------------------
+# The data-mixing primitive: each (lang, source) shard contributes its
+# BEST documents (by quality) until a per-shard token budget is
+# exhausted — how pretraining runs fill a fixed token allocation per
+# domain. One partitioned window pass: order the shard by (quality
+# DESC, doc_id), keep while the running token total stays within
+# budget. The sort is per-shard (bounded), never global; the plan-shape
+# guard's "no unpartitioned ordered window" rule holds. Determinism:
+# quality is bit-identical cross-engine (shared formula), doc_id breaks
+# ties, and the running sum is exact integer token counts.
+
+_TB_BUDGET = 20_000  # tokens per (lang, source) shard
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+WITH t AS ({oracle_quality_counts(", lang, source")}),
+scored AS (
+  SELECT doc_id, lang, source, n_tok,
+         ROUND({ORACLE_QUALITY_FORMULA}, 6) AS quality
+  FROM t
+),
+ranked AS (
+  SELECT *, SUM(n_tok) OVER (
+           PARTITION BY lang, source
+           ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM scored
+)
+SELECT lang, source, COUNT(*) AS n_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+       FLOOR(MIN(quality) * 1000000.0 + 0.5) / 1000000.0 AS q_min_kept
+FROM ranked
+WHERE cum_tok <= {_TB_BUDGET}
+GROUP BY lang, source
+""",
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import hround
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.round(quality_expr(), 6).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = scored.withColumn("cum_tok", F.sum("n_tok").over(w)).filter(
+        F.col("cum_tok") <= _TB_BUDGET
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
+        hround(F.min("quality")).alias("q_min_kept"),
+    )

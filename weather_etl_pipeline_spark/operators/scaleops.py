@@ -251,3 +251,60 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("kept_chars"),
     )
+
+
+# --- quality-weighted deterministic sampling ---------------------------------
+# Importance sampling with a VALUE-DEPENDENT keep probability: each doc
+# survives with probability equal to its own quality score (a
+# soft-keep, vs the hard cut of the percentile gate and the per-GROUP
+# rates of the mixture resample). Still fully deterministic and
+# engine-replayable: the probability becomes an integer ppm threshold
+# via floor(quality*1e6 + 0.5) — quality is bit-identical cross-engine,
+# so the threshold and therefore the exact kept set are too. Map-only
+# until the final tiny rollup.
+
+
+def _oracle_quality_scored(extra: str) -> str:
+    from .text import ORACLE_QUALITY_FORMULA, oracle_quality_counts
+
+    return f"""
+WITH t AS ({oracle_quality_counts(extra)}),
+scored AS (
+  SELECT doc_id{extra},
+         ROUND({ORACLE_QUALITY_FORMULA}, 6) AS quality
+  FROM t
+)"""
+
+
+def _register_quality_weighted_sample():
+    from ..functions.exact import davg, oracle_davg
+    from .text import quality_expr
+
+    @register(
+        "quality_weighted_sample",
+        oracle=f"""
+{_oracle_quality_scored(", lang, source")}
+SELECT lang, source, COUNT(*) AS n_kept,
+       {oracle_davg("quality", 6)} AS avg_q_kept
+FROM scored
+WHERE ({_oracle_hash('doc_id')} % 1000000)
+      < FLOOR(quality * 1000000.0 + 0.5)
+GROUP BY lang, source
+""",
+    )
+    def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        scored = docs.select(
+            "doc_id", "lang", "source", F.round(quality_expr(), 6).alias("quality")
+        )
+        thr = F.floor(F.col("quality") * 1_000_000.0 + 0.5)
+        kept = scored.filter((_hash_col("doc_id") % 1_000_000) < thr)
+        return kept.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            davg("quality", 6).alias("avg_q_kept"),
+        )
+
+    return quality_weighted_sample
+
+
+quality_weighted_sample = _register_quality_weighted_sample()
