@@ -1154,3 +1154,43 @@ def dedup_clusters_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.sql("WITH " + _REC_EDGES_BODY + _REC_EDGES_SELECT).localCheckpoint()
     edges.createOrReplaceTempView("edges")
     return spark.sql("WITH RECURSIVE " + _REC_REACH_BODY)
+
+
+# --- duplication-rate QA rollup ----------------------------------------------
+# The corpus-health dashboard query run before and after every dedup
+# pass: per (lang, source) shard, how many docs, how many distinct
+# texts, and what fraction of rows are redundant copies. One
+# two-level aggregation — count_distinct carries the exact distinct
+# count per shard; no pair generation anywhere.
+
+
+@register(
+    "dedup_rate_report",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+       FLOOR((1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*))
+             * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+FROM documents
+GROUP BY lang, source
+""",
+)
+def dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("text").alias("n_unique"),
+        (
+            F.floor(
+                (
+                    1.0
+                    - F.count_distinct("text").cast("double")
+                    / F.count(F.lit(1))
+                )
+                * 1_000_000.0
+                + 0.5
+            )
+            / 1_000_000.0
+        ).alias("dup_rate"),
+    )

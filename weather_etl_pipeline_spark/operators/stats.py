@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import davg, oracle_davg
 from ..registry import register
 
 
@@ -311,4 +312,50 @@ def stats_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.25)").alias("p25"),
         F.expr("percentile(value, 0.50)").alias("p50"),
         F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+
+
+# --- winsorized mean (robust aggregation) ------------------------------------
+# Outlier-robust per-group mean: clamp values into the group's own
+# [p05, p95] band, then average exactly. The standard robust statistic
+# when trimming would bias small groups. Two-pass shape like the
+# percentile gate: per-group exact quantile thresholds (bit-equal
+# cross-engine per stats_grouped_quantiles), broadcast back, clamp
+# map-side, exact scaled-long average. Clamped values are min/max
+# compositions of inputs and thresholds — identical doubles both
+# engines — so the davg sum path stays exact.
+
+
+@register(
+    "stats_winsorized_mean",
+    oracle=f"""
+WITH thr AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       {oracle_davg("e.value")} AS raw_mean,
+       {oracle_davg("GREATEST(thr.lo, LEAST(thr.hi, e.value))")} AS winsor_mean
+FROM events e JOIN thr ON e.event_type = thr.event_type
+GROUP BY e.event_type
+""",
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg("value").alias("raw_mean"),
+            davg(clamped).alias("winsor_mean"),
+        )
     )
