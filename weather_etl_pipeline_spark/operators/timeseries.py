@@ -313,3 +313,94 @@ def timeseries_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None))
         .alias("zscore"),
     )
+
+
+# --- SCD Type-2 dimension build ----------------------------------------------
+# The warehouse-modeling staple: turn a change-event stream into
+# validity intervals — one row per (key, state) episode with
+# [valid_from, valid_to) and an is_current flag. Built from the events
+# stream per user: consecutive runs of the same event_type collapse to
+# one episode (gaps-and-islands), valid_to = next episode's start.
+# One partitioned-window pass per step, all ROWS/lag-lead — no
+# unbounded-following processors, key history never leaves its
+# partition. This is exactly the MERGE-free way to build an SCD2
+# dimension from a CDC feed at scale (episode rows then upsert by
+# (user_id, valid_from)).
+
+
+@register(
+    "scd2_user_event_episodes",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type
+              THEN 1 ELSE 0 END AS is_start
+  FROM o
+),
+ep AS (
+  SELECT user_id, event_type, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS episode
+  FROM marked
+),
+spans AS (
+  SELECT user_id, episode, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM ep GROUP BY user_id, episode
+)
+SELECT user_id, CAST(episode AS BIGINT) AS episode, event_type,
+       valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY episode)
+         AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY episode)
+         IS NULL AS is_current
+FROM spans
+""",
+)
+def scd2_user_event_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w_ord).isNull()
+            | (F.lag("event_type").over(w_ord) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ep = marked.withColumn("episode", F.sum("is_start").over(w_run))
+    spans = ep.groupBy("user_id", "episode").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_ep = Window.partitionBy("user_id").orderBy("episode")
+    nxt = F.lead("valid_from").over(w_ep)
+    return spans.select(
+        "user_id",
+        "episode",
+        "event_type",
+        "valid_from",
+        nxt.alias("valid_to"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
