@@ -156,3 +156,90 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         (F.col("doc_id") == F.col("cluster")).alias("is_canonical"),
     )
+
+
+# --- triangle count / closure over the near-dup graph ------------------------
+# Graph-shape QA for dedup: real duplicate groups are near-cliques, so
+# a LOW triangle-closure fraction flags chains of borderline matches
+# (A~B~C with A!~C) that would over-merge under transitive clustering.
+# The classic distributed triangle count: edges are already stored in
+# canonical orientation (doc_a < doc_b), so the 3-way self-join
+#   (a,b) ⋈ (b,c) ⋈ (a,c)
+# counts every triangle exactly once — orientation IS the dedup trick
+# (no per-triangle 6× blowup, no post-dedup). Wedges come from a degree
+# aggregation, closure = 3·triangles / wedges. Intermediate size is
+# Σ_b deg_out(b)·deg_in(b), bounded here because capped pair-gen bounds
+# both the edge count and the per-vertex degree; the general-graph
+# refinement (order vertices by degree instead of id) drops in by
+# re-orienting the edges first.
+
+
+def _tri_oracle() -> str:
+    from .dedup import _JACCARD_ORACLE
+
+    return f"""
+WITH e AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE}) j),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT doc_a AS v FROM e UNION ALL SELECT doc_b AS v FROM e
+  ) GROUP BY v
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.doc_a = e1.doc_b
+  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       FLOOR(3.0 * (SELECT n_triangles FROM tri)
+             / GREATEST((SELECT SUM(d * (d - 1) / 2) FROM deg), 1)
+             * 1000000.0 + 0.5) / 1000000.0 AS closure
+"""
+
+
+@register("graph_triangle_closure", oracle=_tri_oracle())
+def graph_triangle_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_jaccard_pairs
+
+    e = (
+        dedup_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # three consumers; derive edges once
+    )
+    deg = (
+        e.select(F.col("doc_a").alias("v"))
+        .unionByName(e.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    closure = (
+        F.floor(
+            3.0
+            * F.col("n_triangles")
+            / F.greatest(F.col("n_wedges"), F.lit(1))
+            * 1_000_000.0
+            + 0.5
+        )
+        / 1_000_000.0
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_edges", "n_wedges", "n_triangles", closure.alias("closure"))
+    )
