@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import dsum, oracle_dsum
 from ..registry import register
 
 _W_SEC = 3600
@@ -157,3 +158,53 @@ def interval_overlap_error_purchase(
         .dropDuplicates(["user_id", "error_id", "purchase_id"])
     )
     return pairs
+
+
+# --- broadcast banded-range lookup -------------------------------------------
+# The dimension-lookup sibling of the range join: classify each fact
+# row into a band from a SMALL interval table (severity bands here;
+# same shape as IP-geo ranges, SLA tiers, price brackets). The interval
+# dimension is bounded by construction -> broadcast nested-loop with a
+# range predicate is the RIGHT plan (the guard's ban is on unbounded
+# CartesianProduct, not on bounded broadcast theta joins): every fact
+# row tests a handful of broadcast rows map-side, nothing shuffles.
+# With thousands+ of bands the upgrade is binning on the band grid as
+# in the range join above.
+
+_BANDS = [  # [lo, hi) -> label; covers all non-negative values
+    (0.0, 2.0, "low"),
+    (2.0, 5.0, "mid"),
+    (5.0, 8.0, "high"),
+    (8.0, 1e18, "extreme"),
+]
+
+
+def _bands_sql() -> str:
+    rows = ", ".join(f"({lo}, {hi}, '{lab}')" for lo, hi, lab in _BANDS)
+    return f"(VALUES {rows}) AS bands(lo, hi, band)"
+
+
+@register(
+    "range_lookup_value_band",
+    oracle=f"""
+SELECT bands.band, COUNT(*) AS n_events,
+       {oracle_dsum("e.value")} AS sum_value
+FROM events e JOIN {_bands_sql()}
+  ON e.value >= bands.lo AND e.value < bands.hi
+GROUP BY bands.band
+""",
+)
+def range_lookup_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
