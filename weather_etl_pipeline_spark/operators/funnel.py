@@ -120,3 +120,76 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+# --- three-step ordered funnel -----------------------------------------------
+# The general N-step funnel shape: each stage is the MIN timestamp of
+# the stage event STRICTLY AFTER the previous stage's timestamp —
+# chained conditional mins, one per stage, every aggregation map-side
+# combinable and keyed on user. At scale: three slim per-type
+# aggregates joined on user_id (each output is one row per user), never
+# a window over the raw event stream. Conversion latency in exact
+# integer seconds from epoch micros.
+
+
+@register(
+    "funnel_three_step",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'page' AND e.ts > s.t1
+  GROUP BY e.user_id
+),
+b AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN p ON e.user_id = p.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > p.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_paged,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_converted,
+       CAST((SELECT SUM((epoch_us(b.t3) - epoch_us(s.t1)) // 1000000)
+             FROM b JOIN s ON b.user_id = s.user_id) AS BIGINT)
+         AS total_conversion_seconds
+""",
+)
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "page")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(p, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    secs = F.floor(
+        (F.unix_micros(F.col("t3")) - F.unix_micros(F.col("t1"))) / 1_000_000
+    )
+    conv = b.join(s, "user_id").agg(
+        F.sum(secs).alias("total_conversion_seconds")
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_paged"))))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).alias("n_converted"))))
+        .crossJoin(F.broadcast(conv))
+        .select("n_signup", "n_paged", "n_converted", "total_conversion_seconds")
+    )
