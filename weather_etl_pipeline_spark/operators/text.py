@@ -712,3 +712,65 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
     )
+
+
+# --- boilerplate report (top document-frequency shingles) --------------------
+# The other half of repetition QA: CROSS-document boilerplate (headers,
+# disclaimers, navigation junk) shows up as shingles contained in an
+# outsized share of documents. Distinct-per-doc shingles → one
+# doc-frequency aggregation → global top-20 by (df, shingle) — a
+# TakeOrderedAndProject, never a global sort. These are exactly the
+# shingles the decontamination stop-shingle cap drops and the jaccard
+# posting cap truncates; the report is how you TUNE those caps on a
+# real corpus.
+
+
+@register(
+    "text_boilerplate_report",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], chr(31)) AS s
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS t(i)
+),
+df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT s AS shingle, CAST(df AS BIGINT) AS df,
+       FLOOR(CAST(df AS DOUBLE) / n.n_docs * 1000000.0 + 0.5) / 1000000.0
+         AS doc_share
+FROM df, n
+ORDER BY df DESC, s
+LIMIT 20
+""",
+)
+def text_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingle_arrays
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = (
+        shingle_arrays(docs)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        df.crossJoin(F.broadcast(n_docs))
+        .orderBy(F.col("df").desc(), "s")
+        .limit(20)
+        .select(
+            F.col("s").alias("shingle"),
+            "df",
+            (
+                F.floor(
+                    F.col("df").cast("double")
+                    / F.col("n_docs")
+                    * 1_000_000.0
+                    + 0.5
+                )
+                / 1_000_000.0
+            ).alias("doc_share"),
+        )
+    )

@@ -404,3 +404,89 @@ def scd2_user_event_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         nxt.isNull().alias("is_current"),
     )
+
+
+# --- hourly volume anomaly (z-score on the AGGREGATED series) ----------------
+# Spike/outage detection the way monitoring actually does it: aggregate
+# first (events → hourly counts per type), THEN score each bucket
+# against its own trailing day. Two-stage plan: a tumbling-window count
+# (map-side combinable — the raw stream collapses before any window
+# work) and a 24-bucket trailing frame over the TINY aggregated series.
+# Counts are integers, so the trailing moments are exact without any
+# scaling step, and the z formula is the same fixed-order IEEE
+# expression as timeseries_trailing_zscore.
+
+
+@register(
+    "timeseries_hourly_anomaly",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, hour_bucket, n,
+         COUNT(*) OVER w AS k,
+         SUM(n) OVER w AS s1,
+         SUM(n * n) OVER w AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_bucket, CAST(n AS BIGINT) AS n_events,
+       CASE WHEN k >= {_Z_MIN_N}
+             AND CAST(s2 AS DOUBLE) * k - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+            THEN FLOOR(
+              (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+              / SQRT((CAST(s2 AS DOUBLE) * k - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(k AS DOUBLE) * (k - 1)))
+              * 1000000.0 + 0.5) / 1000000.0
+            ELSE NULL END AS zscore
+FROM m
+""",
+)
+def timeseries_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).alias(
+                "hour_bucket"
+            ),
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(-24, -1)
+    )
+    m = hourly.select(
+        "event_type",
+        "hour_bucket",
+        "n",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    k_d = F.col("k").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    var_num = s2_d * F.col("k") - s1_d * s1_d
+    z = (F.col("n").cast("double") - s1_d / F.col("k")) / F.sqrt(
+        var_num / (k_d * (F.col("k") - 1))
+    )
+    zr = F.floor(z * 1_000_000.0 + 0.5) / 1_000_000.0
+    return m.select(
+        "event_type",
+        "hour_bucket",
+        F.col("n").alias("n_events"),
+        F.when((F.col("k") >= _Z_MIN_N) & (var_num > 0), zr)
+        .otherwise(F.lit(None))
+        .alias("zscore"),
+    )
