@@ -303,3 +303,45 @@ def simsearch_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+# --- similarity histogram (embedding-space QA) -------------------------------
+# Distribution of pairwise cosine similarity inside each label block —
+# the sanity report run before picking a near-dup threshold: a healthy
+# embedding space shows a low-similarity bulk and a thin high-cos tail;
+# a collapsed space (all-pairs similar) or a broken one (no tail) shows
+# up immediately. Pairs are label-blocked like simsearch_neardup_blocked
+# (bounded per block, never corpus-quadratic); the histogram bucket is
+# floor(cos*10) over the bit-identical cosine, so both engines bucket
+# every pair identically.
+
+
+@register(
+    "emb_similarity_histogram",
+    oracle=f"""
+SELECT CAST(FLOOR({_dd_cos("a.embedding", "b.embedding")} * 10) AS BIGINT)
+         AS cos_bucket,
+       COUNT(*) AS n_pairs
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+GROUP BY 1
+""",
+)
+def emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+        .withColumn("n", norm(F.col("e")))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.floor(cos * 10).alias("cos_bucket"))
+        .groupBy("cos_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

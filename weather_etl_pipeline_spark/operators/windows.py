@@ -430,3 +430,56 @@ def window_share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             / F.sum("rev_scaled").over(w).cast("double")
         ).alias("region_share"),
     )
+
+
+# --- session-length histogram -------------------------------------------------
+# The product-metric rollup over sessionization: distribution of
+# session sizes (events per session) and durations. Composes the
+# sessionizer — sessions collapse in one (user, sess_seq) aggregation,
+# then a tiny histogram groupBy. The heavy sessionize windows already
+# exist; everything above them is aggregate-of-aggregate on shrinking
+# data. Duration in exact integer seconds.
+
+
+@register(
+    "session_length_histogram",
+    oracle=f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL {_SESS_GAP_MIN} MINUTE
+              OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, sess_seq, COUNT(*) AS n_events,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur_s
+  FROM numbered GROUP BY user_id, sess_seq
+)
+SELECT n_events AS session_size,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(dur_s) AS BIGINT) AS total_duration_s
+FROM sessions GROUP BY n_events
+""",
+)
+def session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize_events_rows(spark, sf_dir)
+    sessions = sess.groupBy("user_id", "sess_seq").agg(
+        F.count(F.lit(1)).alias("session_size"),
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / 1_000_000
+        ).alias("dur_s"),
+    )
+    return sessions.groupBy("session_size").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dur_s").alias("total_duration_s"),
+    )
