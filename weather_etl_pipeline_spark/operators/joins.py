@@ -407,3 +407,43 @@ def cross_join_region_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(F.to_date("o_orderdate")).alias("qtr"),
     ).distinct()
     return region.select(F.col("r_name").alias("region_name")).crossJoin(quarters)
+
+
+# --- market-basket pair affinity ---------------------------------------------
+# Co-occurrence mining: which part pairs ship together in the same
+# order, ranked by support. The pair generation is a SELF-JOIN WITHIN
+# THE ORDER — bounded by basket size (TPC-H orders hold <= 7 lineitems),
+# so candidates grow linearly with orders, never quadratically with the
+# part catalog; this within-group self-join is the same
+# bounded-block principle as the dedup blocking keys. Top-20 by
+# (support, pair) lands in TakeOrderedAndProject — no global sort.
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
