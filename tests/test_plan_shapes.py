@@ -27,7 +27,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # queries allowed to contain a deliberate, bounded exception
 ALLOW_CARTESIAN: set[str] = set()
-ALLOW_GLOBAL_WINDOW: set[str] = set()
+# revenue_monthly_growth: the ordered window runs over the POST-
+# AGGREGATION monthly series (#months rows at any fact scale) — the
+# single-task funnel only ever sees a tiny frame, which is the
+# sanctioned two-level BI shape, not the pathology this guard hunts
+ALLOW_GLOBAL_WINDOW: set[str] = {"revenue_monthly_growth"}
 
 _REGISTRY = load_all()
 

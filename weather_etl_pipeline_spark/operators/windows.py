@@ -483,3 +483,74 @@ def session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("dur_s").alias("total_duration_s"),
     )
+
+
+# --- month-over-month revenue growth -----------------------------------------
+# The BI growth metric: monthly discounted revenue with percent change
+# vs the prior month. The two-level shape again: the fact table
+# collapses in one map-side-combinable exact aggregation (one row per
+# month), and the lag/growth window runs over that TINY series — at
+# any fact scale the window cost is #months rows. Growth ratio is
+# computed from the exact scaled-LONG sums (identical integers both
+# engines), one double division, engine-identical floor rounding.
+
+from ..functions.exact import (  # noqa: E402
+    REV_D,
+    oracle_rev_scaled,
+    oracle_unscale,
+    rev_scaled,
+    unscale,
+)
+
+
+@register(
+    "revenue_monthly_growth",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         SUM({oracle_rev_scaled()}) AS rev_scaled
+  FROM lineitem GROUP BY 1
+)
+SELECT month,
+       {oracle_unscale("rev_scaled", REV_D, 2)} AS revenue,
+       FLOOR((CAST(rev_scaled AS DOUBLE)
+              / LAG(rev_scaled) OVER (ORDER BY month) - 1.0)
+             * 100.0 * 1000000.0 + 0.5) / 1000000.0 AS growth_pct
+FROM m
+""",
+)
+def revenue_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("month"),
+            rev_scaled().alias("_rs"),
+        )
+        .groupBy("month")
+        .agg(F.sum("_rs").alias("rev_scaled"))
+    )
+    # the unpartitioned ordered window is over the AGGREGATED series —
+    # #months rows at any fact scale (the plan-shape guard exempts
+    # windows whose input is a post-aggregation tiny frame; see
+    # window_share_of_region_revenue for the partitioned sibling)
+    w = Window.orderBy("month")
+    growth = (
+        F.floor(
+            (
+                F.col("rev_scaled").cast("double")
+                / F.lag("rev_scaled").over(w)
+                - 1.0
+            )
+            * 100.0
+            * 1_000_000.0
+            + 0.5
+        )
+        / 1_000_000.0
+    )
+    return m.select(
+        "month",
+        unscale("rev_scaled", REV_D, 2).alias("revenue"),
+        growth.alias("growth_pct"),
+    )
