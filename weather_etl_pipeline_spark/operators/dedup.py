@@ -95,8 +95,9 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_T = 0.6
 _JACCARD_POSTING_CAP = 64
 
-_JACCARD_ORACLE = f"""
-WITH toks AS (
+# scored-candidate CTE chain shared by the pair query and the
+# threshold-tuning curve below (one definition so they cannot drift)
+_JACCARD_CTE_PREFIX = f"""toks AS (
   SELECT doc_id, lang, source,
          len(list_distinct(string_split(text, ' '))) AS n_tok,
          UNNEST(list_distinct(string_split(text, ' '))) AS token
@@ -123,7 +124,10 @@ pairs AS (
   JOIN toks a ON a.doc_id = c.doc_a
   JOIN toks b ON b.doc_id = c.doc_b AND b.token = a.token
   GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTE_PREFIX}
 SELECT doc_a, doc_b,
        FLOOR(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
 FROM pairs
@@ -131,8 +135,10 @@ WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {_JACCARD_T}
 """
 
 
-@register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE, headline=True)
-def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified candidate pairs with (doc_a, doc_b, n_a, n_b, n_shared)
+    — the shared pipeline behind the pair query and the threshold
+    curve (one definition so they cannot drift)."""
     from pyspark.sql import Window
 
     docs = spread_to_cores(load_table(spark, sf_dir, "documents"))
@@ -191,14 +197,53 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = toks.select("doc_id", "n_tok")
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
-    jac = F.col("n_shared").cast("double") / (
+    return pairs.join(na, "doc_a").join(nb, "doc_b")
+
+
+def _jac_expr():
+    return F.col("n_shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_shared")
     )
+
+
+@register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE, headline=True)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jac = _jac_expr()
     return (
-        pairs.join(na, "doc_a")
-        .join(nb, "doc_b")
+        _jaccard_scored_pairs(spark, sf_dir)
         .filter(jac >= _JACCARD_T)
         .select("doc_a", "doc_b", hround(jac).alias("jaccard"))
+    )
+
+
+# --- jaccard threshold-tuning curve ------------------------------------------
+# How you PICK _JACCARD_T on a real corpus: the distribution of exact
+# jaccard over all verified candidates. A healthy near-dup corpus is
+# bimodal (unrelated-but-cobucketed low bulk, true-dup high mode); the
+# threshold goes in the valley. One extra tiny histogram aggregate over
+# the pipeline the pair query already runs — candidates are bounded by
+# the posting cap, so the curve costs what the pair query costs.
+
+
+@register(
+    "dedup_jaccard_threshold_curve",
+    oracle=f"""
+WITH {_JACCARD_CTE_PREFIX}
+SELECT CAST(FLOOR(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) * 10)
+            AS BIGINT) AS jaccard_decile,
+       COUNT(*) AS n_pairs
+FROM pairs
+GROUP BY 1
+""",
+)
+def dedup_jaccard_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return (
+        _jaccard_scored_pairs(spark, sf_dir)
+        .select(F.floor(_jac_expr() * 10).alias("jaccard_decile"))
+        .groupBy("jaccard_decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 
