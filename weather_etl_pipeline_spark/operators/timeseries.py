@@ -490,3 +490,55 @@ def timeseries_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None))
         .alias("zscore"),
     )
+
+
+# --- rolling 7-day distinct users --------------------------------------------
+# Rolling COUNT(DISTINCT) is the op window functions cannot express
+# (distinct is not additive, so you cannot merge daily distinct counts
+# and a distinct-over-frame window buffers every row). The distributed
+# shape: pre-dedup to (user, day) — the raw stream collapses FIRST —
+# then each pair fans out to the <=7 window-days it serves, and one
+# count-distinct per window-day finishes it. Fan-out is bounded by the
+# window length, the heavy distinct runs on day-grain data, and at
+# larger windows the same plan swaps count_distinct for a mergeable
+# HLL sketch (tests/test_operators.py covers the sketch path).
+
+
+@register(
+    "rolling_distinct_users_7d",
+    oracle="""
+WITH dgrid AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+fan AS (
+  SELECT user_id, day + o AS wday
+  FROM dgrid, UNNEST(generate_series(0, 6)) AS t(o)
+),
+days AS (SELECT DISTINCT day FROM dgrid)
+SELECT fan.wday AS day,
+       CAST(COUNT(DISTINCT fan.user_id) AS BIGINT) AS n_users_7d
+FROM fan JOIN days ON days.day = fan.wday
+GROUP BY fan.wday
+""",
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dgrid = ev.select(
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts")) / 86_400_000_000).alias("day"),
+    ).distinct()
+    fan = dgrid.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("wday"),
+    )
+    days = dgrid.select("day").distinct()
+    return (
+        fan.join(F.broadcast(days), fan.wday == days.day)
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+        .select(F.col("wday").alias("day"), "n_users_7d")
+    )
