@@ -359,3 +359,96 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(clamped).alias("winsor_mean"),
         )
     )
+
+
+# --- RFM customer segmentation -----------------------------------------------
+# The classic CRM composite: score every customer 1-3 on Recency (last
+# order day), Frequency (order count), Monetary (exact total spend in
+# cents), with tercile cut points computed from the CUSTOMER-GRAIN
+# aggregate — which is dims-sized regardless of fact scale, so the
+# single-group percentile agg is safe (the same exact-vs-approx
+# percentile switch documented at stats_grouped_quantiles applies if
+# the key dimension itself becomes unbounded). Plan: facts collapse to
+# one row per customer (map-side combinable), one tiny threshold agg
+# broadcast back, scores as pure comparisons, final segment rollup.
+# Scores use >= on bit-identical interpolated thresholds over exact
+# integer metrics — no epsilon needed on either engine.
+
+
+def _rfm_score(metric: str, p1: str, p2: str):
+    return (
+        F.when(F.col(metric) >= F.col(p2), 3)
+        .when(F.col(metric) >= F.col(p1), 2)
+        .otherwise(1)
+        .cast("long")
+    )
+
+
+def _rfm_score_sql(metric: str, p1: str, p2: str) -> str:
+    return (
+        f"CAST(CASE WHEN {metric} >= {p2} THEN 3 "
+        f"WHEN {metric} >= {p1} THEN 2 ELSE 1 END AS BIGINT)"
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+WITH base AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(MAX(o_orderdate) AS DATE))
+           AS r_day,
+         COUNT(*) AS f_cnt,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+thr AS (
+  SELECT quantile_cont(r_day, 1.0/3) AS r1, quantile_cont(r_day, 2.0/3) AS r2,
+         quantile_cont(f_cnt, 1.0/3) AS f1, quantile_cont(f_cnt, 2.0/3) AS f2,
+         quantile_cont(m_cents, 1.0/3) AS m1, quantile_cont(m_cents, 2.0/3) AS m2
+  FROM base
+)
+SELECT {_rfm_score_sql("r_day", "r1", "r2")} AS r_score,
+       {_rfm_score_sql("f_cnt", "f1", "f2")} AS f_score,
+       {_rfm_score_sql("m_cents", "m1", "m2")} AS m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(m_cents) AS BIGINT) AS total_cents
+FROM base, thr
+GROUP BY 1, 2, 3
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import scaled_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max(F.col("o_orderdate")).cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("r_day"),
+        F.count(F.lit(1)).alias("f_cnt"),
+        F.sum(scaled_long("o_totalprice", 2)).alias("m_cents"),
+    )
+    thr = base.agg(
+        F.expr("percentile(r_day, 1.0/3)").alias("r1"),
+        F.expr("percentile(r_day, 2.0/3)").alias("r2"),
+        F.expr("percentile(f_cnt, 1.0/3)").alias("f1"),
+        F.expr("percentile(f_cnt, 2.0/3)").alias("f2"),
+        F.expr("percentile(m_cents, 1.0/3)").alias("m1"),
+        F.expr("percentile(m_cents, 2.0/3)").alias("m2"),
+    )
+    return (
+        base.crossJoin(F.broadcast(thr))
+        .select(
+            _rfm_score("r_day", "r1", "r2").alias("r_score"),
+            _rfm_score("f_cnt", "f1", "f2").alias("f_score"),
+            _rfm_score("m_cents", "m1", "m2").alias("m_score"),
+            "m_cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m_cents").alias("total_cents"),
+        )
+    )
