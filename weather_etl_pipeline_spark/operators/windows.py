@@ -554,3 +554,59 @@ def revenue_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         unscale("rev_scaled", REV_D, 2).alias("revenue"),
         growth.alias("growth_pct"),
     )
+
+
+# --- event transition matrix -------------------------------------------------
+# First-order behavioral Markov counts: how often does event type A
+# precede event type B in a user's stream? One lag window per user
+# (ROWS, streaming-O(n), key-partitioned) and a tiny (from, to) rollup;
+# the row-conditional transition probability comes from a windowed
+# share over the AGGREGATED matrix (#types² rows — free at any fact
+# scale, the same two-level shape as the share-of-region query).
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type
+  FROM events
+),
+m AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+       FLOOR(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type)
+             * 1000000.0 + 0.5) / 1000000.0 AS p_transition
+FROM m
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    m = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("from_type")
+    p = (
+        F.floor(
+            F.col("n").cast("double")
+            / F.sum("n").over(w_row)
+            * 1_000_000.0
+            + 0.5
+        )
+        / 1_000_000.0
+    )
+    return m.select(
+        "from_type",
+        "to_type",
+        F.col("n").alias("n_transitions"),
+        p.alias("p_transition"),
+    )
