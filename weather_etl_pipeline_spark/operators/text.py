@@ -774,3 +774,67 @@ def text_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_share"),
         )
     )
+
+
+# --- cross-language vocabulary overlap ---------------------------------------
+# Corpus QA at the language level: pairwise Jaccard between language
+# vocabularies exposes mislabeled languages (two "different" langs with
+# near-total vocab overlap) and shared-boilerplate contamination. The
+# intersection self-join keys on token, so per-token fan-out is bounded
+# by #langs² (tiny constant), never corpus-quadratic; vocab sizes come
+# from one distinct-count aggregate.
+
+
+@register(
+    "lang_vocab_overlap",
+    oracle="""
+WITH vt AS (
+  SELECT DISTINCT lang, UNNEST(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+vs AS (SELECT lang, COUNT(*) AS v FROM vt GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS i
+  FROM vt a JOIN vt b ON a.token = b.token AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT i.lang_a, i.lang_b, CAST(i.i AS BIGINT) AS n_shared,
+       FLOOR(CAST(i.i AS DOUBLE) / (va.v + vb.v - i.i) * 1000000.0 + 0.5)
+         / 1000000.0 AS vocab_jaccard
+FROM inter i
+JOIN vs va ON va.lang = i.lang_a
+JOIN vs vb ON vb.lang = i.lang_b
+""",
+)
+def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vt = (
+        docs.select(
+            "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+        )
+        .distinct()
+    )
+    vs = vt.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
+    a = vt.select(F.col("lang").alias("lang_a"), "token")
+    b = vt.select(F.col("lang").alias("lang_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    va = vs.select(F.col("lang").alias("lang_a"), F.col("v").alias("va"))
+    vb = vs.select(F.col("lang").alias("lang_b"), F.col("v").alias("vb"))
+    jac = F.col("i").cast("double") / (F.col("va") + F.col("vb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(va), "lang_a")
+        .join(F.broadcast(vb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("i").alias("n_shared"),
+            (F.floor(jac * 1_000_000.0 + 0.5) / 1_000_000.0).alias(
+                "vocab_jaccard"
+            ),
+        )
+    )

@@ -610,3 +610,36 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_transitions"),
         p.alias("p_transition"),
     )
+
+
+# --- top-k per group WITH TIES (rank, not row_number) ------------------------
+# The tie-inclusive variant of window_topk_orders_per_customer: RANK
+# keeps every order whose value ties the k-th — the semantics reports
+# actually want ("top 3 order values" should not drop a tied order on
+# arbitrary grounds). Same WindowGroupLimit pushdown as the row_number
+# form — Spark applies the per-group limit below the full sort for
+# rank() too, so tie-inclusion costs nothing extra in the plan.
+
+
+@register(
+    "window_topk_with_ties",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+                      o_orderkey) AS rnk
+  FROM orders
+) t WHERE rnk <= 3
+""",
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
