@@ -542,3 +542,78 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users_7d"))
         .select(F.col("wday").alias("day"), "n_users_7d")
     )
+
+
+# --- CUSUM drift detection ----------------------------------------------------
+# The control-chart question: did a key's metric drift from its own
+# baseline, and by how much at the worst point? CUSUM = running sum of
+# (value - baseline mean); its max/min excursions bound the drift. Two
+# passes: per-type baseline means (map-side agg, broadcast back), then
+# ONE ordered ROWS window per type for the running sum with max/min
+# folded in the same final rollup. Everything in exact integer cents —
+# the running sum and both excursions are exact longs, no FP at all
+# until nothing is left to compute. Overflow budget: |cusum| <=
+# n² × max_cents (the deviation carries an ×n scale), comfortably
+# inside int64 through ~10^5-row groups; beyond that cast the window
+# sum to DECIMAL(38,0) on both sides — exact either way.
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+WITH c AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+base AS (
+  SELECT event_type, SUM(cents) AS s, COUNT(*) AS n
+  FROM c GROUP BY event_type
+),
+dev AS (
+  -- exact integer deviation: n * cents - s  (scaled by n to avoid
+  -- a fractional mean; excursions rescale consistently both engines)
+  SELECT c.event_type, c.ts, c.event_id,
+         b.n * c.cents - b.s AS d
+  FROM c JOIN base b ON c.event_type = b.event_type
+),
+run AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM dev
+)
+SELECT event_type,
+       CAST(MAX(cusum) AS BIGINT) AS max_drift_scaled,
+       CAST(MIN(cusum) AS BIGINT) AS min_drift_scaled
+FROM run GROUP BY event_type
+""",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.exact import scaled_long
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", "ts", "event_id", scaled_long("value", 2).alias("cents")
+    )
+    base = c.groupBy("event_type").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dev = c.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("n") * F.col("cents") - F.col("s")).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = dev.select("event_type", F.sum("d").over(w).alias("cusum"))
+    return run.groupBy("event_type").agg(
+        F.max("cusum").alias("max_drift_scaled"),
+        F.min("cusum").alias("min_drift_scaled"),
+    )
