@@ -452,3 +452,53 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m_cents").alias("total_cents"),
         )
     )
+
+
+# --- order-to-ship lag profile per priority ----------------------------------
+# Logistics QA: the distribution of order-to-first-ship lag per order
+# priority. Lags are exact integer day differences; groups are bounded
+# (#priorities), so the exact percentile interpolation applies
+# unchanged (same engine-identity as stats_grouped_quantiles). The
+# lineitem side pre-collapses to MIN(shipdate) per order before the
+# join, so the fact join is order-grain on both sides.
+
+
+@register(
+    "priority_ship_lag_profile",
+    oracle="""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS ship_dt
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(f.ship_dt AS DATE)), 0.5) AS p50_lag,
+       quantile_cont(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(f.ship_dt AS DATE)), 0.95) AS p95_lag,
+       CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(f.ship_dt AS DATE))) AS BIGINT) AS max_lag
+FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def priority_ship_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship_dt")
+    )
+    lag = F.datediff(
+        F.col("ship_dt").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .select("o_orderpriority", lag.alias("_lag"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(_lag, 0.5)").alias("p50_lag"),
+            F.expr("percentile(_lag, 0.95)").alias("p95_lag"),
+            F.max("_lag").cast("long").alias("max_lag"),
+        )
+    )

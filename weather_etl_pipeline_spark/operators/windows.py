@@ -643,3 +643,66 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )
+
+
+# --- revenue concentration (Pareto / top-decile share) -----------------------
+# "What share of revenue comes from the top 10% of customers?" — the
+# concentration metric behind every account-tiering decision. Facts
+# collapse to customer grain first (map-side, exact cents), the decile
+# assignment is an ntile window over the CUSTOMER-grain frame
+# partitioned by region (dims-sized at any fact scale), and shares come
+# from exact integer sums with one engine-identical floor-rounded
+# division at the end.
+
+
+@register(
+    "revenue_concentration",
+    oracle="""
+WITH cust AS (
+  SELECT c.c_custkey, n.n_regionkey AS region_key,
+         SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_custkey, n.n_regionkey
+),
+tiled AS (
+  SELECT region_key, cents,
+         NTILE(10) OVER (PARTITION BY region_key
+                         ORDER BY cents DESC, c_custkey) AS decile
+  FROM cust
+)
+SELECT region_key,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN decile = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS top_decile_cents,
+       FLOOR(CAST(SUM(CASE WHEN decile = 1 THEN cents ELSE 0 END) AS DOUBLE)
+             / SUM(cents) * 1000000.0 + 0.5) / 1000000.0 AS top_decile_share
+FROM tiled GROUP BY region_key
+""",
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import scaled_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", F.col("n_regionkey").alias("region_key"))
+        .agg(F.sum(scaled_long("o_totalprice", 2)).alias("cents"))
+    )
+    w = Window.partitionBy("region_key").orderBy(
+        F.col("cents").desc(), "c_custkey"
+    )
+    tiled = cust.withColumn("decile", F.ntile(10).over(w))
+    top = F.sum(F.when(F.col("decile") == 1, F.col("cents")).otherwise(0))
+    share = F.floor(
+        top.cast("double") / F.sum("cents") * 1_000_000.0 + 0.5
+    ) / 1_000_000.0
+    return tiled.groupBy("region_key").agg(
+        F.sum("cents").alias("total_cents"),
+        top.alias("top_decile_cents"),
+        share.alias("top_decile_share"),
+    )
