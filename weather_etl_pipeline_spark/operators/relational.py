@@ -314,3 +314,67 @@ def incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         processed, cust.c_custkey == processed.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
+
+
+# --- null-rate data profile --------------------------------------------------
+# The first query every data-quality harness runs on a new table: per
+# column, how many rows are NULL (and for the JSON column, how many are
+# unparseable — the practical "null" of a props field). ONE pass, one
+# aggregate, map-side combinable; at 100 TB this is the cheapest
+# possible full-table profile. Emitted in long form (column, n_null)
+# so added columns extend rows, not schema.
+
+
+@register(
+    "events_null_profile",
+    oracle="""
+WITH c AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_n,
+    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_n,
+    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS type_n,
+    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_n,
+    CAST(SUM(CASE WHEN TRY_CAST(props AS JSON) IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS props_bad
+  FROM events
+)
+SELECT 'ts' AS col, ts_n AS n_null, n_rows FROM c
+UNION ALL SELECT 'user_id', user_n, n_rows FROM c
+UNION ALL SELECT 'event_type', type_n, n_rows FROM c
+UNION ALL SELECT 'value', value_n, n_rows FROM c
+UNION ALL SELECT 'props_unparseable', props_bad, n_rows FROM c
+""",
+)
+def events_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    nn = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))  # noqa: E731
+    props_bad = F.sum(
+        F.when(
+            F.from_json("props", "k long", {"mode": "PERMISSIVE"}).isNull(), 1
+        ).otherwise(0)
+    )
+    wide = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        nn("ts").alias("ts_n"),
+        nn("user_id").alias("user_n"),
+        nn("event_type").alias("type_n"),
+        nn("value").alias("value_n"),
+        props_bad.alias("props_bad"),
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(name).alias("col"), F.col(src).alias("n_null"))
+            for name, src in [
+                ("ts", "ts_n"),
+                ("user_id", "user_n"),
+                ("event_type", "type_n"),
+                ("value", "value_n"),
+                ("props_unparseable", "props_bad"),
+            ]
+        ]
+    )
+    return (
+        wide.select(F.explode(pairs).alias("p"), "n_rows")
+        .select("p.col", "p.n_null", "n_rows")
+    )

@@ -617,3 +617,48 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cusum").alias("max_drift_scaled"),
         F.min("cusum").alias("min_drift_scaled"),
     )
+
+
+# --- purchase cadence histogram ----------------------------------------------
+# Recurrence mining: the distribution of gaps between a user's
+# consecutive purchases. The lag window runs on the PURCHASE SUBSET
+# (filter first — the stream shrinks before any window work), gaps are
+# exact integer days, and the final histogram is a tiny rollup. The
+# p50 of this distribution is the "reorder window" number growth teams
+# quote.
+
+
+@register(
+    "purchase_cadence_histogram",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST((epoch_us(ts) - epoch_us(prev_ts)) // 86400000000 AS BIGINT)
+         AS gap_days,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM p WHERE prev_ts IS NOT NULL
+GROUP BY 1
+""",
+)
+def purchase_cadence_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).filter(F.col("prev_ts").isNotNull())
+    gap = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")))
+        / 86_400_000_000
+    )
+    return (
+        p.select(gap.alias("gap_days"))
+        .groupBy("gap_days")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
