@@ -838,3 +838,55 @@ def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- character-class profile per language ------------------------------------
+# Orthography QA: the per-language distribution of character classes
+# (letters / digits / punctuation / spaces). Wrong-script contamination
+# (e.g. Cyrillic rows labeled 'en') and markup bleed-through (punct
+# spikes) surface here before they poison lang-id training. Counts come
+# from length deltas after class-targeted regexp_replace — pure
+# map-side integer arithmetic, identical regex semantics both engines
+# for these ASCII classes; one tiny rollup.
+
+
+@register(
+    "text_charclass_profile",
+    oracle="""
+WITH per_doc AS (
+  SELECT lang,
+         length(text) AS n_ch,
+         length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_space
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+       CAST(SUM(n_alpha) AS BIGINT) AS n_alpha,
+       CAST(SUM(n_digit) AS BIGINT) AS n_digit,
+       CAST(SUM(n_space) AS BIGINT) AS n_space,
+       CAST(SUM(n_ch - n_alpha - n_digit - n_space) AS BIGINT) AS n_other
+FROM per_doc GROUP BY lang
+""",
+)
+def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_ch = F.length("text")
+    strip = lambda pat: n_ch - F.length(F.regexp_replace("text", pat, ""))  # noqa: E731
+    per_doc = docs.select(
+        "lang",
+        n_ch.alias("n_ch"),
+        strip("[a-zA-Z]").alias("n_alpha"),
+        strip("[0-9]").alias("n_digit"),
+        strip(" ").alias("n_space"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_ch").alias("n_chars"),
+        F.sum("n_alpha").alias("n_alpha"),
+        F.sum("n_digit").alias("n_digit"),
+        F.sum("n_space").alias("n_space"),
+        F.sum(
+            F.col("n_ch") - F.col("n_alpha") - F.col("n_digit") - F.col("n_space")
+        ).alias("n_other"),
+    )
