@@ -890,3 +890,46 @@ def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_ch") - F.col("n_alpha") - F.col("n_digit") - F.col("n_space")
         ).alias("n_other"),
     )
+
+
+# --- document length histogram (per language) --------------------------------
+# The length-spectrum QA: corpus length distributions are heavy-tailed,
+# and a missing tail (over-aggressive truncation) or a spike at a
+# round number (hard cutoff artifacts) is immediately visible in
+# doubling buckets. Buckets are literal integer boundaries evaluated
+# identically on both engines (no log() — IEEE log is not
+# correctly-rounded, so floor(log2(n)) can disagree at exact powers).
+
+
+_LEN_BOUNDS = [50, 100, 200, 400, 800, 1600]
+
+
+def _len_bucket_sql() -> str:
+    clauses = " ".join(
+        f"WHEN n_chars < {b} THEN {i}" for i, b in enumerate(_LEN_BOUNDS)
+    )
+    return f"CASE {clauses} ELSE {len(_LEN_BOUNDS)} END"
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+SELECT lang,
+       CAST({_len_bucket_sql()} AS BIGINT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, {_len_bucket_sql()}
+""",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.lit(len(_LEN_BOUNDS)).cast("long")
+    for i, b in reversed(list(enumerate(_LEN_BOUNDS))):
+        bucket = F.when(F.col("n_chars") < b, F.lit(i).cast("long")).otherwise(
+            bucket
+        )
+    return docs.groupBy("lang", bucket.alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
