@@ -62,3 +62,69 @@ def datetime_function_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(d, F.lit("1992-01-01").cast("date")).alias("days_since_anchor"),
         F.last_day(F.add_months(d, 3)).alias("plus3m_month_end"),
     )
+
+
+# --- weekday seasonality ------------------------------------------------------
+# Order-volume seasonality by ISO weekday. The cross-engine trap is the
+# weekday NUMBERING (Spark dayofweek is 1=Sunday, DuckDB dayofweek is
+# 0=Sunday): both sides use the ISO convention explicitly — Spark
+# weekday()+1 == DuckDB isodow — so Monday=1 everywhere. Shares come
+# from a windowed sum over the 7-row aggregate.
+
+
+@register(
+    "orders_weekday_seasonality",
+    oracle="""
+WITH d AS (
+  SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_weekday,
+         o_totalprice
+  FROM orders
+),
+agg AS (
+  SELECT iso_weekday, COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM d GROUP BY iso_weekday
+)
+SELECT iso_weekday, CAST(n_orders AS BIGINT) AS n_orders,
+       FLOOR(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER ()
+             * 1000000.0 + 0.5) / 1000000.0 AS order_share,
+       CAST(cents AS BIGINT) AS revenue_cents
+FROM agg
+""",
+)
+def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.exact import scaled_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.select(
+            (F.weekday(F.col("o_orderdate").cast("date")) + 1)
+            .cast("long")
+            .alias("iso_weekday"),
+            scaled_long("o_totalprice", 2).alias("_cents"),
+        )
+        .groupBy("iso_weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_cents").alias("cents"),
+        )
+    )
+    # windowed share over the 7-row aggregate (empty over() == whole frame)
+    w = Window.partitionBy()
+    share = (
+        F.floor(
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(w)
+            * 1_000_000.0
+            + 0.5
+        )
+        / 1_000_000.0
+    )
+    return agg.select(
+        "iso_weekday",
+        "n_orders",
+        share.alias("order_share"),
+        F.col("cents").alias("revenue_cents"),
+    )

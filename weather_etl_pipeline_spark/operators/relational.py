@@ -378,3 +378,46 @@ def events_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.select(F.explode(pairs).alias("p"), "n_rows")
         .select("p.col", "p.n_null", "n_rows")
     )
+
+
+# --- discount-band revenue effectiveness -------------------------------------
+# Pricing analytics: revenue and volume per discount band — does the
+# 5-7% band actually move more units than 0-2%? Bands are literal
+# integer-percent boundaries (discounts are exact 2-decimal values, so
+# CAST(ROUND(d*100)) is an exact integer both engines — no FP boundary
+# risk); revenue flows through the shared exact scaled-long path.
+
+
+@register(
+    "discount_band_revenue",
+    oracle=f"""
+SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) // 3 AS discount_band,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND((l_quantity) * 1, 0) AS BIGINT)) AS BIGINT)
+         AS total_qty,
+       {oracle_unscale(f"SUM({oracle_rev_scaled()})", 4, 2)} AS revenue
+FROM lineitem
+GROUP BY 1
+""",
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import REV_D, rev_scaled, unscale
+
+    li = load_table(spark, sf_dir, "lineitem")
+    band = F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT) DIV 3")
+    return (
+        li.groupBy(band.alias("discount_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias(
+                "total_qty"
+            ),
+            F.sum(rev_scaled()).alias("_rs"),
+        )
+        .select(
+            "discount_band",
+            "n_items",
+            "total_qty",
+            unscale("_rs", REV_D, 2).alias("revenue"),
+        )
+    )
