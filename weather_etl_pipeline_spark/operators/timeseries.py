@@ -662,3 +662,49 @@ def purchase_cadence_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gap_days")
         .agg(F.count(F.lit(1)).alias("n_gaps"))
     )
+
+
+# --- daily event-type mix ----------------------------------------------------
+# Mix-shift monitoring: per day, each event type's share of traffic. A
+# feature launch or an instrumentation break shows up as a share step
+# long before absolute volumes look anomalous. Two-level shape: the
+# stream collapses to (day, type) counts map-side; shares are a
+# windowed sum over the tiny aggregate partitioned by day.
+
+
+@register(
+    "events_daily_type_mix",
+    oracle="""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, CAST(n AS BIGINT) AS n_events,
+       FLOOR(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY day)
+             * 1000000.0 + 0.5) / 1000000.0 AS day_share
+FROM d
+""",
+)
+def events_daily_type_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.floor(F.unix_micros(F.col("ts")) / 86_400_000_000).alias("day"),
+            "event_type",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("day")
+    share = (
+        F.floor(
+            F.col("n").cast("double") / F.sum("n").over(w) * 1_000_000.0 + 0.5
+        )
+        / 1_000_000.0
+    )
+    return d.select(
+        "day", "event_type", F.col("n").alias("n_events"), share.alias("day_share")
+    )
