@@ -349,10 +349,15 @@ UNION ALL SELECT 'props_unparseable', props_bad, n_rows FROM c
 def events_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     nn = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))  # noqa: E731
+    # "Unparseable" must mean the same thing on both engines.  PERMISSIVE
+    # from_json returns a non-null all-null struct for malformed input, so it
+    # undercounts; try_parse_json (Spark 4 VARIANT) returns NULL exactly when
+    # the string is not valid JSON — including NULL input and non-object JSON
+    # like '5' / '[1,2]' being VALID — which is bit-for-bit the semantics of
+    # DuckDB's TRY_CAST(props AS JSON) IS NULL (verified on the six-case
+    # matrix in tests/test_null_profile_semantics.py).
     props_bad = F.sum(
-        F.when(
-            F.from_json("props", "k long", {"mode": "PERMISSIVE"}).isNull(), 1
-        ).otherwise(0)
+        F.when(F.try_parse_json("props").isNull(), 1).otherwise(0)
     )
     wide = ev.agg(
         F.count(F.lit(1)).alias("n_rows"),
