@@ -459,3 +459,44 @@ def test_chunking_covers_every_token_with_overlap(spark):
     assert j.filter(
         (F.col("max_len") > _CHUNK_TOKENS) | (F.col("min_len") < 1)
     ).count() == 0
+
+
+def test_cusum_budget_guard(spark, tmp_path):
+    """Over-budget groups raise loudly instead of wrapping int64.
+
+    events_cusum_drift documents |cusum| <= 2*n^2*max_cents; Spark's
+    non-ANSI window SUM would wrap silently past int64, so the operator
+    poisons the broadcast baseline with raise_error when the budget is
+    exceeded.  Build a 10-row group with value=9e14 (cents=9e16, so
+    2*100*9e16 = 1.8e19 > 9e18) and assert the failure is the loud one.
+    """
+    import pyspark.sql.functions as F
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from weather_etl_pipeline_spark.operators.timeseries import (
+        events_cusum_drift,
+    )
+
+    big = spark.range(10).select(
+        F.lit("burst").alias("event_type"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.lit(9.0e14).alias("value"),
+        F.col("id").alias("user_id"),
+    )
+    big.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises((Py4JJavaError, Exception), match="cusum budget"):
+        events_cusum_drift(spark, str(tmp_path)).collect()
+
+    # and a comfortably in-budget lake still computes
+    ok = spark.range(10).select(
+        F.lit("calm").alias("event_type"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("event_id"),
+        (F.col("id") * 1.5).alias("value"),
+        F.col("id").alias("user_id"),
+    )
+    ok.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    rows = events_cusum_drift(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0].max_drift_scaled is not None

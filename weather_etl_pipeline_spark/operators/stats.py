@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import davg, oracle_davg
+from ..functions.exact import davg, hround, oracle_davg, oracle_hround
 from ..registry import register
 
 
@@ -321,9 +321,14 @@ def stats_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # when trimming would bias small groups. Two-pass shape like the
 # percentile gate: per-group exact quantile thresholds (bit-equal
 # cross-engine per stats_grouped_quantiles), broadcast back, clamp
-# map-side, exact scaled-long average. Clamped values are min/max
-# compositions of inputs and thresholds — identical doubles both
-# engines — so the davg sum path stays exact.
+# map-side, exact scaled-long average. The interpolated thresholds are
+# ARBITRARY doubles, which would violate scaled_long's fixed-scale
+# precondition for clamped rows — so both engines first quantize the
+# thresholds with the shared hround (scale 6), making every clamped
+# value genuinely <=6-decimal, and the winsorized leg averages at d=6
+# (values themselves are 2-decimal, so d=6 is exact for them too).
+# This removes both the cent-quantization bias on boundary rows and
+# the cross-engine ROUND half-case drift the advisor flagged (r5).
 
 
 @register(
@@ -331,14 +336,15 @@ def stats_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH thr AS (
   SELECT event_type,
-         quantile_cont(value, 0.05) AS lo,
-         quantile_cont(value, 0.95) AS hi
+         {oracle_hround("quantile_cont(value, 0.05)", 6)} AS lo,
+         {oracle_hround("quantile_cont(value, 0.95)", 6)} AS hi
   FROM events GROUP BY event_type
 )
 SELECT e.event_type,
        COUNT(*) AS n,
        {oracle_davg("e.value")} AS raw_mean,
-       {oracle_davg("GREATEST(thr.lo, LEAST(thr.hi, e.value))")} AS winsor_mean
+       {oracle_davg("GREATEST(thr.lo, LEAST(thr.hi, e.value))", 6)}
+         AS winsor_mean
 FROM events e JOIN thr ON e.event_type = thr.event_type
 GROUP BY e.event_type
 """,
@@ -346,8 +352,8 @@ GROUP BY e.event_type
 def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     thr = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+        hround(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        hround(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
     )
     clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
     return (
@@ -356,7 +362,7 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             davg("value").alias("raw_mean"),
-            davg(clamped).alias("winsor_mean"),
+            davg(clamped, d=6).alias("winsor_mean"),
         )
     )
 

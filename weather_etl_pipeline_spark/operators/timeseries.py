@@ -553,9 +553,16 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # folded in the same final rollup. Everything in exact integer cents —
 # the running sum and both excursions are exact longs, no FP at all
 # until nothing is left to compute. Overflow budget: |cusum| <=
-# n² × max_cents (the deviation carries an ×n scale), comfortably
-# inside int64 through ~10^5-row groups; beyond that cast the window
-# sum to DECIMAL(38,0) on both sides — exact either way.
+# 2 × n² × max_cents (the deviation carries an ×n scale), comfortably
+# inside int64 through ~10^5-row groups. The budget is ENFORCED, not
+# just documented: the baseline agg also computes max(|cents|) and the
+# broadcast side routes s through a raise_error branch when
+# 2·n²·max_cents crosses 9e18, so a group too large for the long path
+# fails loudly (pinned by tests/test_operators.py::test_cusum_budget_
+# guard) instead of wrapping — Spark's non-ANSI window SUM wraps
+# silently. Beyond the budget, cast the window sum to DECIMAL(38,0)
+# on both sides — exact either way (DuckDB already sums BIGINT into
+# HUGEINT, so only the Spark side can wrap).
 
 
 @register(
@@ -599,7 +606,36 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "ts", "event_id", scaled_long("value", 2).alias("cents")
     )
     base = c.groupBy("event_type").agg(
-        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+        F.sum("cents").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("cents"))).alias("mc"),
+    )
+    # Loud overflow guard (see docstring budget): evaluate in DOUBLE so
+    # the check itself cannot wrap, and poison `s` — every downstream
+    # row uses it, so the first task to touch an over-budget group
+    # raises instead of silently wrapping the window sum.
+    over = (
+        F.col("n").cast("double")
+        * F.col("n").cast("double")
+        * F.col("mc").cast("double")
+        * F.lit(2.0)
+        >= F.lit(9.0e18)
+    )
+    base = base.select(
+        "event_type",
+        F.when(
+            over,
+            F.raise_error(
+                F.lit(
+                    "events_cusum_drift: per-group cusum budget exceeded "
+                    "(2*n^2*max_cents >= 9e18); use the DECIMAL(38,0) "
+                    "window-sum variant for groups this large"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("s"))
+        .alias("s"),
+        "n",
     )
     dev = c.join(F.broadcast(base), "event_type").select(
         "event_type",
