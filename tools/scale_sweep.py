@@ -1,14 +1,21 @@
-"""Synthetic scale-up sweep: time headline queries at sf0.1 and at a
-zero-copy 10x amplification (catalog `@xN` path replication — 6M-row
-lineitem, 100k events, 5k docs x10). Evidence that plan cost grows
-sublinearly with data on fixed cores, i.e. the plans have parallel
-headroom rather than fixed-overhead dominance.
+"""Synthetic scale-up sweep: time queries at sf0.1 and at zero-copy
+N-fold amplifications (catalog ``@xN`` path replication — the fact
+tables listed N times). Evidence that plan cost grows sublinearly with
+data on fixed cores, i.e. the plans have parallel headroom rather than
+fixed-overhead dominance — and, at @x100, that the bounded structures
+(posting caps, membership caps, blocked pair-gen) hold across TWO
+decades, not one.
 
-Usage: python tools/scale_sweep.py [query ...]
+Note the amplified corpus is ADVERSARIAL for dedup: every row gains
+N-1 exact twins, so collision density in every block/band is maximal.
+A capped plan that stays ~flat here is bounded by construction.
+
+Usage: python tools/scale_sweep.py [--scales 1,10,100] [--reps 2] [query ...]
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -31,20 +38,32 @@ DEFAULT = [
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,10")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("queries", nargs="*", default=DEFAULT)
+    args = ap.parse_args()
+
+    mults = [int(s) for s in args.scales.split(",")]
+    scales = [
+        args.base if m == 1 else f"{args.base}@x{m}" for m in mults
+    ]
     reg = load_all()
     spark = get_spark("scale-sweep")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
-    print(f"{'query':35s} {'sf0.1':>8s} {'sf0.1@x10':>10s} {'ratio':>6s}")
-    scales = ["/root/testdata/sf0.1", "/root/testdata/sf0.1@x10"]
-    for name in names:
-        # interleaved best-of-2 per scale so codegen warm-up (paid by
+    hdr = f"{'query':35s}" + "".join(
+        f" {'@x%d' % m if m > 1 else 'sf0.1':>9s}" for m in mults
+    )
+    print(hdr + "  ratios")
+    for name in args.queries:
+        # interleaved best-of-N per scale so codegen warm-up (paid by
         # whichever variant runs first — the plans share expression
         # trees) cannot bias the ratio
         best = {sf: float("inf") for sf in scales}
-        for _ in range(2):
+        for _ in range(args.reps):
             for sf in scales:
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
@@ -52,8 +71,12 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 best[sf] = min(best[sf], time.perf_counter() - t0)
-        r0, r1 = best[scales[0]], best[scales[1]]
-        print(f"{name:35s} {r0:7.2f}s {r1:9.2f}s {r1 / r0:5.1f}x")
+        times = [best[sf] for sf in scales]
+        ratios = " ".join(
+            f"{times[i] / times[i - 1]:.1f}x" for i in range(1, len(times))
+        )
+        row = f"{name:35s}" + "".join(f" {t:8.2f}s" for t in times)
+        print(f"{row}  {ratios}", flush=True)
     spark.stop()
 
 

@@ -25,9 +25,24 @@ def path_exists(spark: SparkSession, path: str) -> bool:
 
 
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """False on failure — NEVER raises for a losable race.
+
+    Hadoop's FileSystem#rename contract is "report failure by returning
+    false", but several implementations (RawLocalFileSystem included)
+    THROW instead when the source vanishes mid-call — exactly what a
+    concurrent metadata swap produces when the other writer moves the
+    table aside first (caught live by tests/
+    test_metadata_crash_consistency.py::test_interleaved_writers_never_
+    tear). Normalize to the documented contract so callers' checked
+    rollback logic (plans/metadata.py::_atomic_overwrite) sees one
+    failure mode, not two.
+    """
     fs, hsrc = _fs_and_path(spark, src)
     _, hdst = _fs_and_path(spark, dst)
-    return bool(fs.rename(hsrc, hdst))
+    try:
+        return bool(fs.rename(hsrc, hdst))
+    except Exception:  # Py4JJavaError: losing a rename race is a False
+        return False
 
 
 def delete(spark: SparkSession, path: str) -> bool:
