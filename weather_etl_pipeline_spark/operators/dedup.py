@@ -257,6 +257,40 @@ _MH_K = 32
 _MH_BANDS = 8
 _MH_ROWS = _MH_K // _MH_BANDS
 _MH_VERIFY_T = 0.5
+# Per-bucket membership cap for every banded candidate structure
+# (minhash bands, simhash chunks) — same role as _JACCARD_POSTING_CAP:
+# bounds pair-gen at cells × CAP² regardless of duplicate multiplicity.
+_LSH_BUCKET_CAP = 64
+
+
+def _capped_bucket_pairs(
+    keyed: DataFrame, keys: list[str], cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs from a (``*keys``, doc_id)
+    bucketing, bounded by a deterministic first-``cap``-docs membership
+    cap per bucket.
+
+    One shuffle total: the row_number window partitions by the bucket
+    keys, and the collect_list groupBy reuses that exact exchange, so
+    the bounded arrays cost no extra shuffle; pair-gen is a narrow
+    double-explode of ≤cap-element arrays (never a self-join of the
+    exploded index).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("doc_id")
+    capped = keyed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= cap
+    )
+    posting = capped.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    return (
+        posting.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
 
 
 def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -390,21 +424,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # candidate pairs per (band, bucket) with the same bounded-membership
+    # pattern as the jaccard posting lists: a bucket holding m co-hashed
+    # docs would otherwise emit m² pairs — quadratic in duplicate
+    # multiplicity (boilerplate-heavy corpora; measured 7.6×/decade at
+    # @x100 where every doc has 99 exact twins, vs ≤1.7× for the capped
+    # plans). Cap via row_number, collect the ≤CAP doc_ids per bucket in
+    # the SAME exchange, pair-gen by double-explode of the bounded
+    # arrays — no self-join shuffle, ≤ CAP²/2 pairs per bucket by
+    # construction. Recall note: docs past the cap in one bucket still
+    # candidate through their other _MH_BANDS-1 bands.
+    cand = _capped_bucket_pairs(bands, ["band", "bucket"], _LSH_BUCKET_CAP)
     # verification: exact shingle-set Jaccard from the cached per-doc
     # sets, joined in by doc_id (AQE broadcasts the small candidate
     # side at this scale; sort-merge by doc_id at cluster scale)
@@ -481,7 +511,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via SimHash banding; (doc_a, doc_b, hamming)."""
     # 62 hashes/token + chunk-join pair-gen: core-bound, not split-bound
     docs = spread_to_cores(load_table(spark, sf_dir, "documents"))
-    sh = simhash_df(docs)
+    # cached: the 62-hash fold feeds the chunk explode AND both hamming
+    # verify sides (lifetime: the harness's clearCache between entries)
+    sh = simhash_df(docs).cache()
     chunk_w = 16
     chunks = sh.select(
         "doc_id",
@@ -499,23 +531,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    ).select("doc_id", "cc.chunk", "cc.val")
+    # bounded pair-gen per 16-bit chunk bucket (same membership-cap
+    # pattern as the minhash bands — an exact-dup-heavy bucket would
+    # otherwise pair quadratically); signatures joined back by doc_id
+    # for the hamming verify
+    cand = _capped_bucket_pairs(chunks, ["chunk", "val"])
+    cand = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")),
+        "doc_b",
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
@@ -588,13 +615,21 @@ bands AS (
 
 
 def _portable_minhash_oracle() -> str:
+    # capped AS ... mirrors _capped_bucket_pairs verbatim: pairs only
+    # among the first-_LSH_BUCKET_CAP docs (by doc_id) of each bucket
     return f"""
 WITH {_portable_minhash_cte_prefix()},
+capped AS (
+  SELECT doc_id, band, band_sig,
+         ROW_NUMBER() OVER (PARTITION BY band, band_sig ORDER BY doc_id) AS rn
+  FROM bands
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  FROM capped a
+  JOIN capped b ON a.band = b.band AND a.band_sig = b.band_sig
               AND a.doc_id < b.doc_id
+  WHERE a.rn <= {_LSH_BUCKET_CAP} AND b.rn <= {_LSH_BUCKET_CAP}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -682,17 +717,9 @@ def _portable_minhash_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 @register("dedup_minhash_portable", oracle=_portable_minhash_oracle())
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh, bands = _portable_minhash_tables(load_table(spark, sf_dir, "documents"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # bounded pair-gen per band bucket, cap mirrored verbatim in the
+    # oracle's `capped` CTE
+    cand = _capped_bucket_pairs(bands, ["band", "band_sig"])
     # exact verify: band candidates are few, so array_intersect over the
     # cached per-doc code arrays (joined in by doc_id) replaces the
     # explode + count-group over code rows
@@ -730,12 +757,22 @@ def _inc_minhash_oracle() -> str:
     split = "((doc_id * 2654435761) % 4294967296) % 100"
     return f"""
 WITH {_portable_minhash_cte_prefix()},
+corpus AS (
+  -- corpus-side membership cap per bucket (mirrors the Spark window):
+  -- a hot bucket (boilerplate signature shared by millions of stored
+  -- docs) would otherwise fan every probing batch doc out by the full
+  -- bucket size
+  SELECT doc_id, band, band_sig,
+         ROW_NUMBER() OVER (PARTITION BY band, band_sig ORDER BY doc_id) AS rn
+  FROM bands
+  WHERE ({split}) < {_INC_NEW_PCT}
+),
 cand AS (
   SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
   FROM bands n
-  JOIN bands o ON n.band = o.band AND n.band_sig = o.band_sig
+  JOIN corpus o ON n.band = o.band AND n.band_sig = o.band_sig
   WHERE ({split.replace('doc_id', 'n.doc_id')}) >= {_INC_NEW_PCT}
-    AND ({split.replace('doc_id', 'o.doc_id')}) < {_INC_NEW_PCT}
+    AND o.rn <= {_LSH_BUCKET_CAP}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -760,10 +797,23 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     an existing-corpus doc. Candidates from the banded signature join
     (new side small by construction → AQE broadcasts it; the corpus
     side never self-joins), verify from the cached per-doc code arrays."""
+    from pyspark.sql import Window
+
     sh, bands = _portable_minhash_tables(load_table(spark, sf_dir, "documents"))
     bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
     new_b = bands.filter(bucket >= _INC_NEW_PCT)
-    old_b = bands.filter(bucket < _INC_NEW_PCT)
+    # corpus-side membership cap per (band, band_sig) — a hot bucket
+    # (boilerplate signature shared by millions of stored docs) would
+    # otherwise fan every probing batch doc out by the full bucket
+    # size; mirrored in the oracle's `corpus` CTE. The batch side stays
+    # uncapped: its size IS the cost budget.
+    w_old = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    old_b = (
+        bands.filter(bucket < _INC_NEW_PCT)
+        .withColumn("rn", F.row_number().over(w_old))
+        .filter(F.col("rn") <= _LSH_BUCKET_CAP)
+        .drop("rn")
+    )
     cand = (
         new_b.alias("n")
         .join(
@@ -875,12 +925,18 @@ chunks AS (
          UNNEST([{chunk_exprs}]) AS val
   FROM sigs
 ),
+capped AS (
+  SELECT doc_id, simhash, chunk, val,
+         ROW_NUMBER() OVER (PARTITION BY chunk, val ORDER BY doc_id) AS rn
+  FROM chunks
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sh_a, b.simhash AS sh_b
-  FROM chunks a
-  JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val
+  FROM capped a
+  JOIN capped b ON a.chunk = b.chunk AND a.val = b.val
               AND a.doc_id < b.doc_id
+  WHERE a.rn <= {_LSH_BUCKET_CAP} AND b.rn <= {_LSH_BUCKET_CAP}
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
 FROM cand
@@ -911,7 +967,9 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    sh = bv.select("doc_id", signature.alias("simhash"))
+    # cached: the 62-bit vote fold feeds the chunk explode AND both
+    # hamming verify sides (lifetime: harness clearCache between entries)
+    sh = bv.select("doc_id", signature.alias("simhash")).cache()
     chunk_w = 16
     chunks = sh.select(
         "doc_id",
@@ -929,22 +987,16 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    ).select("doc_id", "cc.chunk", "cc.val")
+    # bounded pair-gen per chunk bucket (cap mirrored in the oracle's
+    # `capped` CTE); signatures joined back by doc_id for the verify
+    cand = _capped_bucket_pairs(chunks, ["chunk", "val"])
+    cand = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")),
+        "doc_b",
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
