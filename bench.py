@@ -22,6 +22,12 @@ from weather_etl_pipeline_spark.registry import load_all  # noqa: E402
 from weather_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     label = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -45,6 +51,17 @@ def main() -> None:
     # Running full passes over all queries and taking the per-query min
     # across passes spaces each query's tries minutes apart — a noise
     # window has to span the whole bench to poison a query's best.
+    # local-mode scheduling floor: the wall time of a warm EMPTY job
+    # (1-row noop write — no scan, no shuffle, no codegen of interest).
+    # Every query in this bench pays it once; floor × n_queries is the
+    # irreducible-locally, irrelevant-on-a-cluster part of the total,
+    # so engine-bound time ≈ total − floor·n. Published in the JSON so
+    # round-over-round comparisons can subtract it.
+    floor = min(
+        _timed(lambda: spark.range(1).write.format("noop").mode("overwrite").save())
+        for _ in range(5)
+    )
+
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     per_query: dict[str, float] = {}
     for _ in range(passes):
@@ -69,6 +86,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "floor_sec": round(floor, 3),
+                "engine_sec": round(total - floor * len(per_query), 3),
                 "sf": sf,
             }
         )

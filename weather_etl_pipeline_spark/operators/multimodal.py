@@ -36,14 +36,46 @@ from ..registry import register
 
 HEADER_BYTES = 16
 
+# Import-time codec probes (the formats.py delta pattern): when the
+# real libraries exist the decode paths below use them; when absent the
+# calls stay honest NotImplementedError stubs and every byte-level
+# plumbing path around them keeps working. tests/test_codecs.py
+# exercises the real decode when a lib is present and skips otherwise.
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _pil_image
+except ImportError:
+    _pil_image = None
+try:  # pragma: no cover - environment-dependent
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
+
 
 def decode_blob(blob: bytes) -> object:
-    """Codec stub — the container has no image/audio libs.
+    """Decode a binary blob to an ndarray, dispatching on the sniffed
+    format: png/jpeg via PIL, RIFF/WAV via soundfile. Raises
+    NotImplementedError when the needed codec library is absent (this
+    container ships neither) — callers treat that as "plumb the bytes,
+    skip the decode"."""
+    fmt = sniff_format(blob)
+    if fmt in ("png", "jpeg"):
+        if _pil_image is None:
+            raise NotImplementedError("PIL not available in this environment")
+        import io
 
-    In production this dispatches on the sniffed format to PIL /
-    soundfile / pyav and returns a decoded ndarray.
-    """
-    raise NotImplementedError("codec libs not available in this environment")
+        import numpy as np
+
+        return np.asarray(_pil_image.open(io.BytesIO(blob)))
+    if fmt == "riff":
+        if _soundfile is None:
+            raise NotImplementedError(
+                "soundfile not available in this environment"
+            )
+        import io
+
+        data, _rate = _soundfile.read(io.BytesIO(blob))
+        return data
+    raise NotImplementedError(f"no codec for sniffed format {fmt!r}")
 
 
 def sniff_format(blob: bytes) -> str:
@@ -77,8 +109,19 @@ def featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
-    """Codec stub — production: PIL decode → resize → re-encode."""
-    raise NotImplementedError("image codecs not available in this environment")
+    """PIL decode → resize → re-encode (same format); raises
+    NotImplementedError when PIL is absent (this container)."""
+    if _pil_image is None:
+        raise NotImplementedError(
+            "image codecs not available in this environment"
+        )
+    import io
+
+    img = _pil_image.open(io.BytesIO(blob))
+    fmt = img.format or "PNG"
+    out = io.BytesIO()
+    img.resize((width, height)).save(out, format=fmt)
+    return out.getvalue()
 
 
 FRAME_BYTES = 64  # deterministic fake frame size for the sampling demo

@@ -146,11 +146,18 @@ def compact_partitions(
         )
         .select(*pcols, "_nbins", "_max_rows")
     )
-    per_part = plan.collect()  # driver-sized: one row per Hive partition
-    n_parts = len(per_part)
+    # the driver only needs two SCALARS from the plan — the partition
+    # count and the global min rows-per-file — so collect one aggregate
+    # row, never the per-partition list (a 100k-partition lake would
+    # make that a fat driver array; the per-partition _nbins stays
+    # distributed and reaches the binning via the broadcast join below)
+    agg = plan.agg(
+        F.count(F.lit(1)).alias("_n"), F.min("_max_rows").alias("_mr")
+    ).collect()[0]
+    n_parts = int(agg["_n"])
     if n_parts == 0:
         return 0
-    max_records = int(min(r["_max_rows"] for r in per_part))
+    max_records = int(agg["_mr"])
     if sort_cols:
         keys = pcols + list(sort_cols)
         binned = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
