@@ -102,20 +102,48 @@ def simsearch_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # qualify; production near-dup dedup would use ~0.95
 _NEARDUP_T = 0.4
 
+# Membership cap per label cell: `label` has FIXED cardinality (10), so
+# uncapped cell membership grows linearly with the corpus and pair-gen
+# quadratically — the same failure mode the levenshtein/jaccard caps
+# design out. First _CELL_CAP vectors per label by deterministic
+# vec_id, mirrored verbatim in the oracles; non-binding at every test
+# scale (max 200/label at sf0.1), binding under @xN amplification and
+# on any real corpus. The ANN-LSH variant is the uncapped-recall scale
+# path (buckets there are similarity-partitioned, not label-fixed).
+_CELL_CAP = 256
+
 _NEARDUP_ORACLE = f"""
+WITH capped AS (
+  SELECT vec_id, label, embedding,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+  FROM embeddings
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({_dd_cos("a.embedding", "b.embedding")}, 6) AS cos_sim
-FROM embeddings a JOIN embeddings b
+FROM capped a JOIN capped b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_dd_cos("a.embedding", "b.embedding")} >= {_NEARDUP_T}
+WHERE a.rn <= {_CELL_CAP} AND b.rn <= {_CELL_CAP}
+  AND {_dd_cos("a.embedding", "b.embedding")} >= {_NEARDUP_T}
 """
+
+
+def _capped_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+        .withColumn("n", norm(F.col("e")))
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CELL_CAP)
+        .drop("rn")
+    )
 
 
 @register("simsearch_neardup_blocked", oracle=_NEARDUP_ORACLE)
 def simsearch_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("e")
-    ).withColumn("n", norm(F.col("e")))
+    emb = _capped_emb(spark, sf_dir)
     a = emb.alias("a")
     b = emb.alias("b")
     cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))
@@ -319,20 +347,25 @@ def simsearch_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_similarity_histogram",
     oracle=f"""
+WITH capped AS (
+  SELECT vec_id, label, embedding,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+  FROM embeddings
+)
 SELECT CAST(FLOOR({_dd_cos("a.embedding", "b.embedding")} * 10) AS BIGINT)
          AS cos_bucket,
        COUNT(*) AS n_pairs
-FROM embeddings a JOIN embeddings b
+FROM capped a JOIN capped b
   ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.rn <= {_CELL_CAP} AND b.rn <= {_CELL_CAP}
 GROUP BY 1
 """,
 )
 def emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
-        .withColumn("n", norm(F.col("e")))
-    )
+    # capped-sample histogram: pairwise-cosine DISTRIBUTION estimation
+    # only needs a bounded per-cell sample (see _CELL_CAP note); the
+    # cap keeps the pair count at labels × CAP²/2 at any corpus size
+    emb = _capped_emb(spark, sf_dir)
     a, b = emb.alias("a"), emb.alias("b")
     cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))
     return (
