@@ -1,0 +1,48 @@
+"""Pin the cross-engine meaning of json_extract_agg's "k".
+
+Round-6 rework parses props ONCE via from_json('k long') (the 3×
+get_json_object form re-ran the JSON parser per aggregate expression —
+6× slower end-to-end — and its .cast('long') THROWS under ANSI on a
+float-valued k). Jackson's long parse accepts only integral JSON
+numbers; DuckDB's CAST(json_extract_string(...) AS BIGINT) would
+instead round '2.9' to 3 and coerce "5" to 5, so the oracle guards on
+json_type IN ('BIGINT','UBIGINT'). This matrix runs the same eight
+cases through BOTH engines so any future drift fails here rather than
+silently on data richer than the bundled (all-integral) testdata.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+CASES = [
+    ('{"k": 7}', 7),  # integral number: extracted
+    ('{"k": -3}', -3),  # negative integral: extracted
+    ('{"k": "5"}', None),  # string-typed number: NULL (no coercion)
+    ('{"k": 2.9}', None),  # float: NULL (no rounding)
+    ('{"j": 1}', None),  # missing key
+    ("bad", None),  # malformed JSON
+    (None, None),  # SQL NULL
+    ("5", None),  # valid non-object JSON
+]
+
+_ORACLE_K = """
+CASE WHEN json_type(TRY_CAST(? AS JSON), '$.k') IN ('BIGINT', 'UBIGINT')
+     THEN CAST(json_extract_string(?, '$.k') AS BIGINT) END
+"""
+
+
+def test_k_extraction_matches_across_engines(spark):
+    df = spark.createDataFrame([(p,) for p, _ in CASES], "props string")
+    got = {
+        r.props: r.k
+        for r in df.select(
+            "props", F.from_json("props", "k long").getField("k").alias("k")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for props, expected in CASES:
+        duck = con.execute(f"SELECT {_ORACLE_K}", [props, props]).fetchone()[0]
+        assert duck == expected, (props, duck)
+        assert got[props] == expected, (props, got[props])

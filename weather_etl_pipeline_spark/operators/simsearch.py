@@ -67,11 +67,16 @@ def simsearch_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("ce")
     ).withColumn("cn", norm(F.col("ce")))
+    # the probe set is keyed by query_id — dedupe BEFORE the O(Q·N)
+    # scan so a repeated probe (or a replicated input) never multiplies
+    # the pairwise work; no-op on distinct real data, and the dedupe
+    # runs on the tiny broadcast side, not the corpus
     queries = (
         emb.filter(F.col("vec_id") < _N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qe")
         )
+        .dropDuplicates(["query_id"])
         .withColumn("qn", norm(F.col("qe")))
     )
     scored = (
