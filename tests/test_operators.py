@@ -500,3 +500,30 @@ def test_cusum_budget_guard(spark, tmp_path):
     ok.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     rows = events_cusum_drift(spark, str(tmp_path)).collect()
     assert len(rows) == 1 and rows[0].max_drift_scaled is not None
+
+
+def test_capped_bucket_pairs_bounded_and_deterministic(spark):
+    """The shared banded pair-gen helper: pairs only among the first
+    CAP doc_ids per bucket, <= CAP*(CAP-1)/2 pairs per bucket, stable
+    across runs, and never pairs across buckets."""
+    import pyspark.sql.functions as F
+
+    from weather_etl_pipeline_spark.operators.dedup import (
+        _capped_bucket_pairs,
+    )
+
+    # bucket 0: 5 docs (over a cap of 3); bucket 1: 2 docs
+    rows = [(d, 0) for d in [10, 11, 12, 13, 14]] + [(d, 1) for d in [20, 21]]
+    keyed = spark.createDataFrame(rows, "doc_id long, bucket long")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _capped_bucket_pairs(keyed, ["bucket"], cap=3).collect()
+    }
+    # bucket 0 pairs among {10,11,12} only; bucket 1 among {20,21}
+    assert got == {(10, 11), (10, 12), (11, 12), (20, 21)}
+    # deterministic across a rerun
+    again = {
+        (r.doc_a, r.doc_b)
+        for r in _capped_bucket_pairs(keyed, ["bucket"], cap=3).collect()
+    }
+    assert again == got
