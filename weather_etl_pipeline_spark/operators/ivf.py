@@ -138,10 +138,19 @@ def simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     cent = kmeans_centroids(emb)
     cells = _assign(emb, cent)
-    queries = cells.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("cell").alias("qcell"),
+    # probe-set dedupe by key: a repeated/replicated probe must not
+    # multiply the cell-scan work (the @x100 sweep read 17×/decade —
+    # 100 probe replicas × 100× cell membership is quadratic under
+    # duplication; kmeans itself decomposed to a linear 11.7s of the
+    # 186s). Same guard as the brute-force kNN probe side.
+    queries = (
+        cells.filter(F.col("vec_id") < 8)
+        .dropDuplicates(["vec_id"])
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("cell").alias("qcell"),
+        )
     )
     cand = F.broadcast(queries).join(
         cells,
@@ -205,7 +214,8 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ),
-c0 AS (SELECT CAST(vec_id AS INT) AS cell, e AS c FROM e WHERE vec_id < {_PK}),
+c0 AS (SELECT DISTINCT CAST(vec_id AS INT) AS cell, e AS c
+       FROM e WHERE vec_id < {_PK}),
 a0 AS (
   SELECT vec_id, e, cell FROM (
     SELECT e.vec_id, e.e, c0.cell,
@@ -243,8 +253,13 @@ def simsearch_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
-    c0 = emb.filter(F.col("vec_id") < _PK).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("e").alias("c")
+    # initial-centroid dedupe by key (mirrored in the oracle's DISTINCT
+    # c0): replicated seed rows would multiply BOTH sides of the
+    # assignment cross join — quadratic under duplication
+    c0 = (
+        emb.filter(F.col("vec_id") < _PK)
+        .dropDuplicates(["vec_id"])
+        .select(F.col("vec_id").cast("int").alias("cell"), F.col("e").alias("c"))
     )
     a0 = _portable_assign(emb, c0)
     cm = (

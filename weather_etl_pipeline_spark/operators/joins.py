@@ -411,32 +411,63 @@ def cross_join_region_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- market-basket pair affinity ---------------------------------------------
 # Co-occurrence mining: which part pairs ship together in the same
-# order, ranked by support. The pair generation is a SELF-JOIN WITHIN
-# THE ORDER — bounded by basket size (TPC-H orders hold <= 7 lineitems),
-# so candidates grow linearly with orders, never quadratically with the
-# part catalog; this within-group self-join is the same
-# bounded-block principle as the dedup blocking keys. Top-20 by
-# (support, pair) lands in TakeOrderedAndProject — no global sort.
+# order, ranked by support. Two guards make the within-order pair-gen
+# scale-safe AND semantically right (both mirrored in the oracle, both
+# non-binding at test scales — no duplicate (order, part) rows and max
+# basket 17 < 32):
+#   1. DISTINCT parts per order first — "n_orders" support must count
+#      an order once per pair, not once per line-combination (a part
+#      repeated in an order would otherwise multiply the count);
+#   2. a 32-part membership cap per basket by deterministic partkey —
+#      an uncapped hot basket (a popular session, or any replicated
+#      input: the @x100 sweep read 7.8×/decade, 700-item baskets →
+#      245k pairs each) pairs quadratically in its size. Same
+#      bounded-block principle as the dedup caps.
+# Top-20 by (support, pair) lands in TakeOrderedAndProject — no global
+# sort.
+
+_BASKET_CAP = 32
 
 
 @register(
     "basket_part_pairs",
-    oracle="""
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+c AS (
+  SELECT l_orderkey, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+  FROM d
+)
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
        COUNT(*) AS n_orders
-FROM lineitem a JOIN lineitem b
+FROM c a JOIN c b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+WHERE a.rn <= {_BASKET_CAP} AND b.rn <= {_BASKET_CAP}
 GROUP BY a.l_partkey, b.l_partkey
 ORDER BY n_orders DESC, part_a, part_b
 LIMIT 20
 """,
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    capped = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BASKET_CAP)
+        .drop("rn")
+    )
+    a = capped.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )
-    b = li.select(
+    b = capped.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
     )
     return (

@@ -271,7 +271,7 @@ WITH b AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
 ),
 q AS (
-  SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+  SELECT DISTINCT vec_id AS query_id, embedding AS qe, bucket AS qb
   FROM b WHERE vec_id < {_N_QUERIES}
 ),
 probes AS (
@@ -310,8 +310,12 @@ def simsearch_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(_LSH_PLANES)]
     )
+    # probe-set dedupe by key BEFORE the multiprobe explode (mirrored
+    # in the oracle's DISTINCT q CTE): a repeated/replicated probe must
+    # not multiply the bucket-scan work — same guard as the kNN probe
     queries = (
         bucketed.filter(F.col("vec_id") < _N_QUERIES)
+        .dropDuplicates(["vec_id"])
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
