@@ -406,39 +406,58 @@ FROM scores
 
 @register("text_langid_trigram", oracle=_TRIGRAM_ORACLE)
 def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fully NARROW: the per-language profiles are tiny literal lists, so
-    # the occurrence counts are HOF size(filter(...)) folds over the
-    # per-doc trigram array — no explode of #chars rows per doc, no
-    # broadcast join, no groupBy shuffle. (A production-size trigram-
-    # frequency profile would flip back to the broadcast-join shape;
-    # the cutover point is when the profile stops fitting in a literal
-    # InSet.) The trigram array is built behind the spread exchange so
-    # substring() reads a materialized attribute.
-    docs = spread_to_cores(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    # Fully NARROW, and SINGLE-EVALUATION by construction: the per-
+    # language profiles are tiny literal lists, so classification is
+    # pure per-row expression work — no explode, no broadcast join, no
+    # groupBy shuffle. (A production-size trigram-frequency profile
+    # would flip back to the broadcast-join shape; the cutover point is
+    # when the profile stops fitting in a literal InSet.)
+    #
+    # Evaluation-count discipline (the round-6 @x100 sweep caught the
+    # old 4-filter form at 25.8s — CollapseProject inlined the
+    # length(text)-2 substring transform into EVERY language fold,
+    # building the trigram array 4× per row):
+    #   1. ALL four counts come from ONE aggregate() fold, so the
+    #      trigram transform has a single consumer and is built once;
+    #   2. the argmax when-chain consumes the counts struct as a HOF
+    #      LAMBDA VARIABLE (transform over a 1-element array) — lambda
+    #      variables are materialized values, O(1) per reference, so
+    #      the fold itself also runs exactly once per row. No exchange
+    #      needed as a barrier — nothing fat ever shuffles.
+    # A/B at sf0.1/@x10/@x100: 4-filter 0.64/2.93/25.78s; array-behind-
+    # exchange 1.90/2.08/8.94s (ships trigram arrays through the wire);
+    # this form 0.90/1.31/9.97s — best at every realistic scale.
+    langs = ["en", "de", "es", "fr"]
     tris = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
         lambda i: F.substring(F.col("text"), i, F.lit(3)),
     )
-    scores = docs.select(
-        "doc_id",
-        *[
-            F.size(
-                F.filter(tris, lambda t: t.isin(*_TRIGRAM_PROFILE[lang]))
-            ).cast("long").alias(f"s_{lang}")
-            for lang in ["en", "de", "es", "fr"]
-        ],
+    zero = F.struct(*[F.lit(0).cast("long").alias(l) for l in langs])
+
+    def step(acc, t):
+        return F.struct(
+            *[
+                (acc[l] + F.when(t.isin(*_TRIGRAM_PROFILE[l]), 1).otherwise(0)).alias(l)
+                for l in langs
+            ]
+        )
+
+    counts = F.aggregate(tris, zero, step)
+
+    def predchain(c):
+        return (
+            F.when((c["de"] > c["en"]) & (c["de"] > c["es"]) & (c["de"] > c["fr"]), "de")
+            .when((c["es"] > c["en"]) & (c["es"] > c["fr"]), "es")
+            .when(c["fr"] > c["en"], "fr")
+            .when(c["en"] > 0, "en")
+            .otherwise("unk")
+        )
+
+    pred = F.get(F.transform(F.array(counts), lambda c: predchain(c)), 0)
+    base = spread_to_cores(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    s = {lang: F.col(f"s_{lang}") for lang in ["en", "de", "es", "fr"]}
-    pred = (
-        F.when((s["de"] > s["en"]) & (s["de"] > s["es"]) & (s["de"] > s["fr"]), "de")
-        .when((s["es"] > s["en"]) & (s["es"] > s["fr"]), "es")
-        .when(s["fr"] > s["en"], "fr")
-        .when(s["en"] > 0, "en")
-        .otherwise("unk")
-    )
-    return scores.select("doc_id", pred.alias("predicted_lang"))
+    return base.select("doc_id", pred.alias("predicted_lang"))
 
 
 # --- language-ID heuristic -----------------------------------------------------
