@@ -46,3 +46,42 @@ def test_k_extraction_matches_across_engines(spark):
         duck = con.execute(f"SELECT {_ORACLE_K}", [props, props]).fetchone()[0]
         assert duck == expected, (props, duck)
         assert got[props] == expected, (props, got[props])
+
+
+_VARIANT_CASES = [
+    ('{"k": 7}', 7),
+    ('{"k": -3}', -3),
+    ('{"k": "5"}', 5),  # string INTEGRAL literal: accepted on both
+    ('{"k": "5.7"}', None),  # string float: rejected (regex guard)
+    ('{"k": 2.9}', None),  # float: rejected (no truncate-vs-round drift)
+    ('{"j": 1}', None),
+    ("bad", None),
+    (None, None),
+    ("5", None),
+]
+
+_VARIANT_ORACLE_K = """
+CASE WHEN regexp_matches(
+       json_extract_string(TRY_CAST(? AS JSON), '$.k'), '^-?[0-9]+$')
+     THEN CAST(json_extract_string(?, '$.k') AS BIGINT) END
+"""
+
+
+def test_variant_k_extraction_matches_across_engines(spark):
+    """variant_extract_agg's k: VARIANT-extract as string, accept only
+    integral literals — try_variant_get(.., 'long') would coerce "5"
+    and TRUNCATE 2.9 where DuckDB's CAST ROUNDS it, so the shared
+    definition is the regex-guarded string form on both engines."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(p,) for p, _ in _VARIANT_CASES], "props string")
+    k_str = F.try_variant_get(F.try_parse_json("props"), "$.k", "string")
+    k = F.when(k_str.rlike("^-?[0-9]+$"), k_str.cast("long"))
+    got = {r.props: r.k for r in df.select("props", k.alias("k")).collect()}
+    con = duckdb.connect()
+    for props, expected in _VARIANT_CASES:
+        duck = con.execute(
+            f"SELECT {_VARIANT_ORACLE_K}", [props, props]
+        ).fetchone()[0]
+        assert duck == expected, (props, duck)
+        assert got[props] == expected, (props, got[props])

@@ -148,18 +148,35 @@ def json_map_explode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "variant_extract_agg",
     oracle="""
+WITH kx AS (
+  -- integral-string guard on BOTH engines: try_variant_get(..,'long')
+  -- coerces "5"->5 and TRUNCATES 2.9->2 while DuckDB's CAST rounds
+  -- 2.9->3 — extracting as string and accepting only ^-?[0-9]+$ pins
+  -- one semantic cross-engine (tests/test_json_extract_semantics.py)
+  SELECT event_type,
+         CASE WHEN regexp_matches(
+                json_extract_string(TRY_CAST(props AS JSON), '$.k'),
+                '^-?[0-9]+$')
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
 SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS sum_k,
-       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS n_k
-FROM events
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(COUNT(k) AS BIGINT) AS n_k
+FROM kx
 GROUP BY event_type
 """,
 )
 def variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VARIANT path (vs json_extract_agg's declared-schema from_json):
+    # try_parse_json — NOT parse_json, whose ANSI error on one malformed
+    # row would kill the whole query — then extract k as a STRING and
+    # accept only integral literals. Projected once below the aggregate
+    # (design rule 3 / the json_extract_agg lesson).
     ev = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    k_str = F.try_variant_get(F.try_parse_json("props"), "$.k", "string")
+    k = F.when(k_str.rlike("^-?[0-9]+$"), k_str.cast("long"))
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
