@@ -1,0 +1,44 @@
+"""Pin the cross-engine tokenization primitive.
+
+Roughly 30 text/dedup/curation oracles assume Spark's
+``split(text, ' ')`` and DuckDB's ``string_split(text, ' ')`` agree —
+including on the edge cases the bundled corpus never exercises (empty
+string, bare/repeated/leading/trailing spaces, NULL). They do agree
+today, on the full eight-case matrix below, including empty-string
+elements and the distinct-count over them; this test keeps any engine
+upgrade from silently un-agreeing them, the same way the JSON-k and
+props-unparseable matrices pin their primitives.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+CASES = ["a b", "", " ", "a  b", " a", "a ", "a", None]
+
+
+def test_split_matches_string_split(spark):
+    df = spark.createDataFrame([(c,) for c in CASES], "text string")
+    got = {
+        r.text: (r.t, r.n, r.nd)
+        for r in df.select(
+            "text",
+            F.split("text", " ").alias("t"),
+            F.size(F.split("text", " ")).alias("n"),
+            F.size(F.array_distinct(F.split("text", " "))).alias("nd"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for text in CASES:
+        duck = con.execute(
+            "SELECT string_split(?, ' '), len(string_split(?, ' ')),"
+            " len(list_distinct(string_split(?, ' ')))",
+            [text, text, text],
+        ).fetchone()
+    # NULL handling: both engines propagate NULL through split/len
+        if text is None:
+            assert duck == (None, None, None)
+            assert got[text] == (None, None, None)
+        else:
+            assert got[text] == (duck[0], duck[1], duck[2]), (text, duck)
