@@ -1037,9 +1037,15 @@ _LEV_MEMBER_CAP = 128  # docs per cell entering pair-gen (bounds pairs/cell)
     "dedup_levenshtein_blocked",
     oracle=f"""
 WITH d0 AS (
+  -- ASCII projection of the prefix: Spark's levenshtein counts
+  -- CODEPOINTS while DuckDB's counts UTF-8 BYTES ('héllo'→'hello' is
+  -- 1 vs 2), so both engines compare the ASCII-projected prefix —
+  -- identical on ASCII corpora, deterministic and agreed on any other
+  -- (tests/test_editdist_semantics.py pins the matrix)
   SELECT doc_id, lang,
          CAST(FLOOR(n_chars / {_LEV_BUCKET}) AS BIGINT) AS len_bucket,
-         substr(text, 1, {_LEV_PREFIX}) AS prefix
+         regexp_replace(substr(text, 1, {_LEV_PREFIX}),
+                        '[^\\x00-\\x7F]', '', 'g') AS prefix
   FROM documents
 ),
 d AS (
@@ -1071,7 +1077,11 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / _LEV_BUCKET).cast("long").alias("len_bucket"),
-        F.substring("text", 1, _LEV_PREFIX).alias("prefix"),
+        # ASCII projection — see the oracle's d0 comment (codepoint- vs
+        # byte-counting levenshtein drift on non-ASCII text)
+        F.regexp_replace(
+            F.substring("text", 1, _LEV_PREFIX), "[^\\x00-\\x7F]", ""
+        ).alias("prefix"),
     )
     # membership cap (see header comment): deterministic first CAP docs
     # per cell — bounds pair-gen at cells × CAP² regardless of corpus size
@@ -1174,6 +1184,17 @@ def dedup_exact_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drops to ~2s. (On a durable cluster use ``checkpoint()`` with a
 # checkpoint dir — same shape, executor-loss-safe.) Same SQL dialect,
 # explicit materialization where Spark's planner lacks it.
+#
+# Known caveat (identical SQL ≠ identical semantics): levenshtein here
+# counts CODEPOINTS on Spark and UTF-8 BYTES on DuckDB, so edge
+# selection can differ on non-ASCII text. The main blocked operator
+# aligns via an ASCII-projected prefix, but that projection has no
+# cross-engine-identical spelling (DuckDB's global regexp_replace
+# needs a 'g' flag; Spark's 4th argument is a position), and this
+# query's purpose is the VERBATIM-shared recursive SQL — so the
+# caveat is documented rather than forked. ASCII corpora (the test
+# data) are unaffected; tests/test_editdist_semantics.py pins the
+# divergence so an engine change is caught.
 
 _REC_EDGES_BODY = f"""
 d0 AS (
