@@ -42,3 +42,28 @@ def test_split_matches_string_split(spark):
             assert got[text] == (None, None, None)
         else:
             assert got[text] == (duck[0], duck[1], duck[2]), (text, duck)
+
+
+def test_ascii_length_substr_match(spark):
+    """The portable-hash primitives (ascii, length, substr-last-char)
+    agree cross-engine INCLUDING on unicode — both are codepoint-based
+    — so the portable minhash/simhash token codes are stable on any
+    corpus, not just the ASCII testdata."""
+    cases = ["a", "Z", "0", "é", "日", "", " "]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = {
+        r.t: (r.a, r.l, r.last)
+        for r in df.select(
+            "t",
+            F.ascii("t").alias("a"),
+            F.length("t").alias("l"),
+            F.ascii(F.col("t").substr(F.length("t"), F.lit(1))).alias("last"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in cases:
+        duck = con.execute(
+            "SELECT ascii(?), length(?), ascii(substr(?, length(?), 1))",
+            [t] * 4,
+        ).fetchone()
+        assert got[t] == tuple(duck), (t, got[t], duck)
