@@ -185,7 +185,14 @@ def _jaccard_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    # exact verify over full token sets of the candidate pairs only
+    # exact verify over full token sets of the candidate pairs only.
+    # Round-6 A/B against an array_intersect verify over the cached
+    # token arrays (the minhash pattern): identical output (pairwise-
+    # verified at sf0.01), roughly par at @x10/@x100 (1.95/3.73s vs
+    # 2.06/3.48s — both shapes broadcast the small candidate side, so
+    # the corpus never reshuffles either way), but +0.8s at sf0.1
+    # (3.27 vs 2.45 best) from the extra join stages' latency — kept
+    # the exploded count-join.
     fa = inv.select(F.col("doc_id").alias("doc_a"), "token")
     fb = inv.select(F.col("doc_id").alias("doc_b"), "token")
     pairs = (
