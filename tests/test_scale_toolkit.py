@@ -254,3 +254,19 @@ def test_scale_amplifier_replicates_facts_only(spark):
         load_table(spark, base + "@x3", "orders").count()
         == load_table(spark, base, "orders").count()
     )
+
+
+def test_xn_amplifier_replicates_facts_not_dims(spark):
+    """The @xN catalog path (the zero-copy scale amplifier behind every
+    EXPLAINS sweep) replicates FACT tables N-fold and leaves dims at
+    1x — a regression here would silently invalidate the two-decade
+    evidence, so the contract is pinned."""
+    from weather_etl_pipeline_spark.catalog import load_table
+
+    base = "/root/testdata/sf0.001"
+    li1 = load_table(spark, base, "lineitem").count()
+    li3 = load_table(spark, base + "@x3", "lineitem").count()
+    assert li3 == 3 * li1
+    r1 = load_table(spark, base, "region").count()
+    r3 = load_table(spark, base + "@x3", "region").count()
+    assert r3 == r1  # dims stay 1x (replicating both join sides is N^2)
