@@ -88,6 +88,17 @@ def test_plan_shape(spark, name):
             f"{name}: ORDER BY window without PARTITION BY "
             f"(single-task funnel):\n" + "\n".join(bad)
         )
+    # third guarded class (round 6): row-at-a-time SCALAR Python UDFs.
+    # All scalar Python execution must be on the Arrow surface
+    # (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas /
+    # *WithState) — a plain BatchEvalPython node is the 10-100x-slower
+    # pickling path the repo bans by policy; this makes the ban
+    # mechanical. BatchEvalPythonUDTF is NOT banned: the table-function
+    # surface (udtf_shingles) has no Arrow variant in this Spark.
+    scalar_pickled = re.sub(r"BatchEvalPythonUDTF", "", plan)
+    assert "BatchEvalPython" not in scalar_pickled, (
+        f"{name}: row-at-a-time Python UDF (BatchEvalPython) in plan\n{plan}"
+    )
 
 
 def test_minhash_signature_path_is_narrow(spark):
