@@ -25,11 +25,12 @@ CASES = [
     ("bad", None),  # malformed JSON
     (None, None),  # SQL NULL
     ("5", None),  # valid non-object JSON
+    ('{"k": 9223372036854775808}', None),  # int64 overflow: NULL, no error
 ]
 
 _ORACLE_K = """
 CASE WHEN json_type(TRY_CAST(? AS JSON), '$.k') IN ('BIGINT', 'UBIGINT')
-     THEN CAST(json_extract_string(?, '$.k') AS BIGINT) END
+     THEN TRY_CAST(json_extract_string(?, '$.k') AS BIGINT) END
 """
 
 
@@ -58,12 +59,14 @@ _VARIANT_CASES = [
     ("bad", None),
     (None, None),
     ("5", None),
+    ('{"k": 9223372036854775808}', None),  # overflow number: NULL both
+    ('{"k": "99999999999999999999"}', None),  # overflow string: NULL both
 ]
 
 _VARIANT_ORACLE_K = """
 CASE WHEN regexp_matches(
        json_extract_string(TRY_CAST(? AS JSON), '$.k'), '^-?[0-9]+$')
-     THEN CAST(json_extract_string(?, '$.k') AS BIGINT) END
+     THEN TRY_CAST(json_extract_string(?, '$.k') AS BIGINT) END
 """
 
 
@@ -76,7 +79,7 @@ def test_variant_k_extraction_matches_across_engines(spark):
 
     df = spark.createDataFrame([(p,) for p, _ in _VARIANT_CASES], "props string")
     k_str = F.try_variant_get(F.try_parse_json("props"), "$.k", "string")
-    k = F.when(k_str.rlike("^-?[0-9]+$"), k_str.cast("long"))
+    k = F.when(k_str.rlike("^-?[0-9]+$"), k_str.try_cast("long"))
     got = {r.props: r.k for r in df.select("props", k.alias("k")).collect()}
     con = duckdb.connect()
     for props, expected in _VARIANT_CASES:

@@ -155,7 +155,7 @@ def test_interleaved_writers_never_tear(spark, tmp_path, monkeypatch):
     assert all(isinstance(e, IOError) for e in errs), errs
     meta = _assert_well_formed(spark, path)
     keys = {(r.city,) for r in meta.select("city").collect()}
-    # base row must never be lost by a failed swap; at least one of the
-    # two racing writers must have landed
-    assert ("base",) in keys or len(keys) >= 1
+    # the pre-existing base row must never be lost: every writer's merge
+    # includes it and a failed swap rolls back to the table that had it
+    assert ("base",) in keys
     assert len(errs) <= 1

@@ -16,6 +16,7 @@ Usage: python tools/scale_sweep.py [--scales 1,10,100] [--reps 2] [query ...]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -54,8 +55,9 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    base_label = os.path.basename(args.base.rstrip("/"))
     hdr = f"{'query':35s}" + "".join(
-        f" {'@x%d' % m if m > 1 else 'sf0.1':>9s}" for m in mults
+        f" {'@x%d' % m if m > 1 else base_label:>9s}" for m in mults
     )
     print(hdr + "  ratios")
     for name in args.queries:

@@ -555,6 +555,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= _SH_CHUNKS - 1)  # guaranteed-recall radius
+        # one row per pair even if doc_ids repeat in the corpus (the
+        # signature join-back would otherwise multiply each pair by the
+        # duplication factor squared); signatures of identical docs are
+        # identical, so any survivor is the same row
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -1009,6 +1014,9 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= _SH_CHUNKS - 1)
+        # one row per pair under doc_id duplication — mirrors the
+        # oracle's DISTINCT cand (see dedup_simhash for the rationale)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
 

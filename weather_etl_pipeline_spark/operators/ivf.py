@@ -255,7 +255,9 @@ def simsearch_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # initial-centroid dedupe by key (mirrored in the oracle's DISTINCT
     # c0): replicated seed rows would multiply BOTH sides of the
-    # assignment cross join — quadratic under duplication
+    # assignment cross join — quadratic under duplication. vec_id is a
+    # key, so the arbitrary-survivor dropDuplicates equals the oracle's
+    # whole-row DISTINCT (duplicates carry identical embeddings)
     c0 = (
         emb.filter(F.col("vec_id") < _PK)
         .dropDuplicates(["vec_id"])

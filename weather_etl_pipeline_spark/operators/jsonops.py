@@ -32,9 +32,13 @@ WITH kx AS (
   -- and coerces "5" to 5 where Spark yields NULL for both. Pinned
   -- cross-engine in tests/test_json_extract_semantics.py.
   SELECT event_type,
+         -- TRY_CAST, not CAST: DuckDB types every NON-NEGATIVE integer
+         -- as UBIGINT, so values past int64 reach the cast arm — where
+         -- from_json('k long') yields NULL, a plain CAST would error
+         -- out of the whole harness; TRY_CAST nulls them identically
          CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k')
                    IN ('BIGINT', 'UBIGINT')
-              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
          END AS k
   FROM events
 )
@@ -79,9 +83,13 @@ _PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
 -- json_extract_agg; pinned in tests/test_json_extract_semantics.py)
 SELECT event_id, event_type, k FROM (
   SELECT event_id, event_type,
+         -- TRY_CAST, not CAST: DuckDB types every NON-NEGATIVE integer
+         -- as UBIGINT, so values past int64 reach the cast arm — where
+         -- from_json('k long') yields NULL, a plain CAST would error
+         -- out of the whole harness; TRY_CAST nulls them identically
          CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k')
                    IN ('BIGINT', 'UBIGINT')
-              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
          END AS k
   FROM events
 ) t WHERE k > 80
@@ -173,7 +181,7 @@ WITH kx AS (
          CASE WHEN regexp_matches(
                 json_extract_string(TRY_CAST(props AS JSON), '$.k'),
                 '^-?[0-9]+$')
-              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
          END AS k
   FROM events
 )
@@ -192,7 +200,7 @@ def variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (design rule 3 / the json_extract_agg lesson).
     ev = load_table(spark, sf_dir, "events")
     k_str = F.try_variant_get(F.try_parse_json("props"), "$.k", "string")
-    k = F.when(k_str.rlike("^-?[0-9]+$"), k_str.cast("long"))
+    k = F.when(k_str.rlike("^-?[0-9]+$"), k_str.try_cast("long"))
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

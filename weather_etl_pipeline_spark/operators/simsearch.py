@@ -70,7 +70,11 @@ def simsearch_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the probe set is keyed by query_id — dedupe BEFORE the O(Q·N)
     # scan so a repeated probe (or a replicated input) never multiplies
     # the pairwise work; no-op on distinct real data, and the dedupe
-    # runs on the tiny broadcast side, not the corpus
+    # runs on the tiny broadcast side, not the corpus. dropDuplicates
+    # keeps an ARBITRARY survivor vs the oracle's whole-row DISTINCT:
+    # equivalent because vec_id is a key (duplicates only arise from
+    # replication, where payloads are identical) — a dup key carrying a
+    # DIFFERENT embedding is malformed input on both engines
     queries = (
         emb.filter(F.col("vec_id") < _N_QUERIES)
         .select(
@@ -312,7 +316,8 @@ def simsearch_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # probe-set dedupe by key BEFORE the multiprobe explode (mirrored
     # in the oracle's DISTINCT q CTE): a repeated/replicated probe must
-    # not multiply the bucket-scan work — same guard as the kNN probe
+    # not multiply the bucket-scan work — same guard (and same
+    # key-assumption, see the kNN note) as the brute-force probe
     queries = (
         bucketed.filter(F.col("vec_id") < _N_QUERIES)
         .dropDuplicates(["vec_id"])

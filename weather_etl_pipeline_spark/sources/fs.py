@@ -41,7 +41,14 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     _, hdst = _fs_and_path(spark, dst)
     try:
         return bool(fs.rename(hsrc, hdst))
-    except Exception:  # Py4JJavaError: losing a rename race is a False
+    except Exception as e:  # Py4JJavaError: losing a rename race is a False
+        # ... but a permissions error / dead gateway is NOT a race —
+        # keep the root cause visible instead of silently eating it
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "rename %s -> %s raised (normalized to False): %s", src, dst, e
+        )
         return False
 
 
