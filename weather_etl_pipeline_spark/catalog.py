@@ -96,6 +96,27 @@ def _convert_long_ts_cols(df: DataFrame, cols) -> DataFrame:
     return df
 
 
+def cap_per_group(
+    df: DataFrame, keys: list[str], order_col: str, cap: int
+) -> DataFrame:
+    """First ``cap`` rows per ``keys`` group by deterministic
+    ``order_col`` — the membership-cap primitive every blocked/banded
+    structure shares (jaccard postings, levenshtein cells, LSH buckets,
+    baskets, corpus-side probes). One row_number window; callers'
+    oracles mirror it verbatim as ROW_NUMBER() OVER (PARTITION BY keys
+    ORDER BY order_col) <= cap."""
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        df.withColumn("_caprn", F.row_number().over(w))
+        .filter(F.col("_caprn") <= cap)
+        .drop("_caprn")
+    )
+
+
 def spread_to_cores(df: DataFrame) -> DataFrame:
     """Round-robin repartition to ``defaultParallelism``.
 

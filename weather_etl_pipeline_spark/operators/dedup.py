@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, spread_to_cores
+from ..catalog import cap_per_group, load_table, spread_to_cores
 from ..functions.exact import hround
 from ..registry import register
 
@@ -819,12 +819,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise fan every probing batch doc out by the full bucket
     # size; mirrored in the oracle's `corpus` CTE. The batch side stays
     # uncapped: its size IS the cost budget.
-    w_old = Window.partitionBy("band", "band_sig").orderBy("doc_id")
-    old_b = (
-        bands.filter(bucket < _INC_NEW_PCT)
-        .withColumn("rn", F.row_number().over(w_old))
-        .filter(F.col("rn") <= _LSH_BUCKET_CAP)
-        .drop("rn")
+    old_b = cap_per_group(
+        bands.filter(bucket < _INC_NEW_PCT),
+        ["band", "band_sig"],
+        "doc_id",
+        _LSH_BUCKET_CAP,
     )
     cand = (
         new_b.alias("n")
@@ -1100,12 +1099,7 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # membership cap (see header comment): deterministic first CAP docs
     # per cell — bounds pair-gen at cells × CAP² regardless of corpus size
-    wcap = Window.partitionBy("lang", "len_bucket").orderBy("doc_id")
-    capped = (
-        docs.withColumn("rn", F.row_number().over(wcap))
-        .filter(F.col("rn") <= _LEV_MEMBER_CAP)
-        .drop("rn")
-    )
+    capped = cap_per_group(docs, ["lang", "len_bucket"], "doc_id", _LEV_MEMBER_CAP)
     # pair-gen amplifies work by block-size² — spread the capped rows so
     # the probe side isn't bound to the cap window's (low-cardinality)
     # output partitioning

@@ -451,19 +451,14 @@ LIMIT 20
 """,
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..catalog import cap_per_group
 
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    capped = (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _BASKET_CAP)
-        .drop("rn")
-    )
+    capped = cap_per_group(li, ["l_orderkey"], "l_partkey", _BASKET_CAP)
     a = capped.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import cap_per_group, load_table
 from ..functions.vectors import as_double, cosine, dot, norm
 from ..registry import register
 
@@ -142,12 +142,7 @@ def _capped_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
         .withColumn("n", norm(F.col("e")))
     )
-    w = Window.partitionBy("label").orderBy("vec_id")
-    return (
-        emb.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _CELL_CAP)
-        .drop("rn")
-    )
+    return cap_per_group(emb, ["label"], "vec_id", _CELL_CAP)
 
 
 @register("simsearch_neardup_blocked", oracle=_NEARDUP_ORACLE)
