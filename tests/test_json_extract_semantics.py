@@ -70,6 +70,70 @@ CASE WHEN regexp_matches(
 """
 
 
+# json_map_explode_rollup's EAV path: parse to STRING-valued map on
+# both engines, keep only integral literals, TRY_CAST to int64. Each
+# case is (props, expected kept (key, value) entries) — value None
+# means "kept in n but overflowed the cast". Non-integral, null, bool,
+# nested, and non-object payloads drop identically on both engines.
+_MAP_CASES = [
+    ('{"a": 7, "b": -3}', [("a", 7), ("b", -3)]),
+    ('{"a": "5"}', [("a", 5)]),  # string integral: kept (text form)
+    ('{"a": 2.9}', []),  # float: dropped (no rounding drift)
+    ('{"a": "5.7"}', []),  # string float: dropped
+    ("bad", []),  # malformed: null map both
+    (None, []),  # SQL NULL
+    ("5", []),  # non-object JSON: null map both
+    ("[1,2]", []),  # array root: null map both
+    ('{"a": 9223372036854775808}', [("a", None)]),  # overflow: kept, null val
+    ('{"a": null}', []),  # JSON null value: dropped by regex
+    ('{"a": [1,2]}', []),  # nested array value: JSON text, dropped
+    ('{"a": {"x":1}}', []),  # nested object value: JSON text, dropped
+    ('{"a": true}', []),  # bool: 'true' text, dropped
+    ('{"a": ""}', []),  # empty string: dropped
+]
+
+
+def test_map_value_guard_matches_across_engines(spark):
+    """The map-EAV rollup's per-entry guard, run on adversarial
+    payloads through BOTH engines: identical kept-entry sets and
+    identical cast results, including int64 overflow."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(p,) for p, _ in _MAP_CASES if p is not None] + [(None,)],
+        "props string",
+    )
+    kv = (
+        df.select(
+            "props",
+            F.explode(
+                F.from_json("props", T.MapType(T.StringType(), T.StringType()))
+            ).alias("k", "v"),
+        )
+        .filter(F.col("v").rlike("^-?[0-9]+$"))
+        .select("props", "k", F.col("v").try_cast("long").alias("v"))
+    )
+    got: dict = {}
+    for r in kv.collect():
+        got.setdefault(r.props, []).append((r.k, r.v))
+    con = duckdb.connect()
+    for props, expected in _MAP_CASES:
+        duck = con.execute(
+            """
+            SELECT e.key, TRY_CAST(e.value AS BIGINT)
+            FROM (SELECT unnest(map_entries(TRY_CAST(TRY_CAST(? AS JSON)
+                                            AS MAP(VARCHAR, VARCHAR)))) AS e)
+            WHERE regexp_matches(e.value, '^-?[0-9]+$')
+            """,
+            [props],
+        ).fetchall()
+        assert sorted(duck) == sorted(expected), (props, duck)
+        assert sorted(got.get(props, [])) == sorted(expected), (
+            props,
+            got.get(props),
+        )
+
+
 def test_variant_k_extraction_matches_across_engines(spark):
     """variant_extract_agg's k: VARIANT-extract as string, accept only
     integral literals — try_variant_get(.., 'long') would coerce "5"

@@ -22,8 +22,11 @@ from weather_etl_pipeline_spark.operators.simsearch import (
 
 
 def test_minhash_lsh_finds_exact_duplicates(spark):
-    """Exact duplicate texts must always collide in every band and
-    survive verification with jaccard 1.0."""
+    """Exact-duplicate recall under the collapse-first contract: every
+    member of an exact-dup cluster must be connected to its cluster in
+    the output edge set (star edges guarantee this at ANY multiplicity
+    — including clusters larger than the LSH bucket cap, where the old
+    uncollapsed pipeline silently dropped the tail members)."""
     docs = load_table(spark, SF_SMOKE, "documents")
     dup_groups = (
         docs.groupBy("text")
@@ -31,17 +34,75 @@ def test_minhash_lsh_finds_exact_duplicates(spark):
         .filter(F.col("n") >= 2)
         .collect()
     )
-    expected_pairs = set()
+    edges = [
+        (r["doc_a"], r["doc_b"], r["jaccard_shingles"])
+        for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    ]
+    # union-find over the emitted edges: the dup relation is the
+    # transitive closure of the certificate
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in edges:
+        parent[find(a)] = find(b)
+    star = {(a, b) for a, b, j in edges if j == 1.0}
     for g in dup_groups:
         ids = sorted(g["ids"])
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                expected_pairs.add((ids[i], ids[j]))
-    found = {
-        (r["doc_a"], r["doc_b"])
-        for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
-    }
-    assert expected_pairs <= found, "minhash-LSH missed exact duplicates"
+        roots = {find(i) for i in ids}
+        assert len(roots) == 1, f"dup cluster {ids} not connected"
+        # and the rep-star edges themselves must be present verbatim
+        for m in ids[1:]:
+            assert (ids[0], m) in star, f"missing star edge ({ids[0]}, {m})"
+
+
+def test_lsh_recall_on_cluster_larger_than_bucket_cap(spark, tmp_path):
+    """The round-6 advisor finding, reproduced and fixed: an exact-dup
+    cluster LARGER than _LSH_BUCKET_CAP occupies the same ordered
+    prefix of every band bucket, so pre-collapse the tail members (cap+)
+    emitted zero pairs in ANY band and escaped dedup entirely. With
+    exact-collapse-first, every member gets a star edge and a genuine
+    near-dup of the cluster still pairs with the representative."""
+    from weather_etl_pipeline_spark.operators.dedup import (
+        _LSH_BUCKET_CAP,
+        dedup_minhash_portable,
+        dedup_simhash,
+        dedup_simhash_portable,
+    )
+
+    n = _LSH_BUCKET_CAP + 16  # cluster strictly larger than the cap
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tonight"  # high-jaccard near-dup of the cluster
+    rows = [(i, base, "en", "web", len(base)) for i in range(n)]
+    rows.append((n, near, "en", "web", len(near)))
+    rows.append((n + 1, "completely unrelated text about spark plans", "en", "web", 43))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    for fn in (
+        dedup_minhash_lsh,
+        dedup_minhash_portable,
+        dedup_simhash,
+        dedup_simhash_portable,
+    ):
+        edges = {(r[0], r[1]) for r in fn(spark, sf).collect()}
+        # full star: rep 0 to EVERY member, including those past the cap
+        missing = {(0, m) for m in range(1, n)} - edges
+        assert not missing, f"{fn.__name__} lost cap-tail members: {sorted(missing)[:5]}"
+        # the near-dup doc still pairs with the cluster representative
+        # (jaccard 10/11 — asserted on the minhash paths; simhash's
+        # hamming≤3 radius is deliberately tighter than one-token edits)
+        if fn in (dedup_minhash_lsh, dedup_minhash_portable):
+            assert (0, n) in edges, f"{fn.__name__} lost the near-dup pair"
+        # and the unrelated doc joins nothing
+        assert not any(n + 1 in e for e in edges), f"{fn.__name__} false positive"
 
 
 def test_minhash_signature_deterministic(spark):

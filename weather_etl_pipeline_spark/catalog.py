@@ -97,24 +97,39 @@ def _convert_long_ts_cols(df: DataFrame, cols) -> DataFrame:
 
 
 def cap_per_group(
-    df: DataFrame, keys: list[str], order_col: str, cap: int
+    df: DataFrame, keys: list[str], order_col, cap: int
 ) -> DataFrame:
     """First ``cap`` rows per ``keys`` group by deterministic
-    ``order_col`` — the membership-cap primitive every blocked/banded
-    structure shares (jaccard postings, levenshtein cells, LSH buckets,
-    baskets, corpus-side probes). One row_number window; callers'
-    oracles mirror it verbatim as ROW_NUMBER() OVER (PARTITION BY keys
-    ORDER BY order_col) <= cap."""
+    ``order_col`` (a column name / Column, or a list of them for
+    tie-broken orders) — the membership-cap primitive every blocked/
+    banded structure shares (jaccard postings, levenshtein cells, LSH
+    buckets, baskets, corpus-side probes). One row_number window;
+    callers' oracles mirror it verbatim as ROW_NUMBER() OVER
+    (PARTITION BY keys ORDER BY order_cols) <= cap."""
     from pyspark.sql import Window
 
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy(*keys).orderBy(order_col)
+    order_cols = order_col if isinstance(order_col, (list, tuple)) else [order_col]
+    rn = temp_col(df, "_caprn")
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
     return (
-        df.withColumn("_caprn", F.row_number().over(w))
-        .filter(F.col("_caprn") <= cap)
-        .drop("_caprn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= cap)
+        .drop(rn)
     )
+
+
+def temp_col(df: DataFrame, base: str) -> str:
+    """A column name guaranteed absent from ``df`` — internal helper
+    columns (cap row_numbers, rank scratch) must never silently
+    overwrite a caller column of the same name."""
+    name = base
+    i = 0
+    while name in df.columns:
+        i += 1
+        name = f"{base}{i}"
+    return name
 
 
 def spread_to_cores(df: DataFrame) -> DataFrame:

@@ -270,6 +270,51 @@ _MH_VERIFY_T = 0.5
 _LSH_BUCKET_CAP = 64
 
 
+def _collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate collapse in front of every banded LSH structure:
+    (reps, star_edges) where ``reps`` keeps ONE row per distinct text
+    (min doc_id survivor) and ``star_edges`` is (doc_a=rep, doc_b=member)
+    for every other member — a LINEAR-size certificate of the full
+    exact-dup relation (the member clique is its transitive closure).
+
+    Why this is load-bearing for recall, not just perf: exact twins
+    have identical signatures, so they occupy the same ordered prefix
+    of EVERY band bucket they appear in — under a per-bucket membership
+    cap, twins past the cap would emit zero candidate pairs in ANY band
+    and silently escape dedup, and they'd crowd genuinely-distinct
+    near-dups out of the bucket prefix besides. Collapsing first makes
+    exact-dup recall exact at ANY multiplicity (every member is one
+    star edge) and leaves the caps to bound only genuinely-distinct
+    co-bucketed texts. Cost: the same one-shuffle text exchange
+    dedup_exact_canonical already pays — reps and star edges both come
+    out of the single min-over-window exchange.
+    """
+    from pyspark.sql import Window
+
+    marked = docs.select("doc_id", "text").withColumn(
+        "_rep", F.min("doc_id").over(Window.partitionBy("text"))
+    )
+    reps = marked.filter(F.col("doc_id") == F.col("_rep")).select(
+        "doc_id", "text"
+    )
+    edges = marked.filter(F.col("doc_id") != F.col("_rep")).select(
+        F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    return reps, edges
+
+
+# oracle CTE fragment mirroring _collapse_exact: ``docs`` = one row per
+# distinct text (min doc_id), ``star_edges`` = (doc_a=rep, doc_b=member)
+_COLLAPSE_CTE = """marked AS (
+  SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS rep
+  FROM documents
+),
+docs AS (SELECT doc_id, text FROM marked WHERE doc_id = rep),
+star_edges AS (
+  SELECT rep AS doc_a, doc_id AS doc_b FROM marked WHERE doc_id <> rep
+)"""
+
+
 def _capped_bucket_pairs(
     keyed: DataFrame, keys: list[str], cap: int = _LSH_BUCKET_CAP
 ) -> DataFrame:
@@ -285,9 +330,12 @@ def _capped_bucket_pairs(
     """
     from pyspark.sql import Window
 
+    from ..catalog import temp_col
+
+    rn = temp_col(keyed, "rn")
     w = Window.partitionBy(*keys).orderBy("doc_id")
-    capped = keyed.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= cap
+    capped = keyed.withColumn(rn, F.row_number().over(w)).filter(
+        F.col(rn) <= cap
     )
     posting = capped.groupBy(*keys).agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
@@ -403,8 +451,18 @@ def minhash_signatures(docs: DataFrame, k: int = _MH_K) -> DataFrame:
 
 @register("dedup_minhash_lsh", oracle=None, headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via MinHash-LSH; columns (doc_a, doc_b, jaccard_shingles)."""
-    docs = load_table(spark, sf_dir, "documents")  # shingle_rows spreads
+    """Near-dup edges via exact-collapse + MinHash-LSH; columns
+    (doc_a, doc_b, jaccard_shingles).
+
+    Output contract (the production cluster-certificate shape): star
+    edges (rep, member, 1.0) for every exact-duplicate member — full
+    recall at ANY duplicate multiplicity, see _collapse_exact — plus
+    verified near-dup pairs BETWEEN representatives. The connected
+    components of the edge set are the dup clusters; the all-pairs
+    clique (quadratic under duplication) is recoverable by closure and
+    deliberately not materialized."""
+    all_docs = load_table(spark, sf_dir, "documents")
+    docs, star = _collapse_exact(all_docs)  # shingle_rows spreads
     # ZERO shuffles on the signature side: the per-doc shingle arrays
     # are a narrow projection (shingle_arrays), cached once — they feed
     # the signature fold AND both exact-verify sides. Cache lifetime:
@@ -433,14 +491,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
     # candidate pairs per (band, bucket) with the same bounded-membership
     # pattern as the jaccard posting lists: a bucket holding m co-hashed
-    # docs would otherwise emit m² pairs — quadratic in duplicate
-    # multiplicity (boilerplate-heavy corpora; measured 7.6×/decade at
-    # @x100 where every doc has 99 exact twins, vs ≤1.7× for the capped
-    # plans). Cap via row_number, collect the ≤CAP doc_ids per bucket in
-    # the SAME exchange, pair-gen by double-explode of the bounded
-    # arrays — no self-join shuffle, ≤ CAP²/2 pairs per bucket by
-    # construction. Recall note: docs past the cap in one bucket still
-    # candidate through their other _MH_BANDS-1 bands.
+    # docs would otherwise emit m² pairs — quadratic in co-bucket
+    # multiplicity (measured 7.6×/decade at @x100 pre-collapse, vs ≤1.7×
+    # for the capped plans). Cap via row_number, collect the ≤CAP
+    # doc_ids per bucket in the SAME exchange, pair-gen by double-
+    # explode of the bounded arrays — no self-join shuffle, ≤ CAP²/2
+    # pairs per bucket by construction. Recall note: exact twins never
+    # reach these buckets (collapsed upstream into star edges — full
+    # recall at any multiplicity); the cap binds only on ≥CAP DISTINCT
+    # texts sharing a band signature, and a rep past the cap in one
+    # bucket still candidates through its other _MH_BANDS-1 bands.
     cand = _capped_bucket_pairs(bands, ["band", "bucket"], _LSH_BUCKET_CAP)
     # verification: exact shingle-set Jaccard from the cached per-doc
     # sets, joined in by doc_id (AQE broadcasts the small candidate
@@ -454,12 +514,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
-    return (
+    pairs = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jaccard_shingles", hround(jac))
         .filter(F.col("jaccard_shingles") >= _MH_VERIFY_T)
         .select("doc_a", "doc_b", "jaccard_shingles")
+    )
+    # star edges carry jaccard 1.0 BY DEFINITION (identical text ⟹
+    # identical shingle set) — no verify join needed, and <3-token docs
+    # (which have no shingles and can't enter LSH) are still covered
+    return pairs.unionByName(
+        star.withColumn("jaccard_shingles", F.lit(1.0))
     )
 
 
@@ -515,9 +581,18 @@ def simhash_df(docs: DataFrame) -> DataFrame:
 
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via SimHash banding; (doc_a, doc_b, hamming)."""
+    """Near-dup edges via exact-collapse + SimHash banding;
+    (doc_a, doc_b, hamming).
+
+    Same cluster-certificate contract as dedup_minhash_lsh: star edges
+    (rep, member, hamming=0 — identical text ⟹ identical signature)
+    for exact-duplicate members, plus banded near-dup pairs between
+    representatives. The hamming≤3 guaranteed-recall radius therefore
+    holds between DISTINCT texts regardless of duplicate multiplicity —
+    exact twins never compete for bucket-cap slots."""
     # 62 hashes/token + chunk-join pair-gen: core-bound, not split-bound
-    docs = spread_to_cores(load_table(spark, sf_dir, "documents"))
+    reps, star = _collapse_exact(load_table(spark, sf_dir, "documents"))
+    docs = spread_to_cores(reps)
     # cached: the 62-hash fold feeds the chunk explode AND both hamming
     # verify sides (lifetime: the harness's clearCache between entries)
     sh = simhash_df(docs).cache()
@@ -552,7 +627,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    pairs = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= _SH_CHUNKS - 1)  # guaranteed-recall radius
         # one row per pair even if doc_ids repeat in the corpus (the
@@ -562,6 +637,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
+    return pairs.unionByName(star.withColumn("hamming", F.lit(0)))
 
 
 # --- MinHash-LSH, portable-hash variant (fully oracle-verified) --------------
@@ -592,15 +668,17 @@ _PMH_ORACLE_CODE = (
 )
 
 
-def _portable_minhash_cte_prefix() -> str:
+def _portable_minhash_cte_prefix(source: str = "documents") -> str:
     """Shared oracle CTE chain ``toks → sh → sig → bands`` (shingle
-    codes, affine-permutation minima, banded signatures) — used by the
-    full-corpus pair query and the incremental new-vs-corpus query."""
+    codes, affine-permutation minima, banded signatures) over
+    ``source`` — the collapsed ``docs`` reps for the full-corpus pair
+    query, the raw ``documents`` table for the incremental
+    new-vs-corpus query (whose batch/corpus split is by doc_id)."""
     c1 = _PMH_ORACLE_CODE.format(t="L[i]")
     c2 = _PMH_ORACLE_CODE.format(t="L[i+1]")
     c3 = _PMH_ORACLE_CODE.format(t="L[i+2]")
     return f"""toks AS (
-  SELECT doc_id, string_split(text, ' ') AS L FROM documents
+  SELECT doc_id, string_split(text, ' ') AS L FROM {source}
 ),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -627,10 +705,13 @@ bands AS (
 
 
 def _portable_minhash_oracle() -> str:
+    # collapse-first mirror: the signature pipeline runs over the
+    # distinct-text reps (docs CTE), star edges union in at jaccard 1.0;
     # capped AS ... mirrors _capped_bucket_pairs verbatim: pairs only
-    # among the first-_LSH_BUCKET_CAP docs (by doc_id) of each bucket
+    # among the first-_LSH_BUCKET_CAP reps (by doc_id) of each bucket
     return f"""
-WITH {_portable_minhash_cte_prefix()},
+WITH {_COLLAPSE_CTE},
+{_portable_minhash_cte_prefix("docs")},
 capped AS (
   SELECT doc_id, band, band_sig,
          ROW_NUMBER() OVER (PARTITION BY band, band_sig ORDER BY doc_id) AS rn
@@ -657,6 +738,8 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {_MH_VERIFY_T}
+UNION ALL
+SELECT doc_a, doc_b, 1.0 AS jaccard_shingles FROM star_edges
 """
 
 
@@ -728,7 +811,11 @@ def _portable_minhash_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 @register("dedup_minhash_portable", oracle=_portable_minhash_oracle())
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh, bands = _portable_minhash_tables(load_table(spark, sf_dir, "documents"))
+    """Oracle-exact twin of dedup_minhash_lsh — same collapse-first
+    cluster-certificate contract (star edges at jaccard 1.0 + verified
+    rep-level near-dup pairs), portable arithmetic hashes."""
+    reps, star = _collapse_exact(load_table(spark, sf_dir, "documents"))
+    sh, bands = _portable_minhash_tables(reps)
     # bounded pair-gen per band bucket, cap mirrored verbatim in the
     # oracle's `capped` CTE
     cand = _capped_bucket_pairs(bands, ["band", "band_sig"])
@@ -739,12 +826,13 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("h_b"))
     ni = F.size(F.array_intersect("h_a", "h_b"))
     jac = ni.cast("double") / (F.size("h_a") + F.size("h_b") - ni)
-    return (
+    pairs = (
         cand.join(ha, "doc_a")
         .join(hb, "doc_b")
         .filter(jac >= _MH_VERIFY_T)
         .select("doc_a", "doc_b", hround(jac).alias("jaccard_shingles"))
     )
+    return pairs.unionByName(star.withColumn("jaccard_shingles", F.lit(1.0)))
 
 
 # --- incremental minhash dedup: new batch vs existing corpus -----------------
@@ -908,7 +996,8 @@ def _portable_simhash_oracle() -> str:
         f"(simhash // {1 << (c * chunk_w)}) % {1 << chunk_w}" for c in range(_SH_CHUNKS)
     )
     return f"""
-WITH votes AS (
+WITH {_COLLAPSE_CTE},
+votes AS (
   SELECT doc_id,
          list_reduce(
            list_prepend({zeros},
@@ -918,7 +1007,7 @@ WITH votes AS (
                h -> {bits})),
            (acc, x) -> list_transform(list_zip(acc, x), p -> p[1] + p[2])
          ) AS bv
-  FROM documents
+  FROM docs
 ),
 sigs AS (
   SELECT doc_id,
@@ -952,13 +1041,19 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
 FROM cand
 WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_CHUNKS - 1}
+UNION ALL
+SELECT doc_a, doc_b, CAST(0 AS INTEGER) AS hamming FROM star_edges
 """
 
 
 @register("dedup_simhash_portable", oracle=_portable_simhash_oracle())
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via portable-hash SimHash; (doc_a, doc_b, hamming)."""
-    docs = spread_to_cores(load_table(spark, sf_dir, "documents"))
+    """Oracle-exact twin of dedup_simhash — same collapse-first
+    cluster-certificate contract (star edges at hamming 0 + banded
+    rep-level pairs), portable arithmetic hashes;
+    (doc_a, doc_b, hamming)."""
+    reps, star = _collapse_exact(load_table(spark, sf_dir, "documents"))
+    docs = spread_to_cores(reps)
     toks = F.array_distinct(F.split("text", " "))
     hashes = F.transform(toks, lambda t: _portable_token_hash(t))
     bv = docs.select(
@@ -1010,13 +1105,16 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    pairs = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= _SH_CHUNKS - 1)
         # one row per pair under doc_id duplication — mirrors the
         # oracle's DISTINCT cand (see dedup_simhash for the rationale)
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
+    )
+    return pairs.unionByName(
+        star.withColumn("hamming", F.lit(0).cast("int"))
     )
 
 

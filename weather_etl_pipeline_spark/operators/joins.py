@@ -418,11 +418,17 @@ def cross_join_region_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   1. DISTINCT parts per order first — "n_orders" support must count
 #      an order once per pair, not once per line-combination (a part
 #      repeated in an order would otherwise multiply the count);
-#   2. a 32-part membership cap per basket by deterministic partkey —
-#      an uncapped hot basket (a popular session, or any replicated
-#      input: the @x100 sweep read 7.8×/decade, 700-item baskets →
-#      245k pairs each) pairs quadratically in its size. Same
-#      bounded-block principle as the dedup caps.
+#   2. a 32-part membership cap per basket — an uncapped hot basket (a
+#      popular session, or any replicated input: the @x100 sweep read
+#      7.8×/decade, 700-item baskets → 245k pairs each) pairs
+#      quadratically in its size. Same bounded-block principle as the
+#      dedup caps. The cap ORDER is a deterministic multiplicative hash
+#      of the partkey, NOT a partkey prefix: a prefix cap would bias
+#      support systematically toward low partkeys on >cap baskets,
+#      whereas the hash picks a pseudo-random-but-reproducible 32-part
+#      sample per basket, so reported support is capped-basket SAMPLE
+#      support with no systematic key bias (exact whenever the basket
+#      fits the cap — every TPC-H basket does, max 17 parts).
 # Top-20 by (support, pair) lands in TakeOrderedAndProject — no global
 # sort.
 
@@ -437,7 +443,9 @@ WITH d AS (
 ),
 c AS (
   SELECT l_orderkey, l_partkey,
-         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+         ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY (l_partkey * 2654435761) % 4294967296, l_partkey) AS rn
   FROM d
 )
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -458,7 +466,14 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    capped = cap_per_group(li, ["l_orderkey"], "l_partkey", _BASKET_CAP)
+    # hash-ordered cap (see header note 2): pseudo-random deterministic
+    # sample per basket, no systematic low-partkey bias
+    capped = cap_per_group(
+        li,
+        ["l_orderkey"],
+        [(F.col("l_partkey") * 2654435761) % 4294967296, F.col("l_partkey")],
+        _BASKET_CAP,
+    )
     a = capped.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )

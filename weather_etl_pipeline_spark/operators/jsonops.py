@@ -118,39 +118,46 @@ def json_schema_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH kv AS (
   SELECT event_type,
-         unnest(map_entries(CAST(props::JSON AS MAP(VARCHAR, BIGINT)))) AS e
+         unnest(map_entries(TRY_CAST(TRY_CAST(props AS JSON)
+                                     AS MAP(VARCHAR, VARCHAR)))) AS e
   FROM events
   WHERE props IS NOT NULL
 )
 SELECT event_type, e.key AS prop_key,
        COUNT(*) AS n,
-       CAST(SUM(e.value) AS BIGINT) AS sum_val,
-       CAST(MIN(e.value) AS BIGINT) AS min_val,
-       CAST(MAX(e.value) AS BIGINT) AS max_val
+       CAST(SUM(TRY_CAST(e.value AS BIGINT)) AS BIGINT) AS sum_val,
+       CAST(MIN(TRY_CAST(e.value AS BIGINT)) AS BIGINT) AS min_val,
+       CAST(MAX(TRY_CAST(e.value AS BIGINT)) AS BIGINT) AS max_val
 FROM kv
+WHERE regexp_matches(e.value, '^-?[0-9]+$')
 GROUP BY event_type, e.key
 """,
 )
 def json_map_explode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Typed-coercion caveat (the json_extract_agg divergence class, map
-    # form): both engines agree on integral JSON number values — the
-    # testdata's shape — but a float or string-typed value diverges
-    # (Spark's map<.,long> parse nulls the entry; DuckDB's MAP cast
-    # rounds/coerces), and DuckDB's ::JSON errors on malformed props
-    # where from_json yields a null map. The per-scalar guards live in
-    # the k-extraction queries (pinned cross-engine in
-    # tests/test_json_extract_semantics.py); this EAV rollup documents
-    # rather than re-implements them — align per-value if map payloads
-    # ever carry non-integral types.
+    # Integral-value guard (the json_extract_agg semantics class, map
+    # form): a float or string-typed map value would otherwise diverge —
+    # Spark's map<.,long> parse nulls the entry where DuckDB's MAP cast
+    # rounds/coerces ("2.9" → null vs 3). Both engines therefore parse
+    # the map as STRING values and keep only integral literals
+    # (^-?[0-9]+$), so every aggregated value is integer-exact
+    # cross-engine on ANY payload, adversarial ones included (matrix in
+    # tests/test_json_extract_semantics.py). Malformed props: DuckDB's
+    # TRY_CAST(.. AS JSON) nulls the row like from_json's null map.
     ev = load_table(spark, sf_dir, "events")
     kv = (
         ev.filter(F.col("props").isNotNull())
         .select(
             "event_type",
             F.explode(
-                F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+                F.from_json("props", T.MapType(T.StringType(), T.StringType()))
             ).alias("prop_key", "prop_val"),
         )
+        # try_cast: an integral literal can still overflow int64
+        # ("9223372036854775808" passes the regex) — both engines null
+        # it rather than erroring (TRY_CAST mirrored in the oracle);
+        # an overflowed entry still counts in n but not the aggregates
+        .filter(F.col("prop_val").rlike("^-?[0-9]+$"))
+        .withColumn("prop_val", F.col("prop_val").try_cast("long"))
     )
     return kv.groupBy("event_type", "prop_key").agg(
         F.count(F.lit(1)).alias("n"),

@@ -147,6 +147,10 @@ def _capped_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simsearch_neardup_blocked", oracle=_NEARDUP_ORACLE)
 def simsearch_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-cosine pairs WITHIN the per-label _CELL_CAP sample — a
+    sampled diagnostic, not an exhaustive corpus pair listing, once a
+    label exceeds the cap (the ANN-LSH entry is the uncapped-recall
+    scale path)."""
     emb = _capped_emb(spark, sf_dir)
     a = emb.alias("a")
     b = emb.alias("b")
@@ -363,7 +367,7 @@ WITH capped AS (
 )
 SELECT CAST(FLOOR({_dd_cos("a.embedding", "b.embedding")} * 10) AS BIGINT)
          AS cos_bucket,
-       COUNT(*) AS n_pairs
+       COUNT(*) AS n_pairs_sampled
 FROM capped a JOIN capped b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE a.rn <= {_CELL_CAP} AND b.rn <= {_CELL_CAP}
@@ -371,6 +375,11 @@ GROUP BY 1
 """,
 )
 def emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cos_bucket, n_pairs_sampled) — SAMPLED pair counts: computed
+    over the first _CELL_CAP vectors per label, so counts describe the
+    capped sample, not the full corpus, once a label exceeds the cap.
+    The _sampled suffix makes the capped semantics visible at the
+    schema level."""
     # capped-sample histogram: pairwise-cosine DISTRIBUTION estimation
     # only needs a bounded per-cell sample (see _CELL_CAP note); the
     # cap keeps the pair count at labels × CAP²/2 at any corpus size
@@ -385,5 +394,5 @@ def emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.floor(cos * 10).alias("cos_bucket"))
         .groupBy("cos_bucket")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.count(F.lit(1)).alias("n_pairs_sampled"))
     )

@@ -36,18 +36,42 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     tear). Normalize to the documented contract so callers' checked
     rollback logic (plans/metadata.py::_atomic_overwrite) sees one
     failure mode, not two.
+
+    Only the IOException family the race actually produces is
+    normalized; a permissions error, dead gateway, or Python-side bug
+    re-raises — conflating those with the benign lost-rename race would
+    hide fatal misconfiguration behind a generic "swap failed".
     """
+    from py4j.protocol import Py4JJavaError
+
     fs, hsrc = _fs_and_path(spark, src)
     _, hdst = _fs_and_path(spark, dst)
     try:
         return bool(fs.rename(hsrc, hdst))
-    except Exception as e:  # Py4JJavaError: losing a rename race is a False
-        # ... but a permissions error / dead gateway is NOT a race —
-        # keep the root cause visible instead of silently eating it
+    except Py4JJavaError as e:
+        # the race manifests as FileNotFoundException (source moved
+        # aside mid-call) or a bare IOException subclass from the
+        # FileSystem impl; anything else (AccessControlException,
+        # IllegalArgumentException, ...) is a real fault
+        jexc = e.java_exception
+        names = []
+        jcls = jexc.getClass()
+        while jcls is not None:
+            names.append(jcls.getName())
+            jcls = jcls.getSuperclass()
+        if not any(
+            n in ("java.io.FileNotFoundException", "java.io.IOException")
+            for n in names
+        ) or "org.apache.hadoop.security.AccessControlException" in names:
+            raise
         import logging
 
         logging.getLogger(__name__).warning(
-            "rename %s -> %s raised (normalized to False): %s", src, dst, e
+            "rename %s -> %s raised %s (normalized to False): %s",
+            src,
+            dst,
+            names[0],
+            e,
         )
         return False
 
