@@ -62,8 +62,13 @@ def main() -> None:
         for _ in range(5)
     )
 
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    per_query: dict[str, float] = {}
+    # best-of-3 is the PUBLISHED CONTRACT (raised from 2 in round 7):
+    # single-pass numbers swing ±20% on a noisy host (q1 measured
+    # 0.97s→1.36s on identical code between rounds), and the per-pass
+    # raw times are persisted in the JSON so a regression can be told
+    # from a noise window without re-running the bench.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    raw: dict[str, list[float]] = {n: [] for n in headline}
     for _ in range(passes):
         for name in sorted(headline):
             # drop any cache an operator created (e.g. minhash's signature
@@ -74,9 +79,8 @@ def main() -> None:
             headline[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            dt = time.perf_counter() - t0
-            per_query[name] = min(per_query.get(name, float("inf")), dt)
-    per_query = {n: round(v, 3) for n, v in per_query.items()}
+            raw[name].append(round(time.perf_counter() - t0, 3))
+    per_query = {n: min(ts) for n, ts in raw.items()}
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -86,6 +90,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "passes": raw,
                 "floor_sec": round(floor, 3),
                 "engine_sec": round(total - floor * len(per_query), 3),
                 "sf": sf,

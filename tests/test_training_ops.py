@@ -147,3 +147,66 @@ def test_incremental_minhash_matches_full_corpus_restriction(spark):
         elif bucket(b) >= _INC_NEW_PCT and bucket(a) < _INC_NEW_PCT:
             want.add((b, a, j))
     assert inc == want
+
+
+def test_signature_store_probe_matches_inline_incremental(spark, tmp_path):
+    """The persisted signature store is the amortized form of
+    dedup_incremental_minhash: build once over the corpus split, probe
+    with the batch split, and the pair set must equal the inline query
+    (same portable signatures, same corpus-side cap, same verify)."""
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.operators.dedup import (
+        _INC_NEW_PCT,
+        dedup_incremental_minhash,
+    )
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+        probe_signature_store,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    store = str(tmp_path / "sigstore")
+    build_signature_store(spark, docs.filter(bucket < _INC_NEW_PCT), store)
+    probed = {
+        (r["new_id"], r["old_id"], r["jaccard_shingles"])
+        for r in probe_signature_store(
+            spark, docs.filter(bucket >= _INC_NEW_PCT), store
+        ).collect()
+    }
+    inline = {
+        (r["new_id"], r["old_id"], r["jaccard_shingles"])
+        for r in dedup_incremental_minhash(spark, sf).collect()
+    }
+    assert probed == inline
+    assert probed, "no pairs at sf0.01 — vacuous equality"
+
+
+def test_signature_store_probe_plan_never_shuffles_store(spark, tmp_path):
+    """Scale contract of the probe: the store side is scanned pruned
+    and joined via broadcast of the batch — no Exchange may feed from
+    the store scans (a store shuffle would make probe cost corpus-
+    bound, the exact term the store exists to amortize)."""
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.operators.dedup import _INC_NEW_PCT
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+        probe_signature_store,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    store = str(tmp_path / "sigstore")
+    build_signature_store(spark, docs.filter(bucket < _INC_NEW_PCT), store)
+    out = probe_signature_store(
+        spark, docs.filter(bucket >= _INC_NEW_PCT), store
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every join touching the store must be a broadcast join; the only
+    # allowed exchanges are broadcast exchanges and the batch side's own
+    # narrow repartition
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan

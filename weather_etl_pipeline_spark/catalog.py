@@ -132,6 +132,22 @@ def temp_col(df: DataFrame, base: str) -> str:
     return name
 
 
+def table_file_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """On-disk bytes of a test table (Hadoop FS metadata, no scan) —
+    the driver-side size signal for plan gates like the jaccard
+    verify-broadcast. Honors ``@xN`` amplification (replicated listings
+    scan N× the bytes)."""
+    from .sources.fs import _fs_and_path
+
+    base, replication = _resolve_sf_dir(sf_dir, name)
+    fs, root = _fs_and_path(spark, os.path.join(base, f"{name}.parquet"))
+    total = 0
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        total += int(it.next().getLen())
+    return total * replication
+
+
 def spread_to_cores(df: DataFrame) -> DataFrame:
     """Round-robin repartition to ``defaultParallelism``.
 

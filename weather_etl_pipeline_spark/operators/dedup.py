@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import cap_per_group, load_table, spread_to_cores
+from ..catalog import cap_per_group, load_table, spread_to_cores, table_file_bytes
 from ..functions.exact import hround
 from ..registry import register
 
@@ -94,6 +94,9 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_T = 0.6
 _JACCARD_POSTING_CAP = 64
+# verify-broadcast gate: documents.parquet bytes under which the
+# inverted index (~2-4x the raw bytes in memory) broadcasts safely
+_JACCARD_BC_MAX_BYTES = 64 * 1024 * 1024
 
 # scored-candidate CTE chain shared by the pair query and the
 # threshold-tuning curve below (one definition so they cannot drift)
@@ -191,10 +194,21 @@ def _jaccard_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verified at sf0.01), roughly par at @x10/@x100 (1.95/3.73s vs
     # 2.06/3.48s — both shapes broadcast the small candidate side, so
     # the corpus never reshuffles either way), but +0.8s at sf0.1
-    # (3.27 vs 2.45 best) from the extra join stages' latency — kept
-    # the exploded count-join.
+    # (3.27 vs 2.45 best; re-measured round 7: 3.03 vs 2.13) from the
+    # extra join stages' latency — kept the exploded count-join.
     fa = inv.select(F.col("doc_id").alias("doc_a"), "token")
     fb = inv.select(F.col("doc_id").alias("doc_b"), "token")
+    # size-gated broadcast of the verify-side index: the (doc_b, token)
+    # join otherwise shuffles BOTH the full inverted index and the
+    # pairs×tokens intermediate — the query's dominant exchange
+    # (round-7 A/B at sf0.1: 2.28s shuffled vs 1.78s broadcast). The
+    # gate is driver-side file metadata, no scan: broadcast only while
+    # the documents table is small enough that its exploded index fits
+    # an executor comfortably; past the gate (e.g. the @x100 sweep, or
+    # any real corpus) the plan falls back to the shuffle join, whose
+    # cost is bounded by the SAME posting caps as candidate generation.
+    if table_file_bytes(spark, sf_dir, "documents") <= _JACCARD_BC_MAX_BYTES:
+        fb = F.broadcast(fb)
     pairs = (
         cand.join(fa, "doc_a")
         .join(fb, ["doc_b", "token"])
@@ -327,6 +341,13 @@ def _capped_bucket_pairs(
     the bounded arrays cost no extra shuffle; pair-gen is a narrow
     double-explode of ≤cap-element arrays (never a self-join of the
     exploded index).
+
+    Round-7 A/B: fusing the cap into the groupBy as
+    slice(sort_array(collect_list(..)), 1, cap) drops the window's
+    per-bucket sort and reads 0.14s faster at sf0.1 (1.54 vs 1.68 on
+    dedup_minhash_lsh) — rejected because the pre-slice collect_list
+    materializes UNBOUNDED per-bucket arrays (the OOM shape the
+    posting-cap design rule exists to forbid); the window streams.
     """
     from pyspark.sql import Window
 

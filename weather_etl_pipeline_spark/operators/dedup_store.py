@@ -1,0 +1,181 @@
+"""Persisted MinHash signature store — the production ingest-dedup shape.
+
+``dedup_incremental_minhash`` (dedup.py) is the right QUERY shape for
+ingest-time near-dup checks (batch-vs-corpus, never corpus-vs-corpus),
+but it rebuilds the corpus-side signatures inline on every call — at
+@x100 that build is 10.1s of its 11.3s total and is the op's entire
+6.3×/decade growth term. A real pipeline builds the corpus signatures
+ONCE as a lake table and every ingest batch probes it; probe cost then
+scales with the BATCH, not the corpus. These two maintenance ops are
+that store, mirroring ``sources/maintenance.py::compact_zone``'s
+posture (library function + pytest contract, driver-side work strictly
+bounded metadata):
+
+- ``build_signature_store`` — one job over the corpus: banded portable
+  minhash signatures (the exact arithmetic of
+  ``dedup_minhash_portable``; reference parity target
+  /root/reference/silver.py:36's read-then-derive staging, re-expressed
+  as a persisted derived table) written to ``<store>/bands``
+  partitioned by ``(band, sig_shard)``, plus the per-doc shingle-code
+  arrays (the exact-verify sidecar) to ``<store>/codes`` partitioned by
+  ``id_shard``. The per-bucket membership rank (the corpus-side
+  ``_LSH_BUCKET_CAP`` every banded structure applies) is computed at
+  build time and STORED, so probes filter ``rn <= cap`` instead of
+  re-windowing the corpus.
+- ``probe_signature_store`` — batch-vs-store only: signatures are
+  computed for the BATCH inline (its size is the cost budget), the
+  store is read partition-pruned to the batch's ``(band, sig_shard)``
+  set and never shuffled (the batch side broadcasts), and the exact
+  jaccard verify reads only the ``id_shard`` partitions holding
+  candidate old docs. No corpus-side signature computation anywhere.
+
+Scale notes (the 100 TB contract):
+- build is the linear one-pass job you run per compaction cycle; the
+  band window is its only wide stage.
+- probe's driver-side collects are BOUNDED work-lists, not data:
+  ≤ bands×shards (512) shard keys and ≤ N_ID_SHARDS (64) verify
+  shards — same class as plans/layers.py's one-row-per-partition list.
+- probe reads shrink with batch locality (a batch touching few shards
+  prunes most of the store); worst case it SCANS the matching band
+  partitions (columnar longs, IO-speed) but never folds, windows, or
+  shuffles them. The @x100 sweep row in EXPLAINS.md quantifies this:
+  probe stays ~flat while the inline query's corpus signature build
+  grows a decade per decade.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import hround
+from .dedup import (
+    _LSH_BUCKET_CAP,
+    _MH_VERIFY_T,
+    _portable_minhash_tables,
+)
+
+N_SIG_SHARDS = 64  # band_sig shards per band → 8×64 prunable partitions
+N_ID_SHARDS = 64  # doc_id shards for the verify sidecar
+
+
+def _bands_path(store_path: str) -> str:
+    return os.path.join(store_path, "bands")
+
+
+def _codes_path(store_path: str) -> str:
+    return os.path.join(store_path, "codes")
+
+
+def build_signature_store(spark: SparkSession, docs: DataFrame, store_path: str) -> None:
+    """One corpus pass → two partitioned lake tables (see module doc).
+
+    ``docs`` needs (doc_id, text). Overwrites any prior store — rebuild
+    runs on the compaction cadence, not per ingest.
+    """
+    from pyspark.sql import Window
+
+    sh, bands = _portable_minhash_tables(docs)
+    # per-bucket membership rank STORED so probes apply the corpus-side
+    # cap with a filter instead of re-windowing the corpus every batch
+    w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    # repartition ON the layout keys before the partitioned write: one
+    # task per partition dir → one file per dir (≤ 8×64 + 64 files
+    # total) instead of files×tasks tiny-file spray, which made probe
+    # latency file-open-bound (first cut measured 6.5s probe at sf0.1,
+    # ~all of it footer overhead). Very large corpora re-file via
+    # sources/maintenance.py::compact_zone on the usual cadence.
+    (
+        bands.withColumn("rn", F.row_number().over(w))
+        .withColumn("sig_shard", F.pmod("band_sig", F.lit(N_SIG_SHARDS)))
+        .repartition(8 * N_SIG_SHARDS, "band", "sig_shard")
+        .write.mode("overwrite")
+        .partitionBy("band", "sig_shard")
+        .parquet(_bands_path(store_path))
+    )
+    (
+        sh.withColumn("id_shard", F.pmod("doc_id", F.lit(N_ID_SHARDS)))
+        .repartition(N_ID_SHARDS, "id_shard")
+        .write.mode("overwrite")
+        .partitionBy("id_shard")
+        .parquet(_codes_path(store_path))
+    )
+    sh.unpersist()
+
+
+def probe_signature_store(
+    spark: SparkSession, batch: DataFrame, store_path: str
+) -> DataFrame:
+    """(new_id, old_id, jaccard_shingles) — batch docs near-duplicating
+    a stored-corpus doc; the persisted-store twin of
+    ``dedup_incremental_minhash``'s inline query (pytest pins the
+    outputs equal). ``batch`` needs (doc_id, text)."""
+    shb, bandsb = _portable_minhash_tables(batch)
+
+    # bounded work-list collect #1: the batch's (band, sig_shard) set —
+    # ≤ 8×64 rows — prunes the store scan to matching partitions. One
+    # FLAT IN-list over a composite of the two partition columns: an
+    # OR-chain of 512 conjunctions nests the expression tree 512 deep
+    # and overflows the plan-conversion stack; the composite references
+    # only partition columns, so partition pruning still applies.
+    shard_keys = [
+        r["key"]
+        for r in bandsb.select(
+            (
+                F.col("band") * N_SIG_SHARDS
+                + F.pmod("band_sig", F.lit(N_SIG_SHARDS))
+            ).alias("key")
+        )
+        .distinct()
+        .collect()
+    ]
+    store_bands = (
+        spark.read.parquet(_bands_path(store_path))
+        .filter(
+            (F.col("band") * N_SIG_SHARDS + F.col("sig_shard")).isin(shard_keys)
+            if shard_keys
+            else F.lit(False)
+        )
+        .filter(F.col("rn") <= _LSH_BUCKET_CAP)  # corpus-side cap, pre-ranked
+    )
+    # batch side broadcasts (its size is the cost budget); the store is
+    # scanned pruned, joined in place, never shuffled
+    # cached: the candidate set feeds the bounded id-shard collect AND
+    # the verify join — without the cache the pruned store-bands scan
+    # would run twice (lifetime: the harness/caller clearCache)
+    cand = (
+        F.broadcast(
+            bandsb.select(
+                F.col("doc_id").alias("new_id"), "band", "band_sig"
+            )
+        )
+        .join(store_bands, ["band", "band_sig"])
+        .select("new_id", F.col("doc_id").alias("old_id"))
+        .dropDuplicates(["new_id", "old_id"])
+        .cache()
+    )
+    # bounded work-list collect #2: candidate old-doc shards (≤ 64
+    # values) prune the verify-sidecar scan
+    id_shards = [
+        r["s"]
+        for r in cand.select(
+            F.pmod("old_id", F.lit(N_ID_SHARDS)).alias("s")
+        )
+        .distinct()
+        .collect()
+    ]
+    codes = spark.read.parquet(_codes_path(store_path)).filter(
+        F.col("id_shard").isin(id_shards) if id_shards else F.lit(False)
+    )
+    ha = shb.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("h_a"))
+    hb = codes.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("h_b"))
+    ni = F.size(F.array_intersect("h_a", "h_b"))
+    jac = ni.cast("double") / (F.size("h_a") + F.size("h_b") - ni)
+    return (
+        F.broadcast(cand.join(F.broadcast(ha), "new_id"))
+        .join(hb, "old_id")
+        .filter(jac >= _MH_VERIFY_T)
+        .select("new_id", "old_id", hround(jac).alias("jaccard_shingles"))
+    )
