@@ -149,3 +149,55 @@ def test_guard_catches_seeded_regressions(spark):
         "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
     )
     assert not unpartitioned_ordered_windows(_physical_plan(good))
+
+
+# --- broadcast-join regression guard (TPC-H star family) ---------------------
+# The third plan pathology, alongside cartesians and global windows: a
+# stats/threshold regression silently flipping a dimension-side join
+# (nation/region/supplier/customer/part) from broadcast to sort-merge
+# would 10× shuffle volume at cluster scale. Plans are built at sf0.1
+# (the bench scale, where the stats actually matter); each query pins
+# its CURRENT dimension-broadcast count as a floor and forbids any
+# shuffle-side join outright — every join in this family has a
+# broadcastable side by construction.
+
+_STAR_FAMILY_MIN_BHJ = {
+    "star_join_revenue": 4,
+    "join_part_pricing": 1,
+    "basket_part_pairs": 1,
+    "q2_min_cost_supplier": 4,
+    "q3_shipping_priority": 2,
+    "q4_order_priority": 1,
+    "q5_local_supplier_volume": 5,
+    "q7_volume_shipping": 5,
+    "q8_market_share": 7,
+    "q9_product_profit": 4,
+    "q10_returned_revenue": 2,
+    "q11_important_stock": 4,
+    "q12_shipmode_priority": 1,
+    "q13_customer_distribution": 1,
+    "q14_promo_revenue": 1,
+    "q15_top_supplier": 2,
+    "q16_parts_supplier": 2,
+    "q17_small_quantity_revenue": 2,
+    "q18_large_orders": 1,
+    "q19_disjunctive_revenue": 1,
+    "q20_promotion_suppliers": 3,
+    "q21_last_shipper": 3,
+    "q22_sales_opportunity": 1,
+}
+
+_SF01 = "/root/testdata/sf0.1"
+
+
+@pytest.mark.parametrize("name", sorted(_STAR_FAMILY_MIN_BHJ))
+def test_star_join_stays_broadcast_at_sf01(spark, name):
+    plan = _physical_plan(_REGISTRY[name].fn(spark, _SF01))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        f"{name}: a join fell off the broadcast path at sf0.1\n" + plan
+    )
+    bhj = plan.count("BroadcastHashJoin")
+    assert bhj >= _STAR_FAMILY_MIN_BHJ[name], (
+        f"{name}: expected >= {_STAR_FAMILY_MIN_BHJ[name]} broadcast hash "
+        f"joins, found {bhj}\n" + plan
+    )
