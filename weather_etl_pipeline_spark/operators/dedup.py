@@ -100,11 +100,17 @@ _JACCARD_BC_MAX_BYTES = 64 * 1024 * 1024
 
 # scored-candidate CTE chain shared by the pair query and the
 # threshold-tuning curve below (one definition so they cannot drift)
-_JACCARD_CTE_PREFIX = f"""toks AS (
+_JACCARD_CTE_PREFIX = f"""ddocs AS (
+  -- whole-row DISTINCT: doc_id is the unit of pairing, so replicated
+  -- input rows (@xN amplification, ingest double-writes) must not
+  -- inflate the verify counts dup²-fold (caught by the @x1000 sweep)
+  SELECT DISTINCT doc_id, lang, source, text FROM documents
+),
+toks AS (
   SELECT doc_id, lang, source,
          len(list_distinct(string_split(text, ' '))) AS n_tok,
          UNNEST(list_distinct(string_split(text, ' '))) AS token
-  FROM documents
+  FROM ddocs
 ),
 capped AS (
   SELECT * FROM (
@@ -144,7 +150,18 @@ def _jaccard_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve (one definition so they cannot drift)."""
     from pyspark.sql import Window
 
-    docs = spread_to_cores(load_table(spark, sf_dir, "documents"))
+    # whole-row distinct before anything explodes: doc_id is the unit
+    # of pairing, and replicated rows would ride the verify joins on
+    # BOTH sides — dup² work and dup²-inflated n_shared (the @x1000
+    # sweep measured 12.9×/decade before this; the distinct is one
+    # base-row shuffle, strictly smaller than the posting window's
+    # exploded-index exchange downstream). Mirrored as the oracle's
+    # ddocs CTE.
+    docs = spread_to_cores(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .dropDuplicates()
+    )
     # cache ONE ROW PER DOC with the distinct-token ARRAY (not the
     # exploded index): candidate generation explodes from this cache,
     # and the exact verify reads the arrays directly — the full token
@@ -305,27 +322,51 @@ def _collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     from pyspark.sql import Window
 
-    marked = docs.select("doc_id", "text").withColumn(
-        "_rep", F.min("doc_id").over(Window.partitionBy("text"))
+    # all three windows share the ONE partitionBy(text) exchange; the
+    # row_numbers (not equality-with-min filters) make the outputs
+    # duplication-proof: replicated input ROWS (same doc_id appearing
+    # n times — @xN amplification, or upstream ingest double-writes)
+    # yield exactly one rep row per text and one star edge per member,
+    # never n copies (an equality filter kept every copy of the min
+    # row, which re-introduced the dup² blowup downstream — caught by
+    # the @x1000 sweep)
+    marked = (
+        docs.select("doc_id", "text")
+        .withColumn("_rep", F.min("doc_id").over(Window.partitionBy("text")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("text").orderBy("doc_id")),
+        )
+        .withColumn(
+            "_cp",
+            F.row_number().over(
+                Window.partitionBy("text", "doc_id").orderBy("doc_id")
+            ),
+        )
     )
-    reps = marked.filter(F.col("doc_id") == F.col("_rep")).select(
-        "doc_id", "text"
-    )
-    edges = marked.filter(F.col("doc_id") != F.col("_rep")).select(
-        F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
-    )
+    reps = marked.filter(F.col("_rn") == 1).select("doc_id", "text")
+    edges = marked.filter(
+        (F.col("_cp") == 1) & (F.col("doc_id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     return reps, edges
 
 
-# oracle CTE fragment mirroring _collapse_exact: ``docs`` = one row per
-# distinct text (min doc_id), ``star_edges`` = (doc_a=rep, doc_b=member)
+# oracle CTE fragment mirroring _collapse_exact verbatim (row_numbers,
+# not equality-with-min, so replicated rows can't duplicate outputs):
+# ``docs`` = one row per distinct text (min doc_id), ``star_edges`` =
+# one (doc_a=rep, doc_b=member) edge per member
 _COLLAPSE_CTE = """marked AS (
-  SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS rep
+  SELECT doc_id, text,
+         MIN(doc_id) OVER (PARTITION BY text) AS rep,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY text, doc_id
+                            ORDER BY doc_id) AS cp
   FROM documents
 ),
-docs AS (SELECT doc_id, text FROM marked WHERE doc_id = rep),
+docs AS (SELECT doc_id, text FROM marked WHERE rn = 1),
 star_edges AS (
-  SELECT rep AS doc_a, doc_id AS doc_b FROM marked WHERE doc_id <> rep
+  SELECT rep AS doc_a, doc_id AS doc_b FROM marked
+  WHERE cp = 1 AND doc_id <> rep
 )"""
 
 
@@ -865,10 +906,13 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both sides reuse the portable banded-signature pipeline, so the
 # candidate join is new-bands × corpus-bands on (band, band_sig) — cost
 # proportional to the BATCH, not the corpus, once corpus signatures are
-# stored (in production the corpus side of `_portable_minhash_tables`
-# is a persisted signature table keyed by band for pruned probes;
-# computing it inline here keeps the query self-contained). Verify =
-# exact shingle-code jaccard, as the full-corpus variant.
+# stored. The persisted form EXISTS as a first-class op:
+# operators/dedup_store.py::build_signature_store /
+# probe_signature_store (probe ≡ this query, pytest-pinned; probe cost
+# measured flat across x1/x10/x100 corpus growth). Computing the
+# corpus side inline here keeps the query self-contained for the
+# oracle harness. Verify = exact shingle-code jaccard, as the
+# full-corpus variant.
 
 _INC_NEW_PCT = 95  # hash bucket >= this → "new batch" (5%)
 
