@@ -156,8 +156,10 @@ def _jaccard_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sweep measured 12.9×/decade before this; the distinct is one
     # base-row shuffle, strictly smaller than the posting window's
     # exploded-index exchange downstream). Mirrored as the oracle's
-    # ddocs CTE.
-    docs = spread_to_cores(
+    # ddocs CTE. The distinct's own hash exchange already spreads the
+    # distinct rows across cores — no spread_to_cores on top (it would
+    # be a second, redundant full exchange of the same rows).
+    docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", "source", "text")
         .dropDuplicates()
