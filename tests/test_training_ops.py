@@ -210,3 +210,46 @@ def test_signature_store_probe_plan_never_shuffles_store(spark, tmp_path):
     # allowed exchanges are broadcast exchanges and the batch side's own
     # narrow repartition
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_signature_store_append_equals_rebuild(spark, tmp_path):
+    """The ingest loop's accept step: appending a batch's signatures
+    must leave the store probe-equivalent to a full rebuild over the
+    union corpus (ranks stay valid because ingest ids are monotonic —
+    the contract the op asserts), and a non-monotonic append must be
+    refused."""
+    import pytest as _pytest
+
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        append_signature_batch,
+        build_signature_store,
+        probe_signature_store,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")  # doc_ids 0..499
+    part_a = docs.filter(F.col("doc_id") < 350)
+    part_b = docs.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 475))
+    probe = docs.filter(F.col("doc_id") >= 475)
+
+    appended = str(tmp_path / "appended")
+    build_signature_store(spark, part_a, appended)
+    append_signature_batch(spark, part_b, appended)
+    rebuilt = str(tmp_path / "rebuilt")
+    build_signature_store(spark, docs.filter(F.col("doc_id") < 475), rebuilt)
+
+    got_a = {
+        (r["new_id"], r["old_id"], r["jaccard_shingles"])
+        for r in probe_signature_store(spark, probe, appended).collect()
+    }
+    got_r = {
+        (r["new_id"], r["old_id"], r["jaccard_shingles"])
+        for r in probe_signature_store(spark, probe, rebuilt).collect()
+    }
+    assert got_a == got_r
+    assert got_a, "vacuous equality — probe found no pairs"
+
+    # contract enforcement: re-appending older ids must refuse
+    with _pytest.raises(ValueError, match="monotonic"):
+        append_signature_batch(spark, part_a, appended)

@@ -103,6 +103,97 @@ def build_signature_store(spark: SparkSession, docs: DataFrame, store_path: str)
         .parquet(_codes_path(store_path))
     )
     sh.unpersist()
+    # meta: the append contract's watermark (1-row table)
+    hi = docs.agg(F.max("doc_id").alias("hi")).collect()[0]["hi"]
+    _write_meta(spark, store_path, int(hi if hi is not None else -1))
+
+
+def _meta_path(store_path: str) -> str:
+    return os.path.join(store_path, "meta")
+
+
+def _write_meta(spark: SparkSession, store_path: str, max_doc_id: int) -> None:
+    spark.createDataFrame([(int(max_doc_id),)], "max_doc_id long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(_meta_path(store_path))
+
+
+def append_signature_batch(
+    spark: SparkSession, batch: DataFrame, store_path: str
+) -> None:
+    """Append an ingested batch's signatures to an existing store —
+    the accept step of the ingest loop (probe → filter dups → append)
+    — without the corpus rebuild.
+
+    Contract: batch doc_ids are strictly greater than every stored
+    doc_id (monotonic ingest sequence, asserted against the store's
+    meta table). That ordering is what keeps the STORED per-bucket
+    rank valid under append: new members always rank after existing
+    ones, so existing rows never re-rank — the new rows' ranks are
+    base-offset row_numbers, where the per-bucket base comes from a
+    scan pruned to the batch's own shard set (batch-bounded, not
+    corpus-bounded). Single-writer maintenance op, like compact_zone;
+    rebuild on the compaction cadence still applies for re-filing.
+    """
+    from pyspark.sql import Window
+
+    lo_hi = batch.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    stored_max = spark.read.parquet(_meta_path(store_path)).collect()[0][
+        "max_doc_id"
+    ]
+    if lo_hi["lo"] is None:
+        return
+    if lo_hi["lo"] <= stored_max:
+        raise ValueError(
+            f"append contract violated: batch min doc_id {lo_hi['lo']} "
+            f"<= stored max {stored_max} (ingest ids must be monotonic)"
+        )
+    shb, bandsb = _portable_minhash_tables(batch)
+    bandsb = bandsb.withColumn(
+        "sig_shard", F.pmod("band_sig", F.lit(N_SIG_SHARDS))
+    )
+    shard_keys = [
+        r["key"]
+        for r in bandsb.select(
+            (F.col("band") * N_SIG_SHARDS + F.col("sig_shard")).alias("key")
+        )
+        .distinct()
+        .collect()
+    ]
+    base = (
+        spark.read.parquet(_bands_path(store_path))
+        .filter(
+            (F.col("band") * N_SIG_SHARDS + F.col("sig_shard")).isin(shard_keys)
+            if shard_keys
+            else F.lit(False)
+        )
+        .groupBy("band", "band_sig")
+        .agg(F.max("rn").alias("_base"))
+    )
+    w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    new_bands = (
+        bandsb.withColumn("_rn0", F.row_number().over(w))
+        .join(base, ["band", "band_sig"], "left")
+        .withColumn("rn", F.coalesce("_base", F.lit(0)) + F.col("_rn0"))
+        .select("doc_id", "band", "band_sig", "rn", "sig_shard")
+    )
+    (
+        new_bands.repartition(8 * N_SIG_SHARDS, "band", "sig_shard")
+        .write.mode("append")
+        .partitionBy("band", "sig_shard")
+        .parquet(_bands_path(store_path))
+    )
+    (
+        shb.withColumn("id_shard", F.pmod("doc_id", F.lit(N_ID_SHARDS)))
+        .repartition(N_ID_SHARDS, "id_shard")
+        .write.mode("append")
+        .partitionBy("id_shard")
+        .parquet(_codes_path(store_path))
+    )
+    shb.unpersist()
+    _write_meta(spark, store_path, int(lo_hi["hi"]))
 
 
 def probe_signature_store(
