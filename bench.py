@@ -67,7 +67,7 @@ def main() -> None:
     # 0.97s→1.36s on identical code between rounds), and the per-pass
     # raw times are persisted in the JSON so a regression can be told
     # from a noise window without re-running the bench.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     raw: dict[str, list[float]] = {n: [] for n in headline}
     for _ in range(passes):
         for name in sorted(headline):

@@ -27,16 +27,21 @@ def test_minhash_lsh_finds_exact_duplicates(spark):
     the output edge set (star edges guarantee this at ANY multiplicity
     — including clusters larger than the LSH bucket cap, where the old
     uncollapsed pipeline silently dropped the tail members)."""
-    docs = load_table(spark, SF_SMOKE, "documents")
+    # sf0.1, not SF_SMOKE: sf0.001/sf0.01 contain no duplicate texts,
+    # which made this test vacuously green; sf0.1 carries real dup
+    # groups and the guard below keeps it honest if fixtures change
+    sf = "/root/testdata/sf0.1"
+    docs = load_table(spark, sf, "documents")
     dup_groups = (
         docs.groupBy("text")
         .agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
         .collect()
     )
+    assert dup_groups, "no duplicate texts in fixture — test is vacuous"
     edges = [
         (r["doc_a"], r["doc_b"], r["jaccard_shingles"])
-        for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+        for r in dedup_minhash_lsh(spark, sf).collect()
     ]
     # union-find over the emitted edges: the dup relation is the
     # transitive closure of the certificate

@@ -84,6 +84,21 @@ def test_simhash_output_matches_exhaustive_signature_oracle(spark):
                 h = bin(sigs[a] ^ sigs[b]).count("1")
                 if h <= _SH_CHUNKS - 1:
                     expected.add((a, b, h))
+    # the star-edge half of the output contract, recomputed from
+    # scratch (plain Python over the raw rows, NOT _collapse_exact):
+    # one (rep=min id, member, 0) edge per exact-duplicate member.
+    # Empty on today's dup-free sf0.01 fixtures, but the driver
+    # regenerates testdata between rounds — without this the oracle
+    # would cover only half the spec.
+    by_text: dict = {}
+    for r in (
+        load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    ):
+        if r["text"] is not None:
+            by_text.setdefault(r["text"], []).append(r["doc_id"])
+    for ids in by_text.values():
+        ids = sorted(set(ids))
+        expected |= {(ids[0], m, 0) for m in ids[1:]}
     got = {
         (r["doc_a"], r["doc_b"], r["hamming"])
         for r in dedup_simhash(spark, SF).collect()

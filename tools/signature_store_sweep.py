@@ -21,7 +21,7 @@ if _REPO not in sys.path:
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from weather_etl_pipeline_spark.catalog import load_table  # noqa: E402
+from weather_etl_pipeline_spark.catalog import knuth_hash, load_table  # noqa: E402
 from weather_etl_pipeline_spark.operators.dedup import _INC_NEW_PCT  # noqa: E402
 from weather_etl_pipeline_spark.operators.dedup_store import (  # noqa: E402
     build_signature_store,
@@ -40,7 +40,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    bucket = knuth_hash("doc_id") % 100
     batch = load_table(spark, args.base, "documents").filter(
         bucket >= _INC_NEW_PCT
     )

@@ -132,6 +132,25 @@ def temp_col(df: DataFrame, base: str) -> str:
     return name
 
 
+# Knuth multiplicative hash (golden-ratio multiplier for 2^32),
+# computed in BIGINT — the ONE deterministic key-bucketing hash every
+# oracle-mirrored split/sample/cap shares (train/val/test split,
+# incremental batch split, basket cap order, mixture resample). The
+# Spark and SQL forms must stay digit-for-digit identical for oracle
+# parity, so both live here and NOWHERE else.
+KNUTH = 2654435761
+KNUTH_MOD = 4294967296
+
+
+def knuth_hash(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    return (c * F.lit(KNUTH)) % F.lit(KNUTH_MOD)
+
+
+def oracle_knuth_hash(expr: str) -> str:
+    return f"(({expr} * {KNUTH}) % {KNUTH_MOD})"
+
+
 def table_file_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
     """On-disk bytes of a test table (Hadoop FS metadata, no scan) —
     the driver-side size signal for plan gates like the jaccard

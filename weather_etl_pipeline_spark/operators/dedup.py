@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import cap_per_group, load_table, spread_to_cores, table_file_bytes
+from ..catalog import (
+    cap_per_group,
+    knuth_hash,
+    load_table,
+    oracle_knuth_hash,
+    spread_to_cores,
+    table_file_bytes,
+)
 from ..functions.exact import hround
 from ..registry import register
 
@@ -332,8 +339,13 @@ def _collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     # never n copies (an equality filter kept every copy of the min
     # row, which re-introduced the dup² blowup downstream — caught by
     # the @x1000 sweep)
+    # NULL text is UNKNOWN, not a duplicate class: the window would
+    # otherwise co-partition every NULL-text doc and emit "identical
+    # text" star edges between documents whose text is missing. Filter
+    # preserves the pre-collapse semantics (no shingles → no pairs).
     marked = (
         docs.select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
         .withColumn("_rep", F.min("doc_id").over(Window.partitionBy("text")))
         .withColumn(
             "_rn",
@@ -364,6 +376,7 @@ _COLLAPSE_CTE = """marked AS (
          ROW_NUMBER() OVER (PARTITION BY text, doc_id
                             ORDER BY doc_id) AS cp
   FROM documents
+  WHERE text IS NOT NULL
 ),
 docs AS (SELECT doc_id, text FROM marked WHERE rn = 1),
 star_edges AS (
@@ -921,7 +934,7 @@ _INC_NEW_PCT = 95  # hash bucket >= this → "new batch" (5%)
 
 def _inc_minhash_oracle() -> str:
     # same split hash as operators/scaleops.py (Knuth multiplicative)
-    split = "((doc_id * 2654435761) % 4294967296) % 100"
+    split = f"{oracle_knuth_hash('doc_id')} % 100"
     return f"""
 WITH {_portable_minhash_cte_prefix()},
 corpus AS (
@@ -967,7 +980,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     sh, bands = _portable_minhash_tables(load_table(spark, sf_dir, "documents"))
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    bucket = knuth_hash("doc_id") % 100
     new_b = bands.filter(bucket >= _INC_NEW_PCT)
     # corpus-side membership cap per (band, band_sig) — a hot bucket
     # (boilerplate signature shared by millions of stored docs) would

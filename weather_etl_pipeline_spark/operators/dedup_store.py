@@ -26,15 +26,20 @@ bounded metadata):
   computed for the BATCH inline (its size is the cost budget), the
   store is read partition-pruned to the batch's ``(band, sig_shard)``
   set and never shuffled (the batch side broadcasts), and the exact
-  jaccard verify reads only the ``id_shard`` partitions holding
-  candidate old docs. No corpus-side signature computation anywhere.
+  jaccard verify is a columnar scan-and-probe of the code sidecar
+  against the broadcast candidates. No corpus-side signature
+  computation anywhere.
+- ``append_signature_batch`` — the ingest loop's accept step: appends
+  a batch's signatures with base-offset ranks (valid because ingest
+  doc_ids are monotonic, asserted against the meta watermark), codes
+  before bands before meta so every torn state is benign or detected.
 
 Scale notes (the 100 TB contract):
 - build is the linear one-pass job you run per compaction cycle; the
   band window is its only wide stage.
-- probe's driver-side collects are BOUNDED work-lists, not data:
-  ≤ bands×shards (512) shard keys and ≤ N_ID_SHARDS (64) verify
-  shards — same class as plans/layers.py's one-row-per-partition list.
+- probe's driver-side collect is a BOUNDED work-list, not data:
+  ≤ bands×shards (512) shard keys — same class as plans/layers.py's
+  one-row-per-partition list.
 - probe reads shrink with batch locality (a batch touching few shards
   prunes most of the store); worst case it SCANS the matching band
   partitions (columnar longs, IO-speed) but never folds, windows, or
@@ -150,6 +155,27 @@ def append_signature_batch(
             f"append contract violated: batch min doc_id {lo_hi['lo']} "
             f"<= stored max {stored_max} (ingest ids must be monotonic)"
         )
+    # torn-append detection: a crash mid-append leaves rows above the
+    # meta watermark (meta is written LAST). A blind retry would pass
+    # the monotonicity check and append the same rows again — duplicate
+    # band rows with freshly offset ranks would inflate buckets past
+    # the cap and silently evict genuinely distinct docs from probe
+    # candidacy. Refuse loudly instead; recovery = rebuild (or prune
+    # the orphans). The doc_id predicate pushes to parquet row-group
+    # stats, so the checks are metadata-speed, not scans.
+    for sub in (_bands_path(store_path), _codes_path(store_path)):
+        orphans = (
+            spark.read.parquet(sub)
+            .filter(F.col("doc_id") > stored_max)
+            .limit(1)
+            .count()
+        )
+        if orphans:
+            raise ValueError(
+                f"torn append detected: {sub} holds doc_ids above the "
+                f"meta watermark {stored_max} — a previous append "
+                "crashed mid-write; rebuild the store"
+            )
     shb, bandsb = _portable_minhash_tables(batch)
     bandsb = bandsb.withColumn(
         "sig_shard", F.pmod("band_sig", F.lit(N_SIG_SHARDS))
@@ -179,18 +205,25 @@ def append_signature_batch(
         .withColumn("rn", F.coalesce("_base", F.lit(0)) + F.col("_rn0"))
         .select("doc_id", "band", "band_sig", "rn", "sig_shard")
     )
-    (
-        new_bands.repartition(8 * N_SIG_SHARDS, "band", "sig_shard")
-        .write.mode("append")
-        .partitionBy("band", "sig_shard")
-        .parquet(_bands_path(store_path))
-    )
+    # write order is the crash-consistency story: codes FIRST (a
+    # codes-present/bands-missing torn state is benign — the new docs
+    # are simply not yet searchable, exactly as before the append),
+    # bands second (the reverse order would generate candidates whose
+    # verify rows are missing: silent recall loss), meta watermark LAST
+    # (so any torn state is detectable as rows above the watermark —
+    # see the torn-append check on entry).
     (
         shb.withColumn("id_shard", F.pmod("doc_id", F.lit(N_ID_SHARDS)))
         .repartition(N_ID_SHARDS, "id_shard")
         .write.mode("append")
         .partitionBy("id_shard")
         .parquet(_codes_path(store_path))
+    )
+    (
+        new_bands.repartition(8 * N_SIG_SHARDS, "band", "sig_shard")
+        .write.mode("append")
+        .partitionBy("band", "sig_shard")
+        .parquet(_bands_path(store_path))
     )
     shb.unpersist()
     _write_meta(spark, store_path, int(lo_hi["hi"]))
@@ -233,9 +266,6 @@ def probe_signature_store(
     )
     # batch side broadcasts (its size is the cost budget); the store is
     # scanned pruned, joined in place, never shuffled
-    # cached: the candidate set feeds the bounded id-shard collect AND
-    # the verify join — without the cache the pruned store-bands scan
-    # would run twice (lifetime: the harness/caller clearCache)
     cand = (
         F.broadcast(
             bandsb.select(
@@ -245,21 +275,15 @@ def probe_signature_store(
         .join(store_bands, ["band", "band_sig"])
         .select("new_id", F.col("doc_id").alias("old_id"))
         .dropDuplicates(["new_id", "old_id"])
-        .cache()
     )
-    # bounded work-list collect #2: candidate old-doc shards (≤ 64
-    # values) prune the verify-sidecar scan
-    id_shards = [
-        r["s"]
-        for r in cand.select(
-            F.pmod("old_id", F.lit(N_ID_SHARDS)).alias("s")
-        )
-        .distinct()
-        .collect()
-    ]
-    codes = spark.read.parquet(_codes_path(store_path)).filter(
-        F.col("id_shard").isin(id_shards) if id_shards else F.lit(False)
-    )
+    # verify sidecar: scanned and probed via the broadcast candidate
+    # side. (An earlier cut collected the candidates' id_shard set to
+    # prune this scan, which forced a cand .cache() that leaked across
+    # the per-batch ingest loop — and pruned nothing in practice: any
+    # non-trivial batch touches all 64 shards. The columnar
+    # scan-and-probe IS the documented worst case; the flatness-sweep
+    # numbers were measured with the scan effectively unpruned.)
+    codes = spark.read.parquet(_codes_path(store_path))
     ha = shb.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("h_a"))
     hb = codes.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("h_b"))
     ni = F.size(F.array_intersect("h_a", "h_b"))

@@ -24,7 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import knuth_hash as _knuth_hash
 from ..catalog import load_table
+from ..catalog import oracle_knuth_hash as _oracle_knuth_hash
 from ..functions.exact import (
     REV_D,
     davg,
@@ -445,7 +447,7 @@ c AS (
   SELECT l_orderkey, l_partkey,
          ROW_NUMBER() OVER (
            PARTITION BY l_orderkey
-           ORDER BY (l_partkey * 2654435761) % 4294967296, l_partkey) AS rn
+           ORDER BY {_oracle_knuth_hash('l_partkey')}, l_partkey) AS rn
   FROM d
 )
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -471,7 +473,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = cap_per_group(
         li,
         ["l_orderkey"],
-        [(F.col("l_partkey") * 2654435761) % 4294967296, F.col("l_partkey")],
+        [_knuth_hash("l_partkey"), F.col("l_partkey")],
         _BASKET_CAP,
     )
     a = capped.select(

@@ -32,20 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import KNUTH_MOD as _MOD
 from ..catalog import load_table
+from ..catalog import knuth_hash as _hash_col
+from ..catalog import oracle_knuth_hash as _oracle_hash
 from ..functions.exact import davg, dsum, hround, oracle_davg, oracle_dsum
 from ..registry import register
-
-_KNUTH = 2654435761
-_MOD = 4294967296  # 2^32
-
-
-def _hash_col(key: str) -> Column:
-    return (F.col(key) * F.lit(_KNUTH)) % F.lit(_MOD)
-
-
-def _oracle_hash(key: str) -> str:
-    return f"(({key} * {_KNUTH}) % {_MOD})"
 
 
 # --- deterministic train/val/test split --------------------------------------

@@ -139,7 +139,18 @@ def _atomic_overwrite(df: DataFrame, path: str) -> None:
     # silently delete the previous metadata
     if path_exists(spark, path) and not rename(spark, path, old):
         raise IOError(f"metadata swap: could not move {path} aside")
-    if not rename(spark, tmp, path):
+    # rollback on EITHER failure mode: rename() returns False for the
+    # benign lost-race IOException family but RE-RAISES genuine faults
+    # (permissions, dead filesystem) — the old table must be restored
+    # on both paths or a raise here would strand the metadata at the
+    # __old_ name and the next run would see no watermarks
+    try:
+        published = rename(spark, tmp, path)
+    except BaseException:
+        if path_exists(spark, old):
+            rename(spark, old, path)
+        raise
+    if not published:
         # roll the old table back so watermarks survive the failure
         if path_exists(spark, old):
             rename(spark, old, path)
