@@ -425,3 +425,74 @@ def test_stream_stream_left_outer_emits_deferred_nulls(spark, tmp_path):
     by_signup = {r["signup_id"]: r["purchase_id"] for r in rows}
     assert by_signup[100] == 200          # matched pair
     assert by_signup[101] is None         # deferred null emission
+
+
+def test_stream_ingest_dedup_probe_then_append(spark, tmp_path):
+    """The streaming ingest-dedup loop: each micro-batch is probed
+    against the signature store, dups are quarantined with evidence,
+    accepted docs are committed AND their signatures appended — so a
+    batch-2 duplicate of a doc ACCEPTED in batch 1 is caught without
+    any corpus recomputation."""
+    from pyspark.sql import functions as F
+
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+    )
+    from weather_etl_pipeline_spark.streaming.ingest_dedup import (
+        stream_ingest_dedup,
+    )
+
+    schema = "doc_id long, text string, src string"
+    corpus_texts = [
+        f"corpus document number {i} talks about topic {i} at length {i}"
+        for i in range(10)
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t, "seed") for i, t in enumerate(corpus_texts)], schema
+    )
+    store = str(tmp_path / "store")
+    build_signature_store(spark, corpus.select("doc_id", "text"), store)
+
+    u1 = "a genuinely fresh document about spark streaming semantics"
+    u2 = "another fresh document concerning parquet footer statistics"
+    batch1 = [
+        (100, corpus_texts[0], "crawl"),  # exact dup of corpus doc 0
+        (101, u1, "crawl"),  # new → accepted + appended
+    ]
+    batch2 = [
+        (200, u1, "crawl"),  # dup of the doc ACCEPTED in batch 1
+        (201, u2, "crawl"),  # new
+    ]
+    src = str(tmp_path / "src")
+    accepted = str(tmp_path / "accepted")
+    rejects = str(tmp_path / "rejects")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ingest_dedup(stream, spark, store, accepted, rejects, ck)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    acc = {
+        (r["doc_id"], r["src"]) for r in spark.read.parquet(accepted).collect()
+    }
+    assert acc == {(101, "crawl"), (201, "crawl")}  # payload cols survive
+    rej = {
+        (r["new_id"], r["old_id"], r["jaccard_shingles"])
+        for r in spark.read.parquet(rejects).collect()
+    }
+    # 100 matched corpus doc 0; 200 matched doc 101 — which only exists
+    # in the store because batch 1's append ran
+    assert rej == {(100, 0, 1.0), (200, 101, 1.0)}
