@@ -210,6 +210,10 @@ def test_signature_store_probe_plan_never_shuffles_store(spark, tmp_path):
     # allowed exchanges are broadcast exchanges and the batch side's own
     # narrow repartition
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # and the bands scan must be PARTITION-PRUNED by the batch's
+    # (band, sig_shard) work-list — an empty PartitionFilters would
+    # mean probes scan the whole store at every corpus size
+    assert re.search(r"PartitionFilters: \[[^\]]*sig_shard", plan), plan
 
 
 def test_signature_store_append_equals_rebuild(spark, tmp_path):
