@@ -328,3 +328,57 @@ def test_hround_matches_decimal_half_up(spark, vals):
         d = Decimal(v) * 100 + Decimal("0.5")
         want = float(d.to_integral_value(rounding="ROUND_FLOOR")) / 100
         assert g == want, (v, g, want)
+
+
+# --- exact-dup collapse (the round-7 LSH front door) -------------------------
+# _collapse_exact is the recall-critical primitive in front of every
+# banded dedup structure: reps = one row per distinct non-null text
+# (min doc_id survivor), star edges = (rep, member) once per member.
+# Adversarial inputs: duplicate texts, NULL texts, and REPLICATED ROWS
+# (same doc_id appearing k times — the @xN/ingest-double-write shape
+# whose equality-filter regression the @x1000 sweep caught).
+
+_corpus = st.lists(
+    st.tuples(
+        st.integers(0, 9),  # doc_id (collisions = replicated rows)
+        st.sampled_from(["alpha beta gamma", "delta epsilon zeta", None]),
+        st.integers(1, 3),  # row replication factor
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(_corpus)
+@settings(**_SETTINGS)
+def test_collapse_exact_matches_reference(spark, corpus):
+    from weather_etl_pipeline_spark.operators.dedup import _collapse_exact
+
+    rows = [
+        (doc_id, text) for doc_id, text, k in corpus for _ in range(k)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    reps_df, edges_df = _collapse_exact(docs)
+    reps = {(r["doc_id"], r["text"]) for r in reps_df.collect()}
+    edges = sorted(
+        (r["doc_a"], r["doc_b"]) for r in edges_df.collect()
+    )
+
+    # driver-side reference: min-id rep per distinct non-null text,
+    # one star edge per distinct non-rep member
+    by_text: dict = {}
+    for doc_id, text in rows:
+        if text is not None:
+            by_text.setdefault(text, set()).add(doc_id)
+    want_reps = {(min(ids), t) for t, ids in by_text.items()}
+    want_edges = sorted(
+        (min(ids), m)
+        for ids in by_text.values()
+        for m in ids
+        if m != min(ids)
+    )
+    assert reps == want_reps
+    # exact list equality: replicated input rows must NOT duplicate
+    # reps or edges
+    assert edges == want_edges
+    assert reps_df.count() == len(want_reps)

@@ -257,3 +257,59 @@ def test_signature_store_append_equals_rebuild(spark, tmp_path):
     # contract enforcement: re-appending older ids must refuse
     with _pytest.raises(ValueError, match="monotonic"):
         append_signature_batch(spark, part_a, appended)
+
+
+def test_signature_store_torn_append_is_benign_and_detected(spark, tmp_path):
+    """The append crash-consistency claims, exercised: a crash after
+    the codes write but before the bands write (the write order makes
+    this the only mid-append torn state besides bands-complete) leaves
+    probe output IDENTICAL to the pre-append store — the new docs are
+    simply not yet searchable — and the next append refuses loudly
+    instead of duplicating rows."""
+    import pytest as _pytest
+
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        _codes_path,
+        append_signature_batch,
+        build_signature_store,
+        probe_signature_store,
+        N_ID_SHARDS,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch_b = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450))
+    probe = docs.filter(F.col("doc_id") >= 450)
+
+    store = str(tmp_path / "store")
+    build_signature_store(spark, corpus, store)
+    before = {
+        (r["new_id"], r["old_id"])
+        for r in probe_signature_store(spark, probe, store).collect()
+    }
+
+    # simulate the crash: write batch_b's CODES only (the first of the
+    # three append writes), leaving bands and meta untouched
+    from weather_etl_pipeline_spark.operators.dedup import (
+        _portable_minhash_tables,
+    )
+
+    shb, _ = _portable_minhash_tables(batch_b)
+    (
+        shb.withColumn("id_shard", F.pmod("doc_id", F.lit(N_ID_SHARDS)))
+        .write.mode("append")
+        .partitionBy("id_shard")
+        .parquet(_codes_path(store))
+    )
+    shb.unpersist()
+
+    after = {
+        (r["new_id"], r["old_id"])
+        for r in probe_signature_store(spark, probe, store).collect()
+    }
+    assert after == before, "torn codes-only append changed probe output"
+
+    with _pytest.raises(ValueError, match="torn append"):
+        append_signature_batch(spark, batch_b, store)
