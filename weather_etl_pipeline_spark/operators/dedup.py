@@ -11,9 +11,18 @@ pre-training-corpus dedup:
 - MinHash + LSH: shingle → K minhashes → banded bucket join; candidate
   pairs only form inside a bucket, verification joins back to token
   sets. Sub-quadratic by construction; hash-function-specific so no SQL
-  oracle (pytest golden covers it);
+  oracle (pytest oracle-bridge ties it to the portable twin);
 - SimHash: 64-bit signature via HOF fold (no explode), banded into
   16-bit chunks for candidate generation, hamming-distance verify.
+
+Collapse-first contract (round 7): every banded structure collapses
+EXACT duplicates before signing (_collapse_exact) and outputs a linear
+cluster certificate — star edges (rep, member) at jaccard 1.0 /
+hamming 0 plus verified rep-level near-dup pairs. Exact-dup recall is
+therefore exact at ANY multiplicity (per-bucket caps can no longer
+starve twin tails), the all-pairs clique (quadratic under duplication)
+is never materialized, and the caps bound only genuinely-distinct
+co-bucketed texts.
 
 All JVM-side built-ins — no Python UDFs in any hot path.
 """
