@@ -599,3 +599,24 @@ def test_capped_bucket_pairs_bounded_and_deterministic(spark):
         for r in _capped_bucket_pairs(keyed, ["bucket"], cap=3).collect()
     }
     assert again == got
+
+
+def test_jaccard_broadcast_gate_paths_identical(spark, monkeypatch):
+    """The size-gated verify-index broadcast is a pure physical-plan
+    choice: forcing the gate OFF (the >64MB corpus fallback the @x1000
+    sweep runs) must produce the exact same pair set and scores as the
+    broadcast path."""
+    from weather_etl_pipeline_spark.operators import dedup as d
+
+    sf = "/root/testdata/sf0.01"
+    fast = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_jaccard_pairs(spark, sf).collect()
+    }
+    monkeypatch.setattr(d, "_JACCARD_BC_MAX_BYTES", 0)
+    slow = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_jaccard_pairs(spark, sf).collect()
+    }
+    assert fast == slow
+    assert fast, "vacuous equality — no pairs at sf0.01"
