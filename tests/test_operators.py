@@ -96,6 +96,7 @@ def test_lsh_recall_on_cluster_larger_than_bucket_cap(spark, tmp_path):
         dedup_minhash_portable,
         dedup_simhash,
         dedup_simhash_portable,
+        dedup_jaccard_pairs,  # collapse-first applies to the whole family
     ):
         edges = {(r[0], r[1]) for r in fn(spark, sf).collect()}
         # full star: rep 0 to EVERY member, including those past the cap
@@ -104,7 +105,7 @@ def test_lsh_recall_on_cluster_larger_than_bucket_cap(spark, tmp_path):
         # the near-dup doc still pairs with the cluster representative
         # (jaccard 10/11 — asserted on the minhash paths; simhash's
         # hamming≤3 radius is deliberately tighter than one-token edits)
-        if fn in (dedup_minhash_lsh, dedup_minhash_portable):
+        if fn in (dedup_minhash_lsh, dedup_minhash_portable, dedup_jaccard_pairs):
             assert (0, n) in edges, f"{fn.__name__} lost the near-dup pair"
         # and the unrelated doc joins nothing
         assert not any(n + 1 in e for e in edges), f"{fn.__name__} false positive"

@@ -122,11 +122,25 @@ _JACCARD_CTE_PREFIX = f"""ddocs AS (
   -- inflate the verify counts dup²-fold (caught by the @x1000 sweep)
   SELECT DISTINCT doc_id, lang, source, text FROM documents
 ),
+-- exact-collapse (the same star-certificate contract as the LSH
+-- family): posting caps otherwise have the identical recall hole —
+-- exact twins fill every capped posting list they appear in, crowding
+-- distinct near-dups out and losing twin tails past the cap
+marked AS (
+  SELECT doc_id, lang, source, text,
+         MIN(doc_id) OVER (PARTITION BY text) AS rep,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn0
+  FROM ddocs WHERE text IS NOT NULL
+),
+jdocs AS (SELECT doc_id, lang, source, text FROM marked WHERE rn0 = 1),
+jstar AS (
+  SELECT rep AS doc_a, doc_id AS doc_b FROM marked WHERE doc_id <> rep
+),
 toks AS (
   SELECT doc_id, lang, source,
          len(list_distinct(string_split(text, ' '))) AS n_tok,
          UNNEST(list_distinct(string_split(text, ' '))) AS token
-  FROM ddocs
+  FROM jdocs
 ),
 capped AS (
   SELECT * FROM (
@@ -157,29 +171,63 @@ SELECT doc_a, doc_b,
        FLOOR(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
 FROM pairs
 WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {_JACCARD_T}
+UNION ALL
+SELECT doc_a, doc_b, 1.0 AS jaccard FROM jstar
 """
 
 
-def _jaccard_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified candidate pairs with (doc_a, doc_b, n_a, n_b, n_shared)
-    — the shared pipeline behind the pair query and the threshold
-    curve (one definition so they cannot drift)."""
+def _jaccard_collapse(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(reps, star_edges) for the jaccard family — the same exact-
+    collapse contract as the LSH ops (_collapse_exact), carrying the
+    blocking columns (lang, source) on the reps. Posting caps have the
+    identical recall hole the LSH bucket caps had: exact twins fill
+    every capped posting list they appear in, crowding distinct
+    near-dups out and losing twin tails past the cap. Star edges span
+    blocks deliberately — identical text is a duplicate regardless of
+    which (lang, source) block each copy was filed under.
+
+    Upstream of the collapse sits the whole-row distinct (doc_id is
+    the unit of pairing; replicated rows would ride the verify joins
+    on BOTH sides — dup² work and dup²-inflated n_shared, measured
+    12.9×/decade at @x1000 before the fix), mirrored as the oracle's
+    ddocs CTE. One hash exchange for the distinct + one text exchange
+    for the collapse window; both strictly smaller than the posting
+    window's exploded-index exchange downstream."""
     from pyspark.sql import Window
 
-    # whole-row distinct before anything explodes: doc_id is the unit
-    # of pairing, and replicated rows would ride the verify joins on
-    # BOTH sides — dup² work and dup²-inflated n_shared (the @x1000
-    # sweep measured 12.9×/decade before this; the distinct is one
-    # base-row shuffle, strictly smaller than the posting window's
-    # exploded-index exchange downstream). Mirrored as the oracle's
-    # ddocs CTE. The distinct's own hash exchange already spreads the
-    # distinct rows across cores — no spread_to_cores on top (it would
-    # be a second, redundant full exchange of the same rows).
-    docs = (
+    ddocs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", "source", "text")
         .dropDuplicates()
     )
+    marked = (
+        ddocs.filter(F.col("text").isNotNull())
+        .withColumn("_rep", F.min("doc_id").over(Window.partitionBy("text")))
+        .withColumn(
+            "_rn0",
+            F.row_number().over(Window.partitionBy("text").orderBy("doc_id")),
+        )
+    )
+    reps = marked.filter(F.col("_rn0") == 1).select(
+        "doc_id", "lang", "source", "text"
+    )
+    star = marked.filter(F.col("doc_id") != F.col("_rep")).select(
+        F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    return reps, star
+
+
+def _jaccard_scored_pairs(
+    spark: SparkSession, sf_dir: str, reps: DataFrame | None = None
+) -> DataFrame:
+    """Verified candidate pairs with (doc_a, doc_b, n_a, n_b, n_shared)
+    over the collapsed reps — the shared pipeline behind the pair query
+    and the threshold curve (one definition so they cannot drift)."""
+    from pyspark.sql import Window
+
+    docs = reps if reps is not None else _jaccard_collapse(spark, sf_dir)[0]
     # cache ONE ROW PER DOC with the distinct-token ARRAY (not the
     # exploded index): candidate generation explodes from this cache,
     # and the exact verify reads the arrays directly — the full token
@@ -264,12 +312,19 @@ def _jac_expr():
 
 @register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE, headline=True)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup edges via exact-collapse + capped inverted index — the
+    same cluster-certificate contract as the LSH family: star edges
+    (rep, member, 1.0) for exact-duplicate members (full recall at any
+    multiplicity, across blocks) plus exact-verified rep-level pairs
+    at jaccard >= _JACCARD_T within (lang, source) blocks."""
+    reps, star = _jaccard_collapse(spark, sf_dir)
     jac = _jac_expr()
-    return (
-        _jaccard_scored_pairs(spark, sf_dir)
+    pairs = (
+        _jaccard_scored_pairs(spark, sf_dir, reps)
         .filter(jac >= _JACCARD_T)
         .select("doc_a", "doc_b", hround(jac).alias("jaccard"))
     )
+    return pairs.unionByName(star.withColumn("jaccard", F.lit(1.0)))
 
 
 # --- jaccard threshold-tuning curve ------------------------------------------
@@ -279,6 +334,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold goes in the valley. One extra tiny histogram aggregate over
 # the pipeline the pair query already runs — candidates are bounded by
 # the posting cap, so the curve costs what the pair query costs.
+# Rep-level by construction (the collapse runs upstream): exact twins
+# contribute no mass, which is what a TUNING signal wants — a
+# dup-heavy corpus would otherwise bury the near-dup valley under a
+# decile-10 spike of exact copies.
 
 
 @register(
