@@ -116,25 +116,28 @@ _JACCARD_BC_MAX_BYTES = 64 * 1024 * 1024
 
 # scored-candidate CTE chain shared by the pair query and the
 # threshold-tuning curve below (one definition so they cannot drift)
-_JACCARD_CTE_PREFIX = f"""ddocs AS (
-  -- whole-row DISTINCT: doc_id is the unit of pairing, so replicated
-  -- input rows (@xN amplification, ingest double-writes) must not
-  -- inflate the verify counts dup²-fold (caught by the @x1000 sweep)
-  SELECT DISTINCT doc_id, lang, source, text FROM documents
-),
--- exact-collapse (the same star-certificate contract as the LSH
--- family): posting caps otherwise have the identical recall hole —
--- exact twins fill every capped posting list they appear in, crowding
--- distinct near-dups out and losing twin tails past the cap
-marked AS (
+_JACCARD_CTE_PREFIX = f"""marked AS (
+  -- exact-collapse (the same star-certificate contract as the LSH
+  -- family): posting caps otherwise have the identical recall hole —
+  -- exact twins fill every capped posting list they appear in,
+  -- crowding distinct near-dups out and losing twin tails past the
+  -- cap. Row_numbers, not whole-row DISTINCT: cp kills replicated
+  -- input rows (@xN amplification, ingest double-writes — dup²-fold
+  -- verify inflation otherwise, caught by the @x1000 sweep) AND pins
+  -- one star edge per member; rn0's (doc_id, lang, source) order
+  -- makes the surviving rep row deterministic
   SELECT doc_id, lang, source, text,
          MIN(doc_id) OVER (PARTITION BY text) AS rep,
-         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn0
-  FROM ddocs WHERE text IS NOT NULL
+         ROW_NUMBER() OVER (PARTITION BY text
+                            ORDER BY doc_id, lang, source) AS rn0,
+         ROW_NUMBER() OVER (PARTITION BY text, doc_id
+                            ORDER BY lang, source) AS cp
+  FROM documents WHERE text IS NOT NULL
 ),
 jdocs AS (SELECT doc_id, lang, source, text FROM marked WHERE rn0 = 1),
 jstar AS (
-  SELECT rep AS doc_a, doc_id AS doc_b FROM marked WHERE doc_id <> rep
+  SELECT rep AS doc_a, doc_id AS doc_b FROM marked
+  WHERE cp = 1 AND doc_id <> rep
 ),
 toks AS (
   SELECT doc_id, lang, source,
@@ -188,34 +191,44 @@ def _jaccard_collapse(
     blocks deliberately — identical text is a duplicate regardless of
     which (lang, source) block each copy was filed under.
 
-    Upstream of the collapse sits the whole-row distinct (doc_id is
-    the unit of pairing; replicated rows would ride the verify joins
-    on BOTH sides — dup² work and dup²-inflated n_shared, measured
-    12.9×/decade at @x1000 before the fix), mirrored as the oracle's
-    ddocs CTE. One hash exchange for the distinct + one text exchange
-    for the collapse window; both strictly smaller than the posting
-    window's exploded-index exchange downstream."""
+    ONE text exchange total, same as _collapse_exact: all three windows
+    ride the single partitionBy(text) hash exchange (the (text, doc_id)
+    window's ClusteredDistribution is satisfied by hash(text) — subset
+    rule), and the row_numbers subsume the whole-row distinct the round-7
+    version ran as a separate exchange. _cp (not whole-row distinct)
+    kills replicated input rows — doc_id is the unit of pairing;
+    replicated rows would ride the verify joins on BOTH sides (dup² work
+    and dup²-inflated n_shared, measured 12.9×/decade at @x1000 before
+    the fix) — and pins ONE star edge per member even when a member row
+    is replicated with differing lang/source (the round-7 whole-row
+    distinct let those emit the same edge twice). _rn0's (doc_id, lang,
+    source) order makes the surviving rep row's block deterministic."""
     from pyspark.sql import Window
 
-    ddocs = (
+    marked = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", "source", "text")
-        .dropDuplicates()
-    )
-    marked = (
-        ddocs.filter(F.col("text").isNotNull())
+        .filter(F.col("text").isNotNull())
         .withColumn("_rep", F.min("doc_id").over(Window.partitionBy("text")))
         .withColumn(
             "_rn0",
-            F.row_number().over(Window.partitionBy("text").orderBy("doc_id")),
+            F.row_number().over(
+                Window.partitionBy("text").orderBy("doc_id", "lang", "source")
+            ),
+        )
+        .withColumn(
+            "_cp",
+            F.row_number().over(
+                Window.partitionBy("text", "doc_id").orderBy("lang", "source")
+            ),
         )
     )
     reps = marked.filter(F.col("_rn0") == 1).select(
         "doc_id", "lang", "source", "text"
     )
-    star = marked.filter(F.col("doc_id") != F.col("_rep")).select(
-        F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
-    )
+    star = marked.filter(
+        (F.col("_cp") == 1) & (F.col("doc_id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     return reps, star
 
 
@@ -279,6 +292,9 @@ def _jaccard_scored_pairs(
     # the corpus never reshuffles either way), but +0.8s at sf0.1
     # (3.27 vs 2.45 best; re-measured round 7: 3.03 vs 2.13) from the
     # extra join stages' latency — kept the exploded count-join.
+    # Re-A/B'd round 8 after the one-exchange collapse shrank the rep
+    # side: count-join 2.44s vs array_intersect 3.42s best-of-3 at
+    # sf0.1 — the trade did not flip; count-join stays.
     fa = inv.select(F.col("doc_id").alias("doc_a"), "token")
     fb = inv.select(F.col("doc_id").alias("doc_b"), "token")
     # size-gated broadcast of the verify-side index: the (doc_b, token)
