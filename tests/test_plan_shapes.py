@@ -190,6 +190,65 @@ _STAR_FAMILY_MIN_BHJ = {
 _SF01 = "/root/testdata/sf0.1"
 
 
+# --- exchange-count budget guard (headline queries) --------------------------
+# Fourth plan pathology class, added round 8 after a correctness commit
+# (round-7 collapse-first addendum) silently added two full-text
+# shuffles to dedup_jaccard_pairs — none of the other guards (cartesian,
+# global window, BatchEvalPython, broadcast floor) see exchange COUNT.
+# Each headline query pins its current number of SHUFFLE exchanges
+# (hash/range/single/round-robin — BroadcastExchange excluded: adding a
+# broadcast is usually an improvement, and the star floor above guards
+# the reverse flip) as a CEILING at sf0.1. A plan gaining a shuffle
+# fails a named test; a plan LOSING one prints the new lower number in
+# the failure so the ceiling can be ratcheted down deliberately.
+
+_HEADLINE_MAX_SHUFFLES = {
+    "asof_join_last_error": 2,
+    "dedup_exact_canonical": 1,
+    "dedup_jaccard_pairs": 9,
+    "dedup_minhash_lsh": 9,
+    "gold_daily_rollup": 1,
+    "json_extract_agg": 1,
+    "llm_corpus_curation": 2,
+    "multimodal_featurize": 0,
+    "q1_pricing_summary": 2,
+    "q3_shipping_priority": 1,
+    "simsearch_knn_bruteforce": 2,
+    "star_join_revenue": 2,
+    "stream_session_windows": 1,
+    "stream_tumbling_hourly": 1,
+    "text_term_frequency": 1,
+    "timeseries_gapfill_hourly": 2,
+    "udf_scalar_halve": 0,
+    "window_topk_orders_per_customer": 1,
+    "window_trailing_hour_range": 1,
+}
+
+
+def _shuffle_count(plan: str) -> int:
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def test_headline_budget_covers_all_headlines():
+    """A new headline query must declare its shuffle budget here."""
+    headline = {n for n, q in _REGISTRY.items() if q.headline}
+    assert headline == set(_HEADLINE_MAX_SHUFFLES), (
+        "headline set drifted from _HEADLINE_MAX_SHUFFLES: "
+        f"missing={sorted(headline - set(_HEADLINE_MAX_SHUFFLES))} "
+        f"stale={sorted(set(_HEADLINE_MAX_SHUFFLES) - headline)}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_HEADLINE_MAX_SHUFFLES))
+def test_headline_shuffle_budget_at_sf01(spark, name):
+    plan = _physical_plan(_REGISTRY[name].fn(spark, "/root/testdata/sf0.1"))
+    n = _shuffle_count(plan)
+    assert n <= _HEADLINE_MAX_SHUFFLES[name], (
+        f"{name}: plan gained a shuffle — {n} exchanges vs budget "
+        f"{_HEADLINE_MAX_SHUFFLES[name]}\n" + plan
+    )
+
+
 @pytest.mark.parametrize("name", sorted(_STAR_FAMILY_MIN_BHJ))
 def test_star_join_stays_broadcast_at_sf01(spark, name):
     plan = _physical_plan(_REGISTRY[name].fn(spark, _SF01))
