@@ -18,6 +18,7 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from tools.bench_context import bench_context  # noqa: E402
 from weather_etl_pipeline_spark.registry import load_all  # noqa: E402
 from weather_etl_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -83,6 +84,12 @@ def main() -> None:
     per_query = {n: min(ts) for n, ts in raw.items()}
 
     total = round(sum(per_query.values()), 3)
+    # bench-accounting context (floor / fixed reference micro-job /
+    # fixture scan + row-group layout) so a reader can normalize this
+    # run against another taken in a different noise window — see
+    # tools/bench_context.py. Measured AFTER the query passes so it
+    # reads the same host window the per-query numbers came from.
+    context = bench_context(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -93,6 +100,7 @@ def main() -> None:
                 "passes": raw,
                 "floor_sec": round(floor, 3),
                 "engine_sec": round(total - floor * len(per_query), 3),
+                "context": context,
                 "sf": sf,
             }
         )
