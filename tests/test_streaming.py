@@ -496,3 +496,172 @@ def test_stream_ingest_dedup_probe_then_append(spark, tmp_path):
     # 100 matched corpus doc 0; 200 matched doc 101 — which only exists
     # in the store because batch 1's append ran
     assert rej == {(100, 0, 1.0), (200, 101, 1.0)}
+
+
+# --- ingest-loop crash/replay chaos tests (round 8) ---------------------------
+# foreachBatch is at-least-once: the driver can die after a batch's
+# side effects complete but before the checkpoint commits its offset,
+# and the SAME batch_id is redelivered on restart. These drive
+# process_ingest_batch (the factored-out batch body) directly through
+# the crash windows and pin the exactly-once accounting contract.
+
+_ING_SCHEMA = "doc_id long, text string, src string"
+
+
+def _ingest_fixture(spark, tmp_path):
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (i, f"corpus document number {i} talks about topic {i} at length {i}", "seed")
+            for i in range(10)
+        ],
+        _ING_SCHEMA,
+    )
+    store = str(tmp_path / "store")
+    build_signature_store(spark, corpus.select("doc_id", "text"), store)
+    return store, str(tmp_path / "accepted"), str(tmp_path / "rejects")
+
+
+def _sink_rows(spark, path):
+    return sorted(
+        (r["doc_id"],) for r in spark.read.parquet(path).select("doc_id").collect()
+    )
+
+
+def test_ingest_redelivery_after_full_commit_is_skipped(spark, tmp_path):
+    """Crash window: batch fully processed (sinks + append + watermark)
+    but the checkpoint never recorded the offset — restart redelivers
+    the batch. The watermark short-circuit must skip it outright; a
+    reprocess would find every accepted doc already in the store and
+    quarantine the whole batch as self-dups. The batch's MAX doc_id is
+    deliberately a duplicate, pinning the watermark_hi contract (the
+    watermark advances past rejected tail docs too)."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        read_store_watermark,
+    )
+    from weather_etl_pipeline_spark.streaming.ingest_dedup import (
+        process_ingest_batch,
+    )
+
+    store, accepted, rejects = _ingest_fixture(spark, tmp_path)
+    fresh = "a genuinely fresh document about spark streaming semantics"
+    batch = spark.createDataFrame(
+        [
+            (100, fresh, "crawl"),
+            # max doc_id is a dup of corpus doc 0 -> appended set tops
+            # out at 100, but the watermark must still reach 101
+            (101, "corpus document number 0 talks about topic 0 at length 0", "crawl"),
+        ],
+        _ING_SCHEMA,
+    )
+    process_ingest_batch(spark, batch, 0, store, accepted, rejects)
+    assert read_store_watermark(spark, store) == 101
+    acc1 = _sink_rows(spark, accepted)
+    rej1 = sorted(
+        (r["new_id"], r["old_id"])
+        for r in spark.read.parquet(rejects).collect()
+    )
+    assert acc1 == [(100,)] and rej1 == [(101, 0)]
+
+    # redeliver the identical batch (same batch_id): everything skipped
+    process_ingest_batch(spark, batch, 0, store, accepted, rejects)
+    assert _sink_rows(spark, accepted) == acc1
+    assert (
+        sorted(
+            (r["new_id"], r["old_id"])
+            for r in spark.read.parquet(rejects).collect()
+        )
+        == rej1
+    )
+    assert read_store_watermark(spark, store) == 101
+
+
+def test_ingest_redelivery_after_sink_crash_overwrites(spark, tmp_path, monkeypatch):
+    """Crash window: sinks written, append never ran (driver died
+    between accepted.write and append_signature_batch). The redelivered
+    batch must reprocess — probing the identical committed corpus — and
+    OVERWRITE its own batch_id-keyed sink output instead of appending
+    duplicate rows, then complete the append."""
+    import weather_etl_pipeline_spark.streaming.ingest_dedup as ing
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        read_store_watermark,
+    )
+
+    store, accepted, rejects = _ingest_fixture(spark, tmp_path)
+    fresh = "a genuinely fresh document about spark streaming semantics"
+    batch = spark.createDataFrame(
+        [
+            (100, "corpus document number 0 talks about topic 0 at length 0", "crawl"),
+            (101, fresh, "crawl"),
+        ],
+        _ING_SCHEMA,
+    )
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated driver death before append")
+
+    monkeypatch.setattr(ing, "append_signature_batch", _boom)
+    try:
+        ing.process_ingest_batch(spark, batch, 0, store, accepted, rejects)
+        raise AssertionError("simulated crash did not propagate")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # sinks hold the partial output; store untouched
+    assert _sink_rows(spark, accepted) == [(101,)]
+    assert read_store_watermark(spark, store) == 9
+
+    ing.process_ingest_batch(spark, batch, 0, store, accepted, rejects)
+    # exactly one copy of every sink row, append completed
+    assert _sink_rows(spark, accepted) == [(101,)]
+    assert sorted(
+        (r["new_id"], r["old_id"]) for r in spark.read.parquet(rejects).collect()
+    ) == [(100, 0)]
+    assert read_store_watermark(spark, store) == 101
+    # and the appended doc is now probe-visible: a dup of 101 is caught
+    batch2 = spark.createDataFrame([(200, fresh, "crawl")], _ING_SCHEMA)
+    ing.process_ingest_batch(spark, batch2, 1, store, accepted, rejects)
+    assert (200, 101) in {
+        (r["new_id"], r["old_id"]) for r in spark.read.parquet(rejects).collect()
+    }
+
+
+def test_ingest_bootstrap_from_empty_store(spark, tmp_path):
+    """An ingest pipeline bootstrapped from NOTHING: the store is built
+    over an empty corpus (meta=-1, zero data files — the dirs are not
+    even schema-readable), and the first batch must still probe (empty
+    result), accept everything, and append cleanly."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+        read_store_watermark,
+    )
+    from weather_etl_pipeline_spark.streaming.ingest_dedup import (
+        process_ingest_batch,
+    )
+
+    store = str(tmp_path / "store")
+    build_signature_store(
+        spark,
+        spark.createDataFrame([], "doc_id long, text string"),
+        store,
+    )
+    assert read_store_watermark(spark, store) == -1
+    accepted = str(tmp_path / "accepted")
+    rejects = str(tmp_path / "rejects")
+    fresh = "a genuinely fresh document about spark streaming semantics"
+    batch = spark.createDataFrame(
+        [(0, fresh, "crawl"), (1, "another fresh document concerning parquet footers", "crawl")],
+        _ING_SCHEMA,
+    )
+    process_ingest_batch(spark, batch, 0, store, accepted, rejects)
+    assert _sink_rows(spark, accepted) == [(0,), (1,)]
+    assert read_store_watermark(spark, store) == 1
+    # the bootstrap append is probe-visible: a dup of doc 0 is caught
+    batch2 = spark.createDataFrame([(2, fresh, "crawl")], _ING_SCHEMA)
+    process_ingest_batch(spark, batch2, 1, store, accepted, rejects)
+    assert sorted(
+        (r["new_id"], r["old_id"]) for r in spark.read.parquet(rejects).collect()
+    ) == [(2, 0)]

@@ -904,7 +904,9 @@ SELECT doc_a, doc_b, 1.0 AS jaccard_shingles FROM star_edges
 """
 
 
-def _portable_minhash_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _portable_minhash_tables(
+    docs: DataFrame, cache: bool = True
+) -> tuple[DataFrame, DataFrame]:
     # Same narrow shape as dedup_minhash_lsh: per-doc distinct shingle-
     # CODE arrays built with a transform over the materialized token
     # array (zero shuffles — the exchange inside spread_to_cores is the
@@ -913,8 +915,11 @@ def _portable_minhash_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     # feed the fold AND both exact-verify sides. Arithmetic is identical
     # to the oracle's: shingle code, affine permutations, 131^pos band
     # mix. Cache lifetime: released by the harness's clearCache between
-    # registry entries. Returns (sh = (doc_id, hs code array),
-    # bands = (doc_id, band, band_sig)).
+    # registry entries — callers that OWN their lifetime (build/append
+    # unpersist; the store probe runs inside a long-lived streaming
+    # loop where a per-batch cache would leak) pass cache=False or
+    # unpersist explicitly. Uncached, sh recomputes per consumer — a
+    # map-only projection over the batch, no shuffle to repeat.
     # ≥3-tokens gate BEFORE the transform, never on the output array —
     # a predicate over the transformed column would be pushed below the
     # exchange and re-derive the array with split() inlined (see
@@ -937,7 +942,9 @@ def _portable_minhash_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     arr = F.array_distinct(
         F.transform(F.sequence(F.lit(1), F.size("_toks") - 2), shcode)
     )
-    sh = toked.select("doc_id", arr.alias("hs")).cache()
+    sh = toked.select("doc_id", arr.alias("hs"))
+    if cache:
+        sh = sh.cache()
     # k affine-permutation mins folded in ONE pass over the code array
     # (permutation values are < _PMH_P, so _PMH_P is +infinity here)
     init = F.array(*[F.lit(_PMH_P).cast("long")] * _MH_K)

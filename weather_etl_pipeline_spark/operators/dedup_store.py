@@ -117,6 +117,19 @@ def _meta_path(store_path: str) -> str:
     return os.path.join(store_path, "meta")
 
 
+def read_store_watermark(spark: SparkSession, store_path: str) -> int:
+    """The store's committed high-water doc_id (-1 = empty store: a
+    build over an empty corpus writes meta=-1 and ZERO data files, so
+    the bands/codes dirs aren't even schema-readable — every consumer
+    must branch on the watermark BEFORE touching them). Rows above the
+    watermark are uncommitted append leftovers and are invisible to
+    probes; meta is written last, so this is the store's one source of
+    truth for what an append actually committed."""
+    return int(
+        spark.read.parquet(_meta_path(store_path)).collect()[0]["max_doc_id"]
+    )
+
+
 def _write_meta(spark: SparkSession, store_path: str, max_doc_id: int) -> None:
     spark.createDataFrame([(int(max_doc_id),)], "max_doc_id long").coalesce(
         1
@@ -124,7 +137,10 @@ def _write_meta(spark: SparkSession, store_path: str, max_doc_id: int) -> None:
 
 
 def append_signature_batch(
-    spark: SparkSession, batch: DataFrame, store_path: str
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    watermark_hi: int | None = None,
 ) -> None:
     """Append an ingested batch's signatures to an existing store —
     the accept step of the ingest loop (probe → filter dups → append)
@@ -139,16 +155,26 @@ def append_signature_batch(
     scan pruned to the batch's own shard set (batch-bounded, not
     corpus-bounded). Single-writer maintenance op, like compact_zone;
     rebuild on the compaction cadence still applies for re-filing.
+
+    ``watermark_hi``: the ingest batch's max doc_id INCLUDING rejected
+    docs. The meta watermark advances to max(appended, watermark_hi),
+    so a batch whose tail docs were all quarantined still marks itself
+    fully committed — the replay short-circuit in the ingest loop keys
+    on the FULL batch range, and without this a replayed batch whose
+    max doc was a dup would re-probe against a store that now contains
+    its own accepted docs (everything re-flagged as self-duplicate).
     """
     from pyspark.sql import Window
 
     lo_hi = batch.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]
-    stored_max = spark.read.parquet(_meta_path(store_path)).collect()[0][
-        "max_doc_id"
-    ]
+    stored_max = read_store_watermark(spark, store_path)
     if lo_hi["lo"] is None:
+        # nothing to append (e.g. an all-duplicates ingest batch) — but
+        # still advance the watermark so the batch reads as committed
+        if watermark_hi is not None and watermark_hi > stored_max:
+            _write_meta(spark, store_path, int(watermark_hi))
         return
     if lo_hi["lo"] <= stored_max:
         raise ValueError(
@@ -162,49 +188,58 @@ def append_signature_batch(
     # the cap and silently evict genuinely distinct docs from probe
     # candidacy. Refuse loudly instead; recovery = rebuild (or prune
     # the orphans). The doc_id predicate pushes to parquet row-group
-    # stats, so the checks are metadata-speed, not scans.
-    for sub in (_bands_path(store_path), _codes_path(store_path)):
-        orphans = (
-            spark.read.parquet(sub)
-            .filter(F.col("doc_id") > stored_max)
-            .limit(1)
-            .count()
-        )
-        if orphans:
-            raise ValueError(
-                f"torn append detected: {sub} holds doc_ids above the "
-                f"meta watermark {stored_max} — a previous append "
-                "crashed mid-write; rebuild the store"
+    # stats, so the checks are metadata-speed, not scans. An empty
+    # store (watermark -1) skips the scans entirely: a build over an
+    # empty corpus writes ZERO data files, so the dirs aren't
+    # schema-readable — this is the bootstrap path of an ingest
+    # pipeline that starts from nothing.
+    if stored_max >= 0:
+        for sub in (_bands_path(store_path), _codes_path(store_path)):
+            orphans = (
+                spark.read.parquet(sub)
+                .filter(F.col("doc_id") > stored_max)
+                .limit(1)
+                .count()
             )
+            if orphans:
+                raise ValueError(
+                    f"torn append detected: {sub} holds doc_ids above the "
+                    f"meta watermark {stored_max} — a previous append "
+                    "crashed mid-write; rebuild the store"
+                )
     shb, bandsb = _portable_minhash_tables(batch)
     bandsb = bandsb.withColumn(
         "sig_shard", F.pmod("band_sig", F.lit(N_SIG_SHARDS))
     )
-    shard_keys = [
-        r["key"]
-        for r in bandsb.select(
-            (F.col("band") * N_SIG_SHARDS + F.col("sig_shard")).alias("key")
-        )
-        .distinct()
-        .collect()
-    ]
-    base = (
-        spark.read.parquet(_bands_path(store_path))
-        .filter(
-            (F.col("band") * N_SIG_SHARDS + F.col("sig_shard")).isin(shard_keys)
-            if shard_keys
-            else F.lit(False)
-        )
-        .groupBy("band", "band_sig")
-        .agg(F.max("rn").alias("_base"))
-    )
     w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
-    new_bands = (
-        bandsb.withColumn("_rn0", F.row_number().over(w))
-        .join(base, ["band", "band_sig"], "left")
-        .withColumn("rn", F.coalesce("_base", F.lit(0)) + F.col("_rn0"))
-        .select("doc_id", "band", "band_sig", "rn", "sig_shard")
-    )
+    new_bands = bandsb.withColumn("_rn0", F.row_number().over(w))
+    if stored_max >= 0:
+        shard_keys = [
+            r["key"]
+            for r in bandsb.select(
+                (F.col("band") * N_SIG_SHARDS + F.col("sig_shard")).alias("key")
+            )
+            .distinct()
+            .collect()
+        ]
+        base = (
+            spark.read.parquet(_bands_path(store_path))
+            .filter(
+                (F.col("band") * N_SIG_SHARDS + F.col("sig_shard")).isin(
+                    shard_keys
+                )
+                if shard_keys
+                else F.lit(False)
+            )
+            .groupBy("band", "band_sig")
+            .agg(F.max("rn").alias("_base"))
+        )
+        new_bands = new_bands.join(base, ["band", "band_sig"], "left")
+    else:  # bootstrap append into an empty store: every rank starts at 0
+        new_bands = new_bands.withColumn("_base", F.lit(None).cast("int"))
+    new_bands = new_bands.withColumn(
+        "rn", F.coalesce("_base", F.lit(0)) + F.col("_rn0")
+    ).select("doc_id", "band", "band_sig", "rn", "sig_shard")
     # write order is the crash-consistency story: codes FIRST (a
     # codes-present/bands-missing torn state is benign — the new docs
     # are simply not yet searchable, exactly as before the append),
@@ -226,7 +261,10 @@ def append_signature_batch(
         .parquet(_bands_path(store_path))
     )
     shb.unpersist()
-    _write_meta(spark, store_path, int(lo_hi["hi"]))
+    hi = int(lo_hi["hi"])
+    if watermark_hi is not None:
+        hi = max(hi, int(watermark_hi))
+    _write_meta(spark, store_path, hi)
 
 
 def probe_signature_store(
@@ -235,8 +273,25 @@ def probe_signature_store(
     """(new_id, old_id, jaccard_shingles) — batch docs near-duplicating
     a stored-corpus doc; the persisted-store twin of
     ``dedup_incremental_minhash``'s inline query (pytest pins the
-    outputs equal). ``batch`` needs (doc_id, text)."""
-    shb, bandsb = _portable_minhash_tables(batch)
+    outputs equal). ``batch`` needs (doc_id, text).
+
+    Reads only COMMITTED store rows (doc_id <= meta watermark): rows a
+    crashed append left above the watermark are invisible, so a replay
+    of the same batch probes the identical corpus the original run saw
+    — without this, a crash between the sink writes and the append made
+    every accepted doc a "duplicate" of its own uncommitted signatures
+    on replay. cache=False: the probe runs inside long-lived streaming
+    loops; a per-call cache here leaked one pinned DataFrame per
+    micro-batch (the signature recompute it buys is a map-only
+    projection over the batch)."""
+    watermark = read_store_watermark(spark, store_path)
+    if watermark < 0:
+        # empty store: nothing to duplicate against — and the data dirs
+        # hold zero files (not schema-readable), so short-circuit
+        return spark.createDataFrame(
+            [], "new_id long, old_id long, jaccard_shingles double"
+        )
+    shb, bandsb = _portable_minhash_tables(batch, cache=False)
 
     # bounded work-list collect #1: the batch's (band, sig_shard) set —
     # ≤ 8×64 rows — prunes the store scan to matching partitions. One
@@ -263,6 +318,7 @@ def probe_signature_store(
             else F.lit(False)
         )
         .filter(F.col("rn") <= _LSH_BUCKET_CAP)  # corpus-side cap, pre-ranked
+        .filter(F.col("doc_id") <= watermark)  # committed rows only
     )
     # batch side broadcasts (its size is the cost budget); the store is
     # scanned pruned, joined in place, never shuffled
@@ -283,7 +339,9 @@ def probe_signature_store(
     # non-trivial batch touches all 64 shards. The columnar
     # scan-and-probe IS the documented worst case; the flatness-sweep
     # numbers were measured with the scan effectively unpruned.)
-    codes = spark.read.parquet(_codes_path(store_path))
+    codes = spark.read.parquet(_codes_path(store_path)).filter(
+        F.col("doc_id") <= watermark  # committed rows only
+    )
     ha = shb.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("h_a"))
     hb = codes.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("h_b"))
     ni = F.size(F.array_intersect("h_a", "h_b"))

@@ -52,7 +52,17 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
         # the race manifests as FileNotFoundException (source moved
         # aside mid-call) or a bare IOException subclass from the
         # FileSystem impl; anything else (AccessControlException,
-        # IllegalArgumentException, ...) is a real fault
+        # IllegalArgumentException, ...) is a real fault. Connectivity
+        # faults (dead HDFS/S3 gateway) also extend IOException, so
+        # they are re-raised BY NAME — normalizing those to False would
+        # report a cluster outage as a benign lost-rename race.
+        _FATAL = (
+            "org.apache.hadoop.security.AccessControlException",
+            "java.net.ConnectException",
+            "java.net.SocketTimeoutException",
+            "java.net.UnknownHostException",
+            "org.apache.hadoop.net.ConnectTimeoutException",
+        )
         jexc = e.java_exception
         names = []
         jcls = jexc.getClass()
@@ -62,7 +72,7 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
         if not any(
             n in ("java.io.FileNotFoundException", "java.io.IOException")
             for n in names
-        ) or "org.apache.hadoop.security.AccessControlException" in names:
+        ) or any(n in names for n in _FATAL):
             raise
         import logging
 
