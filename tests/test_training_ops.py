@@ -313,3 +313,163 @@ def test_signature_store_torn_append_is_benign_and_detected(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="torn append"):
         append_signature_batch(spark, batch_b, store)
+
+
+# --- persisted IVF index (round 8: the signature-store pattern for ANN) -------
+
+
+def test_ivf_index_probe_matches_inline(spark, tmp_path):
+    """The persisted IVF index is the amortized form of
+    simsearch_ivf_kmeans: build once over the corpus, probe with the
+    inline op's query set, and the top-k table must be identical (same
+    Lloyd arithmetic, same cell assignment, same cosine/tie-break)."""
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.functions.vectors import as_double
+    from weather_etl_pipeline_spark.operators.ivf import simsearch_ivf_kmeans
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        build_ivf_index,
+        probe_ivf_index,
+        read_ivf_watermark,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    index = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, index)
+    assert read_ivf_watermark(spark, index) >= 0
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    probed = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in probe_ivf_index(spark, queries, index).collect()
+    }
+    inline = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in simsearch_ivf_kmeans(spark, sf).collect()
+    }
+    assert probed == inline
+    assert probed, "no neighbors at sf0.01 — vacuous equality"
+
+
+def test_ivf_index_probe_plan_is_pruned_and_broadcast(spark, tmp_path):
+    """Scale contract of the probe: the cells scan is PARTITION-PRUNED
+    to the batch's probe-cell set and joined via broadcast of the batch
+    — no shuffle may feed from the index scan (the only exchange is the
+    final per-query top-k window over bounded candidates)."""
+    import re
+
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.functions.vectors import as_double
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    index = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, index)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    out = probe_ivf_index(spark, queries, index)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+    # every shuffle exchange is BATCH-side: the query-id dedupe/window
+    # (hashpartitioning on query_id) or the k-row centroid fold
+    # (SinglePartition). An exchange keyed on vec_id or cell would mean
+    # the INDEX is being shuffled — the corpus-bound term the persisted
+    # index exists to amortize.
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line or "Exchange" not in line:
+            continue
+        assert "query_id" in line or "SinglePartition" in line, (
+            "index-side shuffle:\n" + line + "\n" + plan
+        )
+
+
+def test_ivf_index_empty_corpus_bootstrap(spark, tmp_path):
+    """An index built over an empty corpus (meta=-1, zero data files)
+    must probe to an empty result instead of failing on schema
+    inference — the ANN twin of the signature store's bootstrap path."""
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        build_ivf_index,
+        probe_ivf_index,
+        read_ivf_watermark,
+    )
+
+    index = str(tmp_path / "ivf")
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"), index
+    )
+    assert read_ivf_watermark(spark, index) == -1
+    queries = spark.createDataFrame(
+        [(0, [0.0] * 64)], "query_id long, qe array<double>"
+    )
+    assert probe_ivf_index(spark, queries, index).count() == 0
+
+
+def test_ivf_vectorized_assign_matches_hof(spark):
+    """The numpy/BLAS assignment (the large-k build path) must agree
+    with the codegen'd HOF fold on real data — same argmin, same
+    tie-toward-lower-cell rule (paths are ULP-different in d2, so this
+    pins agreement where it matters: the chosen cell)."""
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.functions.vectors import as_double
+    from weather_etl_pipeline_spark.operators.ivf import _assign, kmeans_centroids
+    from weather_etl_pipeline_spark.operators.ivf_store import _assign_np
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    ).cache()
+    cent = kmeans_centroids(emb)
+    hof = {r["vec_id"]: r["cell"] for r in _assign(emb, cent).collect()}
+    cent_rows = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in cent.collect()
+    )
+    vec = {r["vec_id"]: r["cell"] for r in _assign_np(emb, cent_rows).collect()}
+    emb.unpersist()
+    assert vec == hof
+    assert len(vec) > 0
+
+
+def test_ivf_vectorized_probe_finds_exact_twin(spark, tmp_path):
+    """End-to-end large-k path (k >= _VEC_ASSIGN_MIN_K: vectorized
+    Lloyd's, vectorized query-cell ranking): a query that is the exact
+    copy of a stored vector must land in that vector's cell and rank it
+    top-1 at cosine 1.0 — build/probe assignment arithmetic must agree
+    EXACTLY for this to hold."""
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.functions.vectors import as_double
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        _VEC_ASSIGN_MIN_K,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    index = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, index, k=_VEC_ASSIGN_MIN_K)
+    twins = emb.filter(F.col("vec_id").isin([5, 17, 123])).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), F.col("e").alias("qe")
+    )
+    top1 = {
+        r["query_id"]: (r["neighbor_id"], r["cos_sim"])
+        for r in probe_ivf_index(spark, twins, index, topk=1).collect()
+    }
+    assert top1 == {
+        1_000_005: (5, 1.0),
+        1_000_017: (17, 1.0),
+        1_000_123: (123, 1.0),
+    }

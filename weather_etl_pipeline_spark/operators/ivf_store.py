@@ -1,0 +1,319 @@
+"""Persisted IVF (inverted-file) ANN index — build once, probe per batch.
+
+``simsearch_ivf_kmeans`` (ivf.py) is the right QUERY shape for
+cell-probed similarity search, but it re-runs Lloyd's AND rebuilds the
+inverted lists inline on every call — the same inline-rebuild shape the
+signature store (dedup_store.py) eliminated for minhash dedup. A
+production similarity service builds the IVF index once per compaction
+cycle and probes it per query batch; probe cost then scales with the
+BATCH and the probed cells, not the corpus. Same two-op layout as the
+signature store:
+
+- ``build_ivf_index`` — one corpus pass: Lloyd's k-means (the exact
+  arithmetic of ``ivf.kmeans_centroids``), final assignment, inverted
+  lists written to ``<index>/cells`` PARTITIONED BY cell id (probes
+  prune to their matched cells), centroids to ``<index>/centroids``
+  (k rows), and a max-vec_id watermark to ``<index>/meta``.
+- ``probe_ivf_index`` — batch-vs-index only: each query is assigned to
+  its ``nprobe`` nearest centroids map-side (centroids ride along as
+  one broadcast array column — no row explosion), the cells scan is
+  partition-pruned to the batch's probe-cell set (a bounded work-list:
+  ≤ k cell ids), the batch side broadcasts into the scan, and the
+  top-k window runs over the bounded candidate set. No corpus-side
+  k-means, no index shuffle, anywhere.
+
+Scale notes (the 100 TB contract):
+- build is the linear per-compaction job; at lake scale run Lloyd's on
+  a sample and keep the one final full assignment pass (ivf.py module
+  doc) — the index layout here is unchanged by that swap.
+- probe reads shrink with nprobe/k (a 1-of-64-cells probe scans ~1.6%
+  of the corpus); worst case it scans the matched cell partitions
+  (columnar doubles, IO-speed) but never folds or shuffles them. The
+  only exchange in the probe plan is the final per-query top-k window
+  over candidates, whose size is probe-set x cell membership, not
+  corpus size. ``tools/ivf_store_sweep.py`` measures probe flatness
+  across @xN corpus growth, the signature-store sweep pattern.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from .ivf import _assign, _dist2, _ITERS, _K, kmeans_centroids
+
+__all__ = ["build_ivf_index", "probe_ivf_index", "read_ivf_watermark"]
+
+
+# at-or-above this centroid count, assignment switches from the HOF
+# fold (codegen'd, zero Python — unbeatable at small k) to one numpy
+# matmul per Arrow batch (BLAS — the difference between minutes and
+# seconds at k in the hundreds). k MUST grow with the corpus to keep
+# per-probe cell membership bounded (n/k vectors per cell is the whole
+# IVF cost model), so the vectorized path is the 100 TB path. The two
+# paths differ in d2 rounding at ULP scale (fold vs expanded matmul
+# formula), so BUILD and PROBE must pick by the same threshold on the
+# same k — which they do: build passes its k, probe counts the stored
+# centroids.
+_VEC_ASSIGN_MIN_K = 64
+
+
+def _assign_np(emb: DataFrame, cent_rows: list) -> DataFrame:
+    """Vectorized nearest-centroid assignment: (vec_id, e, cell) via
+    mapInPandas — same (min d2, then lower cell) contract as
+    ivf._assign. ``cent_rows`` = [(cell, [float]*dim)] sorted by cell
+    ascending; argmin's first-minimum rule then breaks ties toward the
+    lower cell exactly like the HOF struct-min."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray([c for _, c in cent_rows], dtype=np.float64)
+    cells = np.asarray([c0 for c0, _ in cent_rows], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "e": pdf["e"],
+                    "cell": cells[np.argmin(d2, axis=1)],
+                }
+            )
+
+    return emb.mapInPandas(fn, "vec_id long, e array<double>, cell int")
+
+
+def _rank_cells_np(queries: DataFrame, cent_rows: list, nprobe: int) -> DataFrame:
+    """Per-query nprobe-nearest cells, vectorized: (query_id, qe, qcell)
+    with one row per (query, probed cell). Stable argsort + ascending
+    cell order reproduces the HOF path's (d2, then lower cell) ranking."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray([c for _, c in cent_rows], dtype=np.float64)
+    cells = np.asarray([c0 for c0, _ in cent_rows], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+    np_ = min(nprobe, len(cent_rows))
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["qe"].to_numpy())
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :np_]
+            rep = np.repeat(np.arange(len(pdf)), np_)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy()[rep],
+                    "qe": pdf["qe"].to_numpy()[rep],
+                    "qcell": cells[idx].ravel(),
+                }
+            )
+
+    return queries.mapInPandas(fn, "query_id long, qe array<double>, qcell int")
+
+
+def _centroids_vectorized(
+    spark: SparkSession, emb: DataFrame, k: int, iters: int, dim: int
+) -> list:
+    """Lloyd's with the numpy assignment — the large-k twin of
+    ivf.kmeans_centroids (same init, same driver round-trip of k×dim
+    doubles, same empty-cluster keep-old rule); returns cent_rows."""
+    first = emb.orderBy("vec_id").limit(k).collect()
+    rows = [(i, [float(x) for x in r["e"]]) for i, r in enumerate(first)]
+    for _ in range(iters):
+        sums = (
+            _assign_np(emb, rows)
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("e", d + 1)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+        )
+        got = {r["cell"]: r for r in sums.collect()}
+        rows = [
+            (
+                i,
+                [got[i][f"s{d}"] / got[i]["n"] for d in range(dim)]
+                if i in got
+                else rows[i][1],
+            )
+            for i in range(k)
+        ]
+    return rows
+
+
+def _cells_path(index_path: str) -> str:
+    return os.path.join(index_path, "cells")
+
+
+def _centroids_path(index_path: str) -> str:
+    return os.path.join(index_path, "centroids")
+
+
+def _meta_path(index_path: str) -> str:
+    return os.path.join(index_path, "meta")
+
+
+def read_ivf_watermark(spark: SparkSession, index_path: str) -> int:
+    """Committed high-water vec_id (-1 = index built over an empty
+    corpus: zero cell files — consumers must branch on this before
+    touching the data dirs, mirroring dedup_store.read_store_watermark)."""
+    return int(
+        spark.read.parquet(_meta_path(index_path)).collect()[0]["max_vec_id"]
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_path: str,
+    k: int = _K,
+    iters: int = _ITERS,
+) -> None:
+    """One corpus pass → the persisted IVF index (see module doc).
+
+    ``emb`` needs (vec_id, e array<double>). Overwrites any prior
+    index — rebuild runs on the compaction cadence, not per batch.
+    """
+    # vec_id is a key: replicated ingest rows must not multiply cell
+    # membership (the probe's candidate set) or degenerate the k-means
+    # init (orderBy(vec_id).limit(k) over replicas yields duplicate
+    # seed centroids) — same collapse-first posture as the dedup family
+    emb = emb.dropDuplicates(["vec_id"]).cache()
+    try:
+        hi = emb.agg(F.max("vec_id").alias("hi")).collect()[0]["hi"]
+        if hi is None:
+            # empty corpus: meta only (zero-row partitioned writes leave
+            # no schema-readable files — the probe short-circuits on -1)
+            _write_meta(spark, index_path, -1)
+            return
+        dim = len(emb.select("e").first()["e"])
+        if k >= _VEC_ASSIGN_MIN_K:
+            rows = _centroids_vectorized(spark, emb, k, iters, dim)
+            cent = spark.createDataFrame(
+                rows, "cell int, centroid array<double>"
+            )
+            cells = _assign_np(emb, rows)
+        else:
+            cent = kmeans_centroids(emb, k=k, iters=iters, dim=dim)
+            cells = _assign(emb, cent)
+        # one task per cell dir → one file per dir (k files total), the
+        # same tiny-file guard as the signature store's shard layout
+        (
+            cells.repartition(k, "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(_cells_path(index_path))
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(
+            _centroids_path(index_path)
+        )
+        _write_meta(spark, index_path, int(hi))
+    finally:
+        emb.unpersist()
+
+
+def _write_meta(spark: SparkSession, index_path: str, max_vec_id: int) -> None:
+    spark.createDataFrame([(int(max_vec_id),)], "max_vec_id long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(_meta_path(index_path))
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    topk: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rk) — the batch's top-``topk``
+    cosine neighbors among index vectors in each query's ``nprobe``
+    nearest cells; the persisted-index twin of ``simsearch_ivf_kmeans``
+    (pytest pins the outputs equal at nprobe=1 over the same corpus).
+    ``queries`` needs (query_id, qe array<double>). Self-matches
+    (neighbor_id == query_id) are excluded, as in the inline op.
+    """
+    if read_ivf_watermark(spark, index_path) < 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rk long"
+        )
+    cent = spark.read.parquet(_centroids_path(index_path))
+    # probe-set dedupe by key (the inline op's guard): replicated query
+    # rows must not multiply the cell-scan work
+    q = queries.dropDuplicates(["query_id"])
+    k = cent.count()
+    if k >= _VEC_ASSIGN_MIN_K:
+        # large-k path: MUST match the build's assignment arithmetic
+        # (shared threshold — see _VEC_ASSIGN_MIN_K) so a stored vector
+        # probes back to its own cell exactly
+        cent_rows = sorted(
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in cent.collect()
+        )
+        qcells = _rank_cells_np(q, cent_rows, nprobe)
+    else:
+        # centroids ride along as ONE broadcast array column (k x dim
+        # doubles); per-query cell ranking is a map-side sort of the k
+        # (d2, cell) structs — same argmin arithmetic as ivf._assign
+        cs = cent.agg(
+            F.sort_array(
+                F.collect_list(F.struct("cell", "centroid"))
+            ).alias("_cs")
+        )
+        near = F.slice(
+            F.array_sort(
+                F.transform(
+                    "_cs",
+                    lambda c: F.struct(
+                        _dist2(F.col("qe"), c["centroid"]).alias("d2"),
+                        c["cell"].alias("cell"),
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        )
+        qcells = q.join(F.broadcast(cs)).select(
+            "query_id",
+            "qe",
+            F.explode(F.transform(near, lambda s: s["cell"])).alias("qcell"),
+        )
+    # bounded work-list collect: the batch's probe-cell set (≤ k ids)
+    # prunes the cells scan to matching partitions
+    probe_cells = [
+        r["qcell"] for r in qcells.select("qcell").distinct().collect()
+    ]
+    cells = spark.read.parquet(_cells_path(index_path)).filter(
+        F.col("cell").isin(probe_cells) if probe_cells else F.lit(False)
+    )
+    cand = F.broadcast(qcells).join(
+        cells,
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
