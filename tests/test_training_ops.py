@@ -6,6 +6,7 @@ these tests pin the SEMANTIC invariants the hashes can't express.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from weather_etl_pipeline_spark.operators.arrayfns import emb_quantize_int8
@@ -183,11 +184,14 @@ def test_signature_store_probe_matches_inline_incremental(spark, tmp_path):
     assert probed, "no pairs at sf0.01 — vacuous equality"
 
 
-def test_signature_store_probe_plan_never_shuffles_store(spark, tmp_path):
-    """Scale contract of the probe: the store side is scanned pruned
-    and joined via broadcast of the batch — no Exchange may feed from
-    the store scans (a store shuffle would make probe cost corpus-
-    bound, the exact term the store exists to amortize)."""
+@pytest.mark.parametrize("family", ["minhash", "simhash"])
+def test_signature_store_probe_plan_never_shuffles_store(spark, tmp_path, family):
+    """Scale contract of the probe — BOTH families (the store machinery
+    is shared, so the contract is pinned once per family): the store
+    side is scanned pruned and joined via broadcast of the batch — no
+    Exchange may feed from the store scans (a store shuffle would make
+    probe cost corpus-bound, the exact term the store exists to
+    amortize)."""
     from weather_etl_pipeline_spark.catalog import load_table
     from weather_etl_pipeline_spark.operators.dedup import _INC_NEW_PCT
     from weather_etl_pipeline_spark.operators.dedup_store import (
@@ -199,9 +203,11 @@ def test_signature_store_probe_plan_never_shuffles_store(spark, tmp_path):
     docs = load_table(spark, sf, "documents")
     bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
     store = str(tmp_path / "sigstore")
-    build_signature_store(spark, docs.filter(bucket < _INC_NEW_PCT), store)
+    build_signature_store(
+        spark, docs.filter(bucket < _INC_NEW_PCT), store, family=family
+    )
     out = probe_signature_store(
-        spark, docs.filter(bucket >= _INC_NEW_PCT), store
+        spark, docs.filter(bucket >= _INC_NEW_PCT), store, family=family
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     import re
@@ -216,12 +222,13 @@ def test_signature_store_probe_plan_never_shuffles_store(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*sig_shard", plan), plan
 
 
-def test_signature_store_append_equals_rebuild(spark, tmp_path):
-    """The ingest loop's accept step: appending a batch's signatures
-    must leave the store probe-equivalent to a full rebuild over the
-    union corpus (ranks stay valid because ingest ids are monotonic —
-    the contract the op asserts), and a non-monotonic append must be
-    refused."""
+@pytest.mark.parametrize("family", ["minhash", "simhash"])
+def test_signature_store_append_equals_rebuild(spark, tmp_path, family):
+    """The ingest loop's accept step, BOTH families: appending a
+    batch's signatures must leave the store probe-equivalent to a full
+    rebuild over the union corpus (ranks stay valid because ingest ids
+    are monotonic — the contract the op asserts), and a non-monotonic
+    append must be refused."""
     import pytest as _pytest
 
     from weather_etl_pipeline_spark.catalog import load_table
@@ -238,38 +245,48 @@ def test_signature_store_append_equals_rebuild(spark, tmp_path):
     probe = docs.filter(F.col("doc_id") >= 475)
 
     appended = str(tmp_path / "appended")
-    build_signature_store(spark, part_a, appended)
-    append_signature_batch(spark, part_b, appended)
+    build_signature_store(spark, part_a, appended, family=family)
+    append_signature_batch(spark, part_b, appended, family=family)
     rebuilt = str(tmp_path / "rebuilt")
-    build_signature_store(spark, docs.filter(F.col("doc_id") < 475), rebuilt)
+    build_signature_store(
+        spark, docs.filter(F.col("doc_id") < 475), rebuilt, family=family
+    )
 
     got_a = {
-        (r["new_id"], r["old_id"], r["jaccard_shingles"])
-        for r in probe_signature_store(spark, probe, appended).collect()
+        tuple(r)
+        for r in probe_signature_store(
+            spark, probe, appended, family=family
+        ).collect()
     }
     got_r = {
-        (r["new_id"], r["old_id"], r["jaccard_shingles"])
-        for r in probe_signature_store(spark, probe, rebuilt).collect()
+        tuple(r)
+        for r in probe_signature_store(
+            spark, probe, rebuilt, family=family
+        ).collect()
     }
     assert got_a == got_r
     assert got_a, "vacuous equality — probe found no pairs"
 
     # contract enforcement: re-appending older ids must refuse
     with _pytest.raises(ValueError, match="monotonic"):
-        append_signature_batch(spark, part_a, appended)
+        append_signature_batch(spark, part_a, appended, family=family)
 
 
-def test_signature_store_torn_append_is_benign_and_detected(spark, tmp_path):
-    """The append crash-consistency claims, exercised: a crash after
-    the codes write but before the bands write (the write order makes
-    this the only mid-append torn state besides bands-complete) leaves
-    probe output IDENTICAL to the pre-append store — the new docs are
-    simply not yet searchable — and the next append refuses loudly
-    instead of duplicating rows."""
+@pytest.mark.parametrize("family", ["minhash", "simhash"])
+def test_signature_store_torn_append_is_benign_and_detected(
+    spark, tmp_path, family
+):
+    """The append crash-consistency claims, exercised for BOTH
+    families: a crash after the codes write but before the bands write
+    (the write order makes this the only mid-append torn state besides
+    bands-complete) leaves probe output IDENTICAL to the pre-append
+    store — the new docs are simply not yet searchable — and the next
+    append refuses loudly instead of duplicating rows."""
     import pytest as _pytest
 
     from weather_etl_pipeline_spark.catalog import load_table
     from weather_etl_pipeline_spark.operators.dedup_store import (
+        _FAMILIES,
         _codes_path,
         append_signature_batch,
         build_signature_store,
@@ -284,19 +301,17 @@ def test_signature_store_torn_append_is_benign_and_detected(spark, tmp_path):
     probe = docs.filter(F.col("doc_id") >= 450)
 
     store = str(tmp_path / "store")
-    build_signature_store(spark, corpus, store)
+    build_signature_store(spark, corpus, store, family=family)
     before = {
         (r["new_id"], r["old_id"])
-        for r in probe_signature_store(spark, probe, store).collect()
+        for r in probe_signature_store(
+            spark, probe, store, family=family
+        ).collect()
     }
 
     # simulate the crash: write batch_b's CODES only (the first of the
     # three append writes), leaving bands and meta untouched
-    from weather_etl_pipeline_spark.operators.dedup import (
-        _portable_minhash_tables,
-    )
-
-    shb, _ = _portable_minhash_tables(batch_b)
+    shb, _ = _FAMILIES[family]["tables"](batch_b)
     (
         shb.withColumn("id_shard", F.pmod("doc_id", F.lit(N_ID_SHARDS)))
         .write.mode("append")
@@ -307,12 +322,14 @@ def test_signature_store_torn_append_is_benign_and_detected(spark, tmp_path):
 
     after = {
         (r["new_id"], r["old_id"])
-        for r in probe_signature_store(spark, probe, store).collect()
+        for r in probe_signature_store(
+            spark, probe, store, family=family
+        ).collect()
     }
     assert after == before, "torn codes-only append changed probe output"
 
     with _pytest.raises(ValueError, match="torn append"):
-        append_signature_batch(spark, batch_b, store)
+        append_signature_batch(spark, batch_b, store, family=family)
 
 
 # --- persisted IVF index (round 8: the signature-store pattern for ANN) -------
@@ -473,3 +490,63 @@ def test_ivf_vectorized_probe_finds_exact_twin(spark, tmp_path):
         1_000_017: (17, 1.0),
         1_000_123: (123, 1.0),
     }
+
+
+def test_simhash_store_probe_matches_exhaustive_recompute(spark, tmp_path):
+    """Independent oracle for the simhash store probe: recompute the
+    whole probe in plain Python from the per-doc signatures — corpus
+    buckets per 16-bit chunk (first-_LSH_BUCKET_CAP by doc_id, the
+    stored rank), batch chunk lookups, exact hamming at the pigeonhole
+    radius — and the pair sets must be identical. Same bridge form as
+    the dedup_simhash oracle bridge (test_oracle_bridges.py); the
+    signatures themselves are the already-bridge-anchored simhash_df."""
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.operators.dedup import (
+        _LSH_BUCKET_CAP,
+        _SH_CHUNKS,
+        simhash_df,
+    )
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+        probe_signature_store,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    store = str(tmp_path / "store")
+    build_signature_store(spark, corpus, store, family="simhash")
+    got = {
+        (r["new_id"], r["old_id"], r["hamming"])
+        for r in probe_signature_store(
+            spark, batch, store, family="simhash"
+        ).collect()
+    }
+
+    def sigs(df):
+        return {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_df(
+                df.select("doc_id", "text").filter(F.col("text").isNotNull())
+            ).collect()
+        }
+
+    corpus_sigs, batch_sigs = sigs(corpus), sigs(batch)
+    buckets: dict = {}
+    for doc_id in sorted(corpus_sigs):
+        sig = corpus_sigs[doc_id]
+        for c in range(_SH_CHUNKS):
+            key = (c, (sig >> (16 * c)) & 0xFFFF)
+            buckets.setdefault(key, [])
+            if len(buckets[key]) < _LSH_BUCKET_CAP:
+                buckets[key].append(doc_id)
+    want = set()
+    for new_id, sig in batch_sigs.items():
+        for c in range(_SH_CHUNKS):
+            for old_id in buckets.get((c, (sig >> (16 * c)) & 0xFFFF), ()):
+                h = bin(sig ^ corpus_sigs[old_id]).count("1")
+                if h <= _SH_CHUNKS - 1:
+                    want.add((new_id, old_id, h))
+    assert got == want
+    assert got, "no pairs at sf0.01 — vacuous equality"

@@ -1,4 +1,14 @@
-"""Persisted MinHash signature store — the production ingest-dedup shape.
+"""Persisted signature store (minhash + simhash) — the production
+ingest-dedup shape.
+
+Round 8 generalized the store over signature FAMILIES: the layout,
+stored per-bucket rank, meta watermark, torn-append detection, and
+base-offset append ranks are signature-agnostic (see _FAMILIES); a
+family contributes only its (sidecar, banded) derivation and its
+candidate verify. ``family="minhash"`` (default, jaccard verify) and
+``family="simhash"`` (62-bit signature, 4x16-bit chunk bands, hamming
+verify — the banded structure of dedup_simhash) share every contract
+below, and the store-contract tests parameterize over both.
 
 ``dedup_incremental_minhash`` (dedup.py) is the right QUERY shape for
 ingest-time near-dup checks (batch-vs-corpus, never corpus-vs-corpus),
@@ -59,11 +69,104 @@ from ..functions.exact import hround
 from .dedup import (
     _LSH_BUCKET_CAP,
     _MH_VERIFY_T,
+    _SH_CHUNKS,
     _portable_minhash_tables,
+    simhash_df,
+    spread_to_cores,
 )
 
-N_SIG_SHARDS = 64  # band_sig shards per band → 8×64 prunable partitions
+N_SIG_SHARDS = 64  # band_sig shards per band → n_bands×64 prunable partitions
 N_ID_SHARDS = 64  # doc_id shards for the verify sidecar
+
+
+# --- family descriptors -------------------------------------------------------
+# The store machinery — shard layout, stored per-bucket rank, meta
+# watermark, torn-append detection, base-offset append ranks — is
+# signature-agnostic. A family contributes exactly two things: how to
+# derive (sidecar, banded) tables from (doc_id, text), and how to
+# verify a candidate pair from the two sidecars. Everything else is
+# shared, so the crash-consistency contract is proven once and holds
+# for every family (the round-8 tests parameterize over this dict).
+
+
+def _simhash_store_tables(
+    docs: DataFrame, cache: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(sidecar, banded) for the simhash family: sidecar = (doc_id,
+    simhash) — the 62-bit signature the hamming verify reads; banded =
+    (doc_id, band, band_sig) from the 4×16-bit chunk split (the exact
+    arithmetic of dedup_simhash, dedup.py:743)."""
+    chunk_w = 16
+    sh = simhash_df(
+        spread_to_cores(
+            docs.select("doc_id", "text").filter(F.col("text").isNotNull())
+        )
+    )
+    if cache:
+        sh = sh.cache()
+    banded = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band"),
+                        F.shiftright(F.col("simhash"), c * chunk_w)
+                        .bitwiseAND(F.lit((1 << chunk_w) - 1))
+                        .alias("band_sig"),
+                    )
+                    for c in range(_SH_CHUNKS)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "cc.band", "cc.band_sig")
+    return sh, banded
+
+
+def _verify_minhash(cand: DataFrame, shb: DataFrame, codes: DataFrame) -> DataFrame:
+    """Exact-jaccard verify over shingle-code arrays (broadcast batch
+    side vs the scanned sidecar)."""
+    ha = shb.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("h_a"))
+    hb = codes.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("h_b"))
+    ni = F.size(F.array_intersect("h_a", "h_b"))
+    jac = ni.cast("double") / (F.size("h_a") + F.size("h_b") - ni)
+    return (
+        F.broadcast(cand.join(F.broadcast(ha), "new_id"))
+        .join(hb, "old_id")
+        .filter(jac >= _MH_VERIFY_T)
+        .select("new_id", "old_id", hround(jac).alias("jaccard_shingles"))
+    )
+
+
+def _verify_simhash(cand: DataFrame, shb: DataFrame, codes: DataFrame) -> DataFrame:
+    """Hamming verify at the chunk-count guaranteed-recall radius
+    (<= _SH_CHUNKS - 1, the pigeonhole bound — dedup.py:694)."""
+    ha = shb.select(F.col("doc_id").alias("new_id"), F.col("simhash").alias("sh_a"))
+    hb = codes.select(F.col("doc_id").alias("old_id"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        F.broadcast(cand.join(F.broadcast(ha), "new_id"))
+        .join(hb, "old_id")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _SH_CHUNKS - 1)
+        .select("new_id", "old_id", "hamming")
+    )
+
+
+_FAMILIES: dict[str, dict] = {
+    "minhash": {
+        "tables": _portable_minhash_tables,
+        "n_bands": 8,  # _MH_BANDS
+        "verify": _verify_minhash,
+        "empty_schema": "new_id long, old_id long, jaccard_shingles double",
+    },
+    "simhash": {
+        "tables": _simhash_store_tables,
+        "n_bands": _SH_CHUNKS,
+        "verify": _verify_simhash,
+        "empty_schema": "new_id long, old_id long, hamming int",
+    },
+}
 
 
 def _bands_path(store_path: str) -> str:
@@ -74,15 +177,23 @@ def _codes_path(store_path: str) -> str:
     return os.path.join(store_path, "codes")
 
 
-def build_signature_store(spark: SparkSession, docs: DataFrame, store_path: str) -> None:
+def build_signature_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_path: str,
+    family: str = "minhash",
+) -> None:
     """One corpus pass → two partitioned lake tables (see module doc).
 
     ``docs`` needs (doc_id, text). Overwrites any prior store — rebuild
-    runs on the compaction cadence, not per ingest.
+    runs on the compaction cadence, not per ingest. ``family`` picks
+    the signature scheme (minhash jaccard / simhash hamming); the
+    layout, rank, watermark, and crash semantics are identical.
     """
     from pyspark.sql import Window
 
-    sh, bands = _portable_minhash_tables(docs)
+    fam = _FAMILIES[family]
+    sh, bands = fam["tables"](docs)
     # per-bucket membership rank STORED so probes apply the corpus-side
     # cap with a filter instead of re-windowing the corpus every batch
     w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
@@ -95,7 +206,7 @@ def build_signature_store(spark: SparkSession, docs: DataFrame, store_path: str)
     (
         bands.withColumn("rn", F.row_number().over(w))
         .withColumn("sig_shard", F.pmod("band_sig", F.lit(N_SIG_SHARDS)))
-        .repartition(8 * N_SIG_SHARDS, "band", "sig_shard")
+        .repartition(fam["n_bands"] * N_SIG_SHARDS, "band", "sig_shard")
         .write.mode("overwrite")
         .partitionBy("band", "sig_shard")
         .parquet(_bands_path(store_path))
@@ -141,6 +252,7 @@ def append_signature_batch(
     batch: DataFrame,
     store_path: str,
     watermark_hi: int | None = None,
+    family: str = "minhash",
 ) -> None:
     """Append an ingested batch's signatures to an existing store —
     the accept step of the ingest loop (probe → filter dups → append)
@@ -166,6 +278,7 @@ def append_signature_batch(
     """
     from pyspark.sql import Window
 
+    fam = _FAMILIES[family]
     lo_hi = batch.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]
@@ -207,7 +320,7 @@ def append_signature_batch(
                     f"meta watermark {stored_max} — a previous append "
                     "crashed mid-write; rebuild the store"
                 )
-    shb, bandsb = _portable_minhash_tables(batch)
+    shb, bandsb = fam["tables"](batch)
     bandsb = bandsb.withColumn(
         "sig_shard", F.pmod("band_sig", F.lit(N_SIG_SHARDS))
     )
@@ -255,7 +368,7 @@ def append_signature_batch(
         .parquet(_codes_path(store_path))
     )
     (
-        new_bands.repartition(8 * N_SIG_SHARDS, "band", "sig_shard")
+        new_bands.repartition(fam["n_bands"] * N_SIG_SHARDS, "band", "sig_shard")
         .write.mode("append")
         .partitionBy("band", "sig_shard")
         .parquet(_bands_path(store_path))
@@ -268,12 +381,18 @@ def append_signature_batch(
 
 
 def probe_signature_store(
-    spark: SparkSession, batch: DataFrame, store_path: str
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    family: str = "minhash",
 ) -> DataFrame:
-    """(new_id, old_id, jaccard_shingles) — batch docs near-duplicating
-    a stored-corpus doc; the persisted-store twin of
+    """(new_id, old_id, <score>) — batch docs near-duplicating a
+    stored-corpus doc; the persisted-store twin of
     ``dedup_incremental_minhash``'s inline query (pytest pins the
-    outputs equal). ``batch`` needs (doc_id, text).
+    outputs equal). ``batch`` needs (doc_id, text). The score column is
+    the family's verify metric: ``jaccard_shingles`` (minhash) or
+    ``hamming`` (simhash) — must match the family the store was built
+    with (the layout is identical, the signatures are not).
 
     Reads only COMMITTED store rows (doc_id <= meta watermark): rows a
     crashed append left above the watermark are invisible, so a replay
@@ -284,14 +403,13 @@ def probe_signature_store(
     loops; a per-call cache here leaked one pinned DataFrame per
     micro-batch (the signature recompute it buys is a map-only
     projection over the batch)."""
+    fam = _FAMILIES[family]
     watermark = read_store_watermark(spark, store_path)
     if watermark < 0:
         # empty store: nothing to duplicate against — and the data dirs
         # hold zero files (not schema-readable), so short-circuit
-        return spark.createDataFrame(
-            [], "new_id long, old_id long, jaccard_shingles double"
-        )
-    shb, bandsb = _portable_minhash_tables(batch, cache=False)
+        return spark.createDataFrame([], fam["empty_schema"])
+    shb, bandsb = fam["tables"](batch, cache=False)
 
     # bounded work-list collect #1: the batch's (band, sig_shard) set —
     # ≤ 8×64 rows — prunes the store scan to matching partitions. One
@@ -342,13 +460,4 @@ def probe_signature_store(
     codes = spark.read.parquet(_codes_path(store_path)).filter(
         F.col("doc_id") <= watermark  # committed rows only
     )
-    ha = shb.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("h_a"))
-    hb = codes.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("h_b"))
-    ni = F.size(F.array_intersect("h_a", "h_b"))
-    jac = ni.cast("double") / (F.size("h_a") + F.size("h_b") - ni)
-    return (
-        F.broadcast(cand.join(F.broadcast(ha), "new_id"))
-        .join(hb, "old_id")
-        .filter(jac >= _MH_VERIFY_T)
-        .select("new_id", "old_id", hround(jac).alias("jaccard_shingles"))
-    )
+    return fam["verify"](cand, shb, codes)

@@ -62,6 +62,7 @@ def process_ingest_batch(
     store_path: str,
     accepted_dir: str,
     rejects_dir: str,
+    family: str = "minhash",
 ) -> None:
     """One micro-batch of the ingest-dedup loop — IDEMPOTENT under
     foreachBatch's at-least-once redelivery (module doc, "Exactly-once
@@ -86,7 +87,9 @@ def process_ingest_batch(
     # finally): the evidence write and the quarantine anti-join both
     # consume the probe, and recomputing it would re-scan the store
     # once per consumer
-    hits = probe_signature_store(spark, batch, store_path).persist()
+    hits = probe_signature_store(
+        spark, batch, store_path, family=family
+    ).persist()
     try:
         # batch_id-keyed sink paths with OVERWRITE: a replay of a batch
         # that crashed between these writes and the append replaces its
@@ -110,6 +113,7 @@ def process_ingest_batch(
             accepted.select("doc_id", "text"),
             store_path,
             watermark_hi=int(hi),
+            family=family,
         )
     finally:
         hits.unpersist()
@@ -122,6 +126,7 @@ def stream_ingest_dedup(
     accepted_dir: str,
     rejects_dir: str,
     checkpoint_dir: str,
+    family: str = "minhash",
 ):
     """Start the ingest-dedup stream; returns the StreamingQuery.
 
@@ -134,7 +139,13 @@ def stream_ingest_dedup(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_ingest_batch(
-            spark, batch_df, batch_id, store_path, accepted_dir, rejects_dir
+            spark,
+            batch_df,
+            batch_id,
+            store_path,
+            accepted_dir,
+            rejects_dir,
+            family=family,
         )
 
     return (
