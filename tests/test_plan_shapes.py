@@ -241,6 +241,12 @@ def test_headline_budget_covers_all_headlines():
 
 @pytest.mark.parametrize("name", sorted(_HEADLINE_MAX_SHUFFLES))
 def test_headline_shuffle_budget_at_sf01(spark, name):
+    # cache-independent plans: a cache left by an earlier test swaps an
+    # InMemoryRelation into the tree, whose STORED plan re-prints its
+    # own exchanges and inflates the count (seen in-suite for
+    # dedup_minhash_lsh); the bench clears caches per query, so the
+    # budget is pinned against the same cold-plan shape
+    spark.catalog.clearCache()
     plan = _physical_plan(_REGISTRY[name].fn(spark, "/root/testdata/sf0.1"))
     n = _shuffle_count(plan)
     assert n <= _HEADLINE_MAX_SHUFFLES[name], (
