@@ -1,0 +1,113 @@
+"""Spark-vs-DuckDB headline ratio, measured the fair way: one process,
+interleaved passes, same host window for both engines.
+
+The round-7 verdict showed the ratio is exquisitely window-sensitive:
+the same HEAD measured 2.03x and 2.81x across rounds mostly because
+the two sides were timed in different noise windows (and a correctness
+restructure changed the ORACLE's cost as much as the Spark plan's).
+This tool removes the methodology variance: for each with-oracle
+headline query it alternates Spark pass / DuckDB pass within the same
+minute, takes per-engine best-of-N, and prints one JSON line with the
+per-query pairs, the totals, and the floor-adjusted ratio (subtracting
+the local-mode scheduling floor once per query from the Spark side —
+the irreducible-locally, irrelevant-on-a-cluster term bench.py also
+reports).
+
+Usage: python tools/oracle_ratio.py [--passes 3] [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import duckdb  # noqa: E402
+
+from weather_etl_pipeline_spark.registry import load_all  # noqa: E402
+from weather_etl_pipeline_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from weather_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    reg = load_all()
+    heads = {n: q for n, q in reg.items() if q.headline and q.oracle}
+
+    spark = get_spark("oracle-ratio")
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf}/{t}.parquet')"
+        )
+    # duckdb warm-up (catalog + reader init)
+    con.execute("SELECT count(*) FROM region").fetchall()
+
+    floor = min(
+        _t(lambda: spark.range(1).write.format("noop").mode("overwrite").save())
+        for _ in range(5)
+    )
+
+    s_best: dict[str, float] = {n: float("inf") for n in heads}
+    d_best: dict[str, float] = {n: float("inf") for n in heads}
+    for _ in range(args.passes):
+        for name in sorted(heads):
+            spark.catalog.clearCache()
+            s_best[name] = min(
+                s_best[name],
+                _t(
+                    lambda: heads[name]
+                    .fn(spark, args.sf)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                ),
+            )
+            d_best[name] = min(
+                d_best[name], _t(lambda: con.execute(heads[name].oracle).fetchall())
+            )
+    st, dt = sum(s_best.values()), sum(d_best.values())
+    adj = st - floor * len(heads)
+    print(
+        json.dumps(
+            {
+                "n_queries": len(heads),
+                "spark_sec": round(st, 3),
+                "duckdb_sec": round(dt, 3),
+                "floor_sec": round(floor, 3),
+                "ratio_raw": round(st / dt, 3),
+                "ratio_floor_adjusted": round(adj / dt, 3),
+                "per_query": {
+                    n: {"spark": round(s_best[n], 3), "duckdb": round(d_best[n], 3)}
+                    for n in sorted(heads)
+                },
+                "sf": args.sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+def _t(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()
