@@ -258,8 +258,14 @@ def _jaccard_scored_pairs(
         .withColumn("n_tok", F.size("tokens"))
         .cache()
     )
+    # n_tok rides the exploded index so the verify's groupBy can emit
+    # (n_a, n_b) via MIN — it's constant per doc — instead of two
+    # doc-size joins after the count (round-8 A/B: 3.33s vs 4.11s at
+    # sf0.1 in the same window; two fewer join stages). The oracle's
+    # pairs CTE already computes MIN(n_tok) over the verify join, so
+    # the outputs are identical by construction.
     inv = toks.select(
-        "doc_id", "lang", "source", F.explode("tokens").alias("token")
+        "doc_id", "lang", "source", "n_tok", F.explode("tokens").alias("token")
     )
     # cap via window row_number (streams/spills — a raw collect_list of
     # UNCAPPED posting lists would materialize per-group arrays bounded
@@ -295,8 +301,12 @@ def _jaccard_scored_pairs(
     # Re-A/B'd round 8 after the one-exchange collapse shrank the rep
     # side: count-join 2.44s vs array_intersect 3.42s best-of-3 at
     # sf0.1 — the trade did not flip; count-join stays.
-    fa = inv.select(F.col("doc_id").alias("doc_a"), "token")
-    fb = inv.select(F.col("doc_id").alias("doc_b"), "token")
+    fa = inv.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("n_tok").alias("n_a")
+    )
+    fb = inv.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("n_tok").alias("n_b")
+    )
     # size-gated broadcast of the verify-side index: the (doc_b, token)
     # join otherwise shuffles BOTH the full inverted index and the
     # pairs×tokens intermediate — the query's dominant exchange
@@ -308,16 +318,16 @@ def _jaccard_scored_pairs(
     # cost is bounded by the SAME posting caps as candidate generation.
     if table_file_bytes(spark, sf_dir, "documents") <= _JACCARD_BC_MAX_BYTES:
         fb = F.broadcast(fb)
-    pairs = (
+    return (
         cand.join(fa, "doc_a")
         .join(fb, ["doc_b", "token"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
     )
-    sizes = toks.select("doc_id", "n_tok")
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
-    return pairs.join(na, "doc_a").join(nb, "doc_b")
 
 
 def _jac_expr():
