@@ -550,3 +550,61 @@ def test_simhash_store_probe_matches_exhaustive_recompute(spark, tmp_path):
                     want.add((new_id, old_id, h))
     assert got == want
     assert got, "no pairs at sf0.01 — vacuous equality"
+
+
+def test_ivf_append_is_probe_visible_and_guarded(spark, tmp_path):
+    """append_ivf_batch: appended vectors are assigned with the INDEX's
+    centroids (no re-clustering) and become probe-visible; appending is
+    equivalent to having built over the union corpus with the same
+    centroids (pin: an exact-twin query of an appended vector finds it
+    at cosine 1.0). Non-monotonic and torn-state appends refuse."""
+    import pytest as _pytest
+
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.functions.vectors import as_double
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        _cells_path,
+        append_ivf_batch,
+        build_ivf_index,
+        probe_ivf_index,
+        read_ivf_watermark,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    corpus = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    index = str(tmp_path / "ivf")
+    build_ivf_index(spark, corpus, index)
+    # pre-append: a twin of an appended-later vector finds nothing at 1.0
+    twin = batch.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), F.col("e").alias("qe")
+    )
+    twin_src = batch.limit(1).collect()[0]["vec_id"]
+    pre = probe_ivf_index(spark, twin, index, topk=1).collect()
+    assert not any(r["neighbor_id"] == twin_src for r in pre)
+
+    append_ivf_batch(spark, batch, index)
+    assert read_ivf_watermark(spark, index) == emb.agg(
+        F.max("vec_id")
+    ).collect()[0][0]
+    post = probe_ivf_index(spark, twin, index, topk=1).collect()
+    assert [(r["neighbor_id"], r["cos_sim"]) for r in post] == [(twin_src, 1.0)]
+
+    # non-monotonic refusal
+    with _pytest.raises(ValueError, match="monotonic"):
+        append_ivf_batch(spark, corpus, index)
+
+    # torn-state refusal: plant an orphan row above the watermark
+    orphan = batch.limit(1).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "e", F.lit(0).alias("cell")
+    )
+    orphan.write.mode("append").partitionBy("cell").parquet(_cells_path(index))
+    with _pytest.raises(ValueError, match="torn append"):
+        append_ivf_batch(
+            spark,
+            batch.select((F.col("vec_id") + 3_000_000).alias("vec_id"), "e"),
+            index,
+        )

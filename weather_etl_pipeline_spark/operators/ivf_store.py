@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine
 from .ivf import _assign, _dist2, _ITERS, _K, kmeans_centroids
 
-__all__ = ["build_ivf_index", "probe_ivf_index", "read_ivf_watermark"]
+__all__ = [
+    "append_ivf_batch",
+    "build_ivf_index",
+    "probe_ivf_index",
+    "read_ivf_watermark",
+]
 
 
 # at-or-above this centroid count, assignment switches from the HOF
@@ -232,6 +237,79 @@ def _write_meta(spark: SparkSession, index_path: str, max_vec_id: int) -> None:
     ).write.mode("overwrite").parquet(_meta_path(index_path))
 
 
+def append_ivf_batch(
+    spark: SparkSession, batch: DataFrame, index_path: str
+) -> None:
+    """The ingest loop's accept step for ANN — append a batch's vectors
+    to the existing cells WITHOUT re-clustering (centroids are the
+    index's coarse quantizer; production IVF re-trains on the
+    compaction cadence, not per batch — drift between the trained
+    centroids and newly ingested vectors is the documented trade every
+    IVF service makes).
+
+    Contract mirrors append_signature_batch exactly: batch vec_ids
+    strictly greater than the stored watermark (monotonic ingest
+    sequence, asserted), assignment uses the SAME arithmetic path the
+    index was built with (shared _VEC_ASSIGN_MIN_K threshold on the
+    stored k), cells written BEFORE meta so a mid-append crash leaves
+    the new vectors merely unsearchable (the probe reads committed
+    rows only), and a retry over a torn state is REFUSED loudly —
+    blindly re-appending would commit the crashed attempt's orphan
+    rows alongside the retry's copies once the watermark passes them
+    (duplicate candidates forever). Recovery = rebuild, the compaction
+    cadence's job anyway.
+    """
+    lo_hi = batch.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).collect()[0]
+    if lo_hi["lo"] is None:
+        return
+    stored_max = read_ivf_watermark(spark, index_path)
+    if lo_hi["lo"] <= stored_max:
+        raise ValueError(
+            f"append contract violated: batch min vec_id {lo_hi['lo']} "
+            f"<= stored max {stored_max} (ingest ids must be monotonic)"
+        )
+    if stored_max < 0:
+        raise ValueError(
+            "cannot append into an empty IVF index: no trained centroids "
+            "to assign against — build_ivf_index over the first corpus"
+        )
+    orphans = (
+        spark.read.parquet(_cells_path(index_path))
+        .filter(F.col("vec_id") > stored_max)
+        .limit(1)
+        .count()
+    )
+    if orphans:
+        raise ValueError(
+            f"torn append detected: cells hold vec_ids above the meta "
+            f"watermark {stored_max} — a previous append crashed "
+            "mid-write; rebuild the index"
+        )
+    batch = batch.dropDuplicates(["vec_id"])
+    cent = spark.read.parquet(_centroids_path(index_path))
+    cent_rows = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in cent.collect()
+    )
+    k = len(cent_rows)
+    if k >= _VEC_ASSIGN_MIN_K:
+        cells = _assign_np(batch, cent_rows)
+    else:
+        cells = _assign(
+            batch,
+            spark.createDataFrame(cent_rows, "cell int, centroid array<double>"),
+        )
+    (
+        cells.repartition(min(k, 64), "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(_cells_path(index_path))
+    )
+    _write_meta(spark, index_path, int(lo_hi["hi"]))
+
+
 def probe_ivf_index(
     spark: SparkSession,
     queries: DataFrame,
@@ -246,7 +324,8 @@ def probe_ivf_index(
     ``queries`` needs (query_id, qe array<double>). Self-matches
     (neighbor_id == query_id) are excluded, as in the inline op.
     """
-    if read_ivf_watermark(spark, index_path) < 0:
+    watermark = read_ivf_watermark(spark, index_path)
+    if watermark < 0:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rk long"
         )
@@ -296,8 +375,14 @@ def probe_ivf_index(
     probe_cells = [
         r["qcell"] for r in qcells.select("qcell").distinct().collect()
     ]
-    cells = spark.read.parquet(_cells_path(index_path)).filter(
-        F.col("cell").isin(probe_cells) if probe_cells else F.lit(False)
+    # committed rows only (vec_id <= watermark): rows a torn append
+    # left above the watermark are invisible, so probes stay
+    # deterministic under append retries — the same contract as the
+    # signature store's probe
+    cells = (
+        spark.read.parquet(_cells_path(index_path))
+        .filter(F.col("cell").isin(probe_cells) if probe_cells else F.lit(False))
+        .filter(F.col("vec_id") <= watermark)
     )
     cand = F.broadcast(qcells).join(
         cells,
