@@ -608,3 +608,49 @@ def test_ivf_append_is_probe_visible_and_guarded(spark, tmp_path):
             batch.select((F.col("vec_id") + 3_000_000).alias("vec_id"), "e"),
             index,
         )
+
+
+def test_ivf_probe_full_nprobe_equals_bruteforce(spark, tmp_path):
+    """nprobe = k (probe every cell) degenerates to exact brute force:
+    recall@5 against an INDEPENDENT numpy cosine ground truth must be
+    exactly 1.0 — an end-to-end correctness pin for the whole probe
+    (cell ranking, pruning, scoring, top-k tie-break). The partial
+    nprobe curve is tooling, not a contract (tools/ivf_recall.py:
+    0.33/0.51/0.78/1.00 at nprobe 1/2/4/8, sf0.1)."""
+    import numpy as np
+
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.functions.vectors import as_double
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["e"] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qidx = np.argsort(ids)[:16]
+    sims = Xn[qidx] @ Xn.T
+    truth = {}
+    for row, qi in enumerate(qidx):
+        order = [j for j in np.argsort(-sims[row], kind="stable") if j != qi]
+        truth[int(ids[qi])] = {int(ids[j]) for j in order[:5]}
+    index = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, index, k=8)
+    queries = emb.filter(
+        F.col("vec_id").isin([int(ids[i]) for i in qidx])
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    got = probe_ivf_index(spark, queries, index, topk=5, nprobe=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # cosine ties at rank 5 could legitimately differ in membership;
+    # compare against truth allowing tie-equivalent swaps via recall
+    hits = sum(len(by_q.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    assert hits == total, f"recall {hits}/{total} at nprobe=k"

@@ -34,6 +34,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10,100")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--family", default="minhash", choices=["minhash", "simhash"])
     args = ap.parse_args()
 
     spark = get_spark("sigstore-sweep")
@@ -47,23 +48,25 @@ def main() -> None:
     for mult in (int(m) for m in args.scales.split(",")):
         sf = args.base if mult == 1 else f"{args.base}@x{mult}"
         corpus = load_table(spark, sf, "documents").filter(bucket < _INC_NEW_PCT)
-        store = tempfile.mkdtemp(prefix=f"sigstore_x{mult}_")
+        store = tempfile.mkdtemp(prefix=f"sigstore_{args.family}_x{mult}_")
         t0 = time.perf_counter()
-        build_signature_store(spark, corpus, store)
+        build_signature_store(spark, corpus, store, family=args.family)
         tb = time.perf_counter() - t0
         best = float("inf")
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            probe_signature_store(spark, batch, store).write.format(
-                "noop"
-            ).mode("overwrite").save()
+            probe_signature_store(
+                spark, batch, store, family=args.family
+            ).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         spark.catalog.clearCache()
-        rows = probe_signature_store(spark, batch, store).count()
+        rows = probe_signature_store(
+            spark, batch, store, family=args.family
+        ).count()
         print(
-            f"x{mult}: build {tb:.2f}s probe(best-of-2) {best:.2f}s"
-            f" pairs {rows}",
+            f"{args.family} x{mult}: build {tb:.2f}s"
+            f" probe(best-of-2) {best:.2f}s pairs {rows}",
             flush=True,
         )
     spark.stop()
