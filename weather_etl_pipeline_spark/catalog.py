@@ -54,22 +54,33 @@ def _resolve_sf_dir(sf_dir: str, name: str) -> tuple[str, int]:
 
 
 # memoized table handles, keyed by (session, resolved dir, table,
-# replication). A DataFrame is an immutable lazy plan, so handing the
-# same object to every query is safe — what the memo removes is the
-# per-call spark.read.parquet metadata work (file listing + footer
-# schema inference + the nanos-normalization analysis), which measured
-# 0.1-0.2s of driver latency per table per query (star_join builds 5+
-# tables → ~0.8s of pure plan-construction before a single task ran).
-# This is CATALOG behavior, not a benchmark trick: every engine
-# resolves a table to cached metadata (the DuckDB oracle registers its
-# views once, outside any timed region). The testdata dirs are
-# immutable within a session; a regenerated fixture needs a new
-# session (or clear_table_cache()).
+# replication, file mtime+size). A DataFrame is an immutable lazy
+# plan, so handing the same object to every query is safe — what the
+# memo removes is the per-call spark.read.parquet metadata work (file
+# listing + footer schema inference + the nanos-normalization
+# analysis), which measured 0.1-0.2s of driver latency per table per
+# query (star_join builds 5+ tables → ~0.8s of pure plan-construction
+# before a single task ran). This is CATALOG behavior, not a benchmark
+# trick: every engine resolves a table to cached metadata (the DuckDB
+# oracle registers its views once, outside any timed region). The
+# mtime+size in the key makes mutation safe: an overwritten fixture
+# (test lakes under tmp_path) changes its stat signature and misses
+# the memo — one os.stat per call is microseconds against the 0.1-0.2s
+# it replaces. Paths the driver can't stat (remote filesystems) skip
+# memoization entirely rather than risk staleness.
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def clear_table_cache() -> None:
     _TABLE_CACHE.clear()
+
+
+def _stat_sig(path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -86,14 +97,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    key = (spark.sparkContext.applicationId, sf_dir, name, replication)
-    df = _TABLE_CACHE.get(key)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    sig = _stat_sig(path)
+    key = (spark.sparkContext.applicationId, sf_dir, name, replication, sig)
+    df = _TABLE_CACHE.get(key) if sig is not None else None
     if df is None:
-        path = os.path.join(sf_dir, f"{name}.parquet")
         df = _convert_long_ts_cols(
             spark.read.parquet(*([path] * replication)), nanos_cols
         )
-        _TABLE_CACHE[key] = df
+        if sig is not None:
+            _TABLE_CACHE[key] = df
     return df
 
 
