@@ -665,3 +665,68 @@ def test_ingest_bootstrap_from_empty_store(spark, tmp_path):
     assert sorted(
         (r["new_id"], r["old_id"]) for r in spark.read.parquet(rejects).collect()
     ) == [(2, 0)]
+
+
+# --- ANN ingest loop (round 8): the embedding-space twin of the text loop ----
+
+
+def test_ann_ingest_probe_append_and_replay(spark, tmp_path):
+    """The ANN ingest loop end-to-end: bootstrap batch trains the
+    quantizer and accepts everything; a later batch's exact-twin vector
+    is quarantined with evidence while fresh vectors append; a
+    redelivered committed batch is skipped outright (same watermark
+    contract as the text loop)."""
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.functions.vectors import as_double
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        build_ivf_index,
+        read_ivf_watermark,
+    )
+    from weather_etl_pipeline_spark.streaming.ingest_ann import (
+        process_ann_batch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    index = str(tmp_path / "ivf")
+    accepted = str(tmp_path / "accepted")
+    rejects = str(tmp_path / "rejects")
+    # bootstrap: empty index (meta only), first batch trains + accepts all
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"), index
+    )
+    batch1 = emb.filter(F.col("vec_id") < 400).withColumn("src", F.lit("b1"))
+    process_ann_batch(spark, batch1, 0, index, accepted, rejects)
+    assert read_ivf_watermark(spark, index) == 399
+    assert spark.read.parquet(accepted).count() == 400
+    assert spark.read.parquet(rejects).count() == 0
+
+    # batch 2: one exact twin of an accepted vector + fresh vectors
+    twin = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 1_000).alias("vec_id"), "e"
+    )
+    fresh = emb.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 450)
+    )
+    batch2 = fresh.unionByName(twin).withColumn("src", F.lit("b2"))
+    process_ann_batch(spark, batch2, 1, index, accepted, rejects)
+    rej = {
+        (r["new_id"], r["old_id"]) for r in spark.read.parquet(rejects).collect()
+    }
+    assert (1007, 7) in rej
+    acc_ids = {
+        r["vec_id"] for r in spark.read.parquet(accepted).collect()
+    }
+    assert 1007 not in acc_ids and 449 in acc_ids
+    assert read_ivf_watermark(spark, index) == 1007  # full batch max
+
+    # redelivery of the committed batch: everything skipped
+    n_acc, n_rej = (
+        spark.read.parquet(accepted).count(),
+        spark.read.parquet(rejects).count(),
+    )
+    process_ann_batch(spark, batch2, 1, index, accepted, rejects)
+    assert spark.read.parquet(accepted).count() == n_acc
+    assert spark.read.parquet(rejects).count() == n_rej

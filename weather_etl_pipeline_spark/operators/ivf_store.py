@@ -238,7 +238,10 @@ def _write_meta(spark: SparkSession, index_path: str, max_vec_id: int) -> None:
 
 
 def append_ivf_batch(
-    spark: SparkSession, batch: DataFrame, index_path: str
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    watermark_hi: int | None = None,
 ) -> None:
     """The ingest loop's accept step for ANN — append a batch's vectors
     to the existing cells WITHOUT re-clustering (centroids are the
@@ -258,13 +261,23 @@ def append_ivf_batch(
     rows alongside the retry's copies once the watermark passes them
     (duplicate candidates forever). Recovery = rebuild, the compaction
     cadence's job anyway.
+
+    ``watermark_hi``: the ingest batch's max vec_id INCLUDING rejected
+    vectors — the streaming loop's batch-commit marker, identical in
+    role and rationale to append_signature_batch's parameter (a batch
+    whose tail vectors were all quarantined must still read as fully
+    committed, in ONE meta write, or a replay lands in the
+    self-duplicate window).
     """
     lo_hi = batch.agg(
         F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
     ).collect()[0]
-    if lo_hi["lo"] is None:
-        return
     stored_max = read_ivf_watermark(spark, index_path)
+    if lo_hi["lo"] is None:
+        # all-duplicates ingest batch: advance the commit marker only
+        if watermark_hi is not None and watermark_hi > stored_max:
+            _write_meta(spark, index_path, int(watermark_hi))
+        return
     if lo_hi["lo"] <= stored_max:
         raise ValueError(
             f"append contract violated: batch min vec_id {lo_hi['lo']} "
@@ -307,7 +320,10 @@ def append_ivf_batch(
         .partitionBy("cell")
         .parquet(_cells_path(index_path))
     )
-    _write_meta(spark, index_path, int(lo_hi["hi"]))
+    hi = int(lo_hi["hi"])
+    if watermark_hi is not None:
+        hi = max(hi, int(watermark_hi))
+    _write_meta(spark, index_path, hi)
 
 
 def probe_ivf_index(
