@@ -382,3 +382,76 @@ def test_collapse_exact_matches_reference(spark, corpus):
     # reps or edges
     assert edges == want_edges
     assert reps_df.count() == len(want_reps)
+
+
+# --- signature store: append ≡ rebuild under random splits/duplication -------
+# The deterministic store tests pin one split point on real data; this
+# drives the contract over randomized corpora: arbitrary split
+# position, duplicated TEXTS across the corpus/batch boundary (the
+# collision-adversarial case for capped buckets), and duplicate texts
+# WITHIN the batch. Probe(store(corpus)+append(mid)) must equal
+# probe(store(corpus+mid)) exactly, for both families.
+
+_store_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+)
+_store_docs = st.lists(
+    st.lists(_store_words, min_size=3, max_size=6),  # >=3 tokens: minhash gate
+    min_size=4,
+    max_size=10,
+)
+
+
+@given(_store_docs, st.data())
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_store_append_equals_rebuild_randomized(spark, docs, data):
+    import pytest as _pytest
+
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        append_signature_batch,
+        build_signature_store,
+        probe_signature_store,
+    )
+
+    family = data.draw(st.sampled_from(["minhash", "simhash"]))
+    cut = data.draw(st.integers(1, len(docs) - 1)) if len(docs) > 1 else 1
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(rows[:cut], schema)
+    mid = spark.createDataFrame(rows[cut:], schema)
+    # probe batch: fresh ids, texts drawn from the SAME pool so exact
+    # twins across every boundary are likely
+    probe_rows = [
+        (1000 + j, " ".join(data.draw(st.lists(_store_words, min_size=3, max_size=6))))
+        for j in range(2)
+    ] + [(2000, rows[0][1])]  # guaranteed twin of a corpus doc
+    probe = spark.createDataFrame(probe_rows, schema)
+
+    import tempfile
+
+    appended = tempfile.mkdtemp(prefix="prop_store_a_")
+    rebuilt = tempfile.mkdtemp(prefix="prop_store_r_")
+    build_signature_store(spark, corpus, appended, family=family)
+    append_signature_batch(spark, mid, appended, family=family)
+    build_signature_store(
+        spark, corpus.unionByName(mid), rebuilt, family=family
+    )
+    got_a = {
+        tuple(r)
+        for r in probe_signature_store(
+            spark, probe, appended, family=family
+        ).collect()
+    }
+    got_r = {
+        tuple(r)
+        for r in probe_signature_store(
+            spark, probe, rebuilt, family=family
+        ).collect()
+    }
+    assert got_a == got_r
+    # the guaranteed twin must be found (hamming 0 / jaccard 1.0 vs doc 0)
+    assert any(r[0] == 2000 and r[1] == 0 for r in got_a)
+    # contract: stale re-append refuses
+    with _pytest.raises(ValueError, match="monotonic"):
+        append_signature_batch(spark, corpus, appended, family=family)
