@@ -730,3 +730,61 @@ def test_ann_ingest_probe_append_and_replay(spark, tmp_path):
     process_ann_batch(spark, batch2, 1, index, accepted, rejects)
     assert spark.read.parquet(accepted).count() == n_acc
     assert spark.read.parquet(rejects).count() == n_rej
+
+
+def test_stream_ingest_ann_end_to_end(spark, tmp_path):
+    """The ANN ingest loop driven through a real readStream →
+    foreachBatch query (the batch-function chaos tests cover crash
+    windows; this pins the stream wiring): batch 1 bootstraps the
+    index, batch 2 contains a dup of a batch-1-accepted vector — caught
+    without re-clustering — plus a fresh vector that appends."""
+    from weather_etl_pipeline_spark.functions.vectors import as_double
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        build_ivf_index,
+        read_ivf_watermark,
+    )
+    from weather_etl_pipeline_spark.streaming.ingest_ann import (
+        stream_ingest_ann,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    base = {r["vec_id"]: r["e"] for r in emb.filter(F.col("vec_id") < 40).collect()}
+    schema = "vec_id long, e array<double>, src string"
+    b1 = [(i, base[i], "b1") for i in range(30)]
+    b2 = [
+        (100, base[7], "b2"),   # exact dup of a batch-1-accepted vector
+        (101, base[35], "b2"),  # fresh (35 was never ingested)
+    ]
+    src = str(tmp_path / "src")
+    index = str(tmp_path / "ivf")
+    accepted = str(tmp_path / "accepted")
+    rejects = str(tmp_path / "rejects")
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"), index
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_ingest_ann(
+        stream, spark, index, accepted, rejects, str(tmp_path / "ck"), nprobe=8
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    acc = {r["vec_id"] for r in spark.read.parquet(accepted).collect()}
+    assert 101 in acc and 100 not in acc and 7 in acc
+    rej = {
+        (r["new_id"], r["old_id"]) for r in spark.read.parquet(rejects).collect()
+    }
+    assert rej == {(100, 7)}
+    assert read_ivf_watermark(spark, index) == 101
