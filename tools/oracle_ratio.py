@@ -62,6 +62,11 @@ def main() -> None:
         _t(lambda: spark.range(1).write.format("noop").mode("overwrite").save())
         for _ in range(5)
     )
+    # the fixed reference micro-job (tools/bench_context.py) so this
+    # run's host window can be compared against any bench run's context
+    from tools.bench_context import bench_context
+
+    context = bench_context(spark, args.sf)
 
     s_best: dict[str, float] = {n: float("inf") for n in heads}
     d_best: dict[str, float] = {n: float("inf") for n in heads}
@@ -92,6 +97,7 @@ def main() -> None:
                 "floor_sec": round(floor, 3),
                 "ratio_raw": round(st / dt, 3),
                 "ratio_floor_adjusted": round(adj / dt, 3),
+                "ref_job_sec": context["ref_job_sec"],
                 "per_query": {
                     n: {"spark": round(s_best[n], 3), "duckdb": round(d_best[n], 3)}
                     for n in sorted(heads)
