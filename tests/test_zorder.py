@@ -1,0 +1,95 @@
+"""Z-order layout rewrite: the data-skipping PRECONDITION, asserted
+engine-independently from the written parquet footers.
+
+A scan with a range filter can skip a file iff the filter range misses
+the file's [min, max] for that column. We count candidate files (those
+whose range intersects the filter) straight from pyarrow footer stats:
+a z-ordered layout must prune on EVERY clustered column, while the
+single-column-sorted control layout prunes only its own sort column.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from weather_etl_pipeline_spark.catalog import load_table
+from weather_etl_pipeline_spark.sources.zorder import zorder_write
+
+SF = "/root/testdata/sf0.01"
+N_FILES = 8
+
+
+def _candidate_files(path: str, col: str, lo: float, hi: float) -> int:
+    """Files whose footer [min, max] for ``col`` intersects [lo, hi]."""
+    n = 0
+    for p in sorted(Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(p).metadata
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema != col or c.statistics is None:
+                    continue
+                s = c.statistics
+                if s.min is not None:
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is None or (fmax >= lo and fmin <= hi):
+            n += 1  # no stats = not skippable = candidate
+    return n
+
+
+def test_zorder_prunes_every_clustered_column(spark, tmp_path):
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    ).filter(F.col("value").isNotNull())
+
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    zorder_write(ev, ["user_id", "value"], zpath, n_files=N_FILES)
+    # control: single-column sort on user_id, same file count
+    (
+        ev.repartitionByRange(N_FILES, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    # same rows either way
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(spath).count()
+        == ev.count()
+    )
+
+    lo_u, hi_u = 10, 30  # narrow user_id band
+    stats = ev.agg(
+        F.expr("percentile(value, 0.45)").alias("lo"),
+        F.expr("percentile(value, 0.55)").alias("hi"),
+    ).collect()[0]
+    lo_v, hi_v = float(stats["lo"]), float(stats["hi"])
+
+    z_u = _candidate_files(zpath, "user_id", lo_u, hi_u)
+    z_v = _candidate_files(zpath, "value", lo_v, hi_v)
+    s_u = _candidate_files(spath, "user_id", lo_u, hi_u)
+    s_v = _candidate_files(spath, "value", lo_v, hi_v)
+
+    # the control prunes its own sort column hard but not the other
+    assert s_u < N_FILES
+    assert s_v == N_FILES, "control layout unexpectedly clustered on value"
+    # z-order prunes BOTH dimensions strictly
+    assert z_u < N_FILES, f"zorder did not prune user_id ({z_u}/{N_FILES})"
+    assert z_v < N_FILES, f"zorder did not prune value ({z_v}/{N_FILES})"
+
+
+def test_zorder_rejects_bit_overflow(spark):
+    import pytest
+
+    from weather_etl_pipeline_spark.sources.zorder import zvalue_column
+
+    ev = load_table(spark, SF, "events")
+    with pytest.raises(ValueError, match="int64"):
+        zvalue_column(ev, ["user_id"] * 9, bits=8)
