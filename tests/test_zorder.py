@@ -93,3 +93,26 @@ def test_zorder_rejects_bit_overflow(spark):
     ev = load_table(spark, SF, "events")
     with pytest.raises(ValueError, match="int64"):
         zvalue_column(ev, ["user_id"] * 9, bits=8)
+
+
+def test_zorder_plan_is_one_range_exchange(spark):
+    """Scale contract: the z-value is pure projection (sketch happens
+    driver-side before the plan exists) and the ONLY shuffle is the
+    repartitionByRange on the z key — a second exchange or a UDF node
+    appearing here would silently double the rewrite cost at lake
+    scale."""
+    from weather_etl_pipeline_spark.catalog import temp_col
+    from weather_etl_pipeline_spark.sources.zorder import zvalue_column
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    zc = temp_col(ev, "z")
+    staged = (
+        ev.withColumn(zc, zvalue_column(ev, ["user_id", "value"]))
+        .repartitionByRange(8, zc)
+        .sortWithinPartitions(zc)
+        .drop(zc)
+    )
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1 and "rangepartitioning" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
