@@ -654,3 +654,26 @@ def test_ivf_probe_full_nprobe_equals_bruteforce(spark, tmp_path):
     hits = sum(len(by_q.get(q, set()) & t) for q, t in truth.items())
     total = sum(len(t) for t in truth.values())
     assert hits == total, f"recall {hits}/{total} at nprobe=k"
+
+
+def test_ivf_build_clamps_k_to_corpus(spark, tmp_path):
+    """A bootstrap-sized corpus with the production k default must
+    build (k clamps to the corpus size) and probe correctly — the
+    unclamped seed loop IndexError'd mid-iteration."""
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.functions.vectors import as_double
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    ).filter(F.col("vec_id") < 10)
+    index = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, index, k=64)
+    twin = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(999).alias("query_id"), F.col("e").alias("qe")
+    )
+    got = probe_ivf_index(spark, twin, index, topk=1, nprobe=10).collect()
+    assert [(r["neighbor_id"], r["cos_sim"]) for r in got] == [(3, 1.0)]

@@ -206,6 +206,11 @@ def build_ivf_index(
             _write_meta(spark, index_path, -1)
             return
         dim = len(emb.select("e").first()["e"])
+        # clamp k to the corpus: both Lloyd paths seed from the first k
+        # vectors and index rows[i] for i < k — a k beyond the corpus
+        # size would IndexError mid-iteration (a 10-vector bootstrap
+        # corpus with the k=64 production default is a legitimate call)
+        k = max(1, min(k, emb.count()))
         if k >= _VEC_ASSIGN_MIN_K:
             rows = _centroids_vectorized(spark, emb, k, iters, dim)
             cent = spark.createDataFrame(
