@@ -116,3 +116,22 @@ def test_zorder_plan_is_one_range_exchange(spark):
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles == 1 and "rangepartitioning" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_zorder_rejects_unsupported_dtype(spark):
+    import pytest
+
+    from weather_etl_pipeline_spark.sources.zorder import zvalue_column
+
+    ev = load_table(spark, SF, "events")
+    with pytest.raises(ValueError, match="numeric/timestamp/date"):
+        zvalue_column(ev, ["event_type"])  # string column
+
+
+def test_zorder_timestamp_column_clusters(spark, tmp_path):
+    """Timestamps are first-class z-order dimensions (epoch-seconds
+    rank); the written footers must carry tight ts ranges per file."""
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "user_id")
+    path = str(tmp_path / "zt")
+    zorder_write(ev, ["ts", "user_id"], path, n_files=N_FILES)
+    assert spark.read.parquet(path).count() == ev.count()

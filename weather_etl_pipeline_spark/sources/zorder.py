@@ -48,10 +48,24 @@ __all__ = ["zorder_write", "zvalue_column"]
 _DEFAULT_BITS = 8
 
 
+_NUMERIC_DTYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+)
+
+
 def _numeric(col: Column, dtype: str) -> Column:
     if dtype.startswith("timestamp"):
         return F.unix_timestamp(col).cast("double")
-    return col.cast("double")
+    if dtype == "date":
+        return F.datediff(col, F.lit("1970-01-01")).cast("double")
+    if dtype.startswith(_NUMERIC_DTYPES):
+        return col.cast("double")
+    # loud, not silent: an unsupported dtype would cast to NULL, land
+    # every row in bucket 0, and quietly produce a layout with ZERO
+    # clustering on that column — a no-op that looks like success
+    raise ValueError(
+        f"zorder supports numeric/timestamp/date columns; got {dtype!r}"
+    )
 
 
 def zvalue_column(
