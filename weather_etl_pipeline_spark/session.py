@@ -62,6 +62,18 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Whole-stage-codegen class cache. The 100-entry default thrashes
+        # under a diverse workload: rotating the 18 headline queries
+        # evicts every query's generated classes between its own runs, so
+        # each execution pays janino recompilation (~0.7s for the largest
+        # multi-stage plans). Measured at sf0.1: 18-query rotation 10.7s
+        # -> 8.5s from 100 -> 4096 entries. Cost is driver-side bytecode
+        # (a few MB); a long-lived cluster service with a mixed workload
+        # wants exactly this.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
