@@ -104,6 +104,123 @@ def simsearch_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-batch candidate margin for the matmul scan: the kernel prunes with
+# float64 BLAS sims while the final rank uses the exact left-to-right
+# fold, so the per-batch cut keeps a few extra rows in case two sims sit
+# within summation-order noise (~1e-15 relative) of each other at the
+# cut line. 8 extra per (query, batch) makes a selection flip require
+# NINE such coincidences in one batch.
+_SCAN_MARGIN = 8
+
+
+@register("simsearch_knn_topk_scan", oracle=_KNN_ORACLE, headline=False)
+def simsearch_knn_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k as a single corpus scan with a BLAS kernel —
+    the shape that survives 100 TB, same output contract (and oracle)
+    as ``simsearch_knn_bruteforce``.
+
+    The baseline materializes Q x N scored rows and ranks them in one
+    window: exact, but the window's shuffle carries the whole scored
+    cross product. Here the corpus is scanned ONCE through mapInPandas:
+    each Arrow batch computes sims against all Q probes with one
+    float64 matmul and emits only its local top-(k+margin) rows per
+    probe, so at most partitions x Q x (k+margin) rows ever leave the
+    scan — the global window ranks thousands of rows, not Q x N. The
+    survivors are then RE-SCORED with the exact fold expression
+    (functions/vectors.py), so emitted cosines are bit-identical to the
+    baseline/oracle; the BLAS numbers only prune.
+
+    Scale notes: probes are a bounded driver-side work-list (the same
+    gate as the store probes' shard list) broadcast into the kernel via
+    closure; corpus partitioning is untouched (no shuffle before the
+    scan); kernel memory is one Arrow batch x Q.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in probes])
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    keep = _TOP_K + _SCAN_MARGIN
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            sims = (q_mat @ c.T) / (
+                q_norm[:, None] * np.sqrt((c * c).sum(axis=1))[None, :]
+            )
+            out_q, out_n = [], []
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                # self-match excluded the same way the baseline join does
+                mask = ids != q_ids[qi]
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                top = cand[np.argsort(-row[cand], kind="stable")[:keep]]
+                out_q.append(np.full(len(top), q_ids[qi], dtype=np.int64))
+                out_n.append(ids[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                    }
+                )
+
+    survivors = emb.select("vec_id", "embedding").mapInPandas(
+        scan, "query_id long, neighbor_id long"
+    )
+    # exact re-score: tiny survivor set joins the probe vectors
+    # (broadcast both ways — survivors are bounded) and re-reads the
+    # neighbor embeddings through the same fold as the baseline
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double(F.col("embedding")).alias("qe"),
+        )
+        .dropDuplicates(["query_id"])
+        .withColumn("qn", norm(F.col("qe")))
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("ce"),
+    ).withColumn("cn", norm(F.col("ce")))
+    scored = (
+        F.broadcast(survivors.dropDuplicates(["query_id", "neighbor_id"]))
+        .join(F.broadcast(queries), "query_id")
+        .join(corpus, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 # --- label-blocked near-dup pairs (IVF-style coarse cells) -------------------
 
 # the synthetic corpus has no true near-dups (max within-label cosine
