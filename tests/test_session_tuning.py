@@ -36,7 +36,7 @@ def test_codegen_cache_covers_workload_diversity(spark):
     assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 4096
 
 
-def test_env_overrides_reach_the_builder(monkeypatch):
+def test_env_overrides_reach_the_builder():
     # the knobs must stay operable per-deployment without code changes
     import inspect
 
