@@ -105,6 +105,12 @@ def main() -> None:
             }
         )
     )
+    # drop memoized table handles before stopping the session they
+    # reference (catalog._TABLE_CACHE is app-id keyed; a stopped app's
+    # entries would otherwise linger in long-lived drivers)
+    from weather_etl_pipeline_spark.catalog import clear_table_cache
+
+    clear_table_cache()
     spark.stop()
 
 

@@ -16,8 +16,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    from weather_etl_pipeline_spark.catalog import clear_table_cache
+
     s = get_spark("tests", cpus=8, shuffle_partitions=8)
     yield s
+    # drop memoized table handles BEFORE stopping: cached DataFrames
+    # reference the stopped session and must not outlive it
+    clear_table_cache()
     s.stop()
 
 

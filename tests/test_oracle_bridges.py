@@ -127,7 +127,7 @@ def test_ivf_fast_path_reproduces_portable_assignment(spark):
         .select("vec_id", as_double(F.col("embedding")).alias("e"))
         .cache()
     )
-    cent = kmeans_centroids(emb, iters=1)
+    cent = kmeans_centroids(emb, iters=1, init="first")
     fast = {
         r["vec_id"]: r["cell"]
         for r in _assign(emb, cent).select("vec_id", "cell").collect()

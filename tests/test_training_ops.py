@@ -332,6 +332,69 @@ def test_signature_store_torn_append_is_benign_and_detected(
         append_signature_batch(spark, batch_b, store, family=family)
 
 
+def test_signature_store_collapse_first_recall_past_bucket_cap(spark, tmp_path):
+    """Round-9 recall fix: a corpus whose one text has MORE exact twins
+    than _LSH_BUCKET_CAP must still probe-match ALL of them. Pre-fix,
+    the store banded raw docs, twins filled the capped bucket prefix
+    (probe filters rn <= cap), and members past the cap silently
+    escaped candidacy; collapse-first stores one rep per distinct text
+    and expands verified matches through the persisted star edges."""
+    from weather_etl_pipeline_spark.operators.dedup import _LSH_BUCKET_CAP
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+        probe_signature_store,
+    )
+
+    n_twins = _LSH_BUCKET_CAP + 6  # strictly past the per-bucket cap
+    twin = "alpha beta gamma delta epsilon zeta"
+    corpus = spark.createDataFrame(
+        [(i, twin) for i in range(n_twins)]
+        + [(500, "totally unrelated words about weather stations")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "dupheavy")
+    build_signature_store(spark, corpus, store)
+    hits = probe_signature_store(
+        spark,
+        spark.createDataFrame([(1000, twin)], "doc_id long, text string"),
+        store,
+    ).collect()
+    assert {r["old_id"] for r in hits} == set(range(n_twins))
+    assert all(r["jaccard_shingles"] == 1.0 for r in hits)
+
+
+def test_signature_store_rebuild_preserves_committed_watermark(spark, tmp_path):
+    """Round-9 watermark-floor fix: a compaction REBUILD from the
+    accepted corpus must never regress the meta watermark below a
+    committed watermark_hi (a batch whose max doc was quarantined) —
+    regression would let a crash-redelivered batch past the ingest
+    loop's replay short-circuit and self-dup its own accepted docs."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        append_signature_batch,
+        build_signature_store,
+        read_store_watermark,
+    )
+
+    accepted = spark.createDataFrame(
+        [(1, "one two three four"), (2, "five six seven eight")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "wmfloor")
+    build_signature_store(spark, accepted, store)
+    # a later batch committed up to doc 99, but its tail was all dups
+    append_signature_batch(
+        spark, accepted.limit(0), store, watermark_hi=99
+    )
+    assert read_store_watermark(spark, store) == 99
+    # compaction rebuild from the accepted corpus (max doc_id = 2):
+    # default preserves the existing watermark...
+    build_signature_store(spark, accepted, store)
+    assert read_store_watermark(spark, store) == 99
+    # ...and an explicit floor above it wins
+    build_signature_store(spark, accepted, store, watermark_hi=120)
+    assert read_store_watermark(spark, store) == 120
+
+
 # --- persisted IVF index (round 8: the signature-store pattern for ANN) -------
 
 
@@ -654,6 +717,85 @@ def test_ivf_probe_full_nprobe_equals_bruteforce(spark, tmp_path):
     hits = sum(len(by_q.get(q, set()) & t) for q, t in truth.items())
     total = sum(len(t) for t in truth.values())
     assert hits == total, f"recall {hits}/{total} at nprobe=k"
+
+
+def test_ivf_multi_assignment_contract(spark, tmp_path):
+    """Round-9 multi-assignment (assign_m): the storage-for-recall IVF
+    dial. Contract: (a) probe output has no duplicate (query, neighbor)
+    rows even though vectors live in m cells; (b) at equal nprobe an
+    m=2 probe's hit set is a SUPERSET of m=1's (extra visibility, never
+    less); (c) nprobe=k remains exactly brute force; (d) appends
+    inherit m from meta, so appended vectors are visible from both
+    their cells."""
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.functions.vectors import as_double
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        append_ivf_batch,
+        build_ivf_index,
+        probe_ivf_index,
+        _read_meta,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    m1 = str(tmp_path / "m1")
+    m2 = str(tmp_path / "m2")
+    build_ivf_index(spark, emb, m1, assign_m=1)
+    build_ivf_index(spark, emb, m2, assign_m=2)
+    assert _read_meta(spark, m2)[1] == 2
+
+    got1 = probe_ivf_index(spark, queries, m1, nprobe=2).collect()
+    got2 = probe_ivf_index(spark, queries, m2, nprobe=2).collect()
+    # (a) no duplicate pairs
+    pairs2 = [(r["query_id"], r["neighbor_id"]) for r in got2]
+    assert len(pairs2) == len(set(pairs2))
+    # (b) m=2 sees every m=1 candidate cell's vectors and more: compare
+    # as recall against the full-probe truth rather than raw pair sets
+    # (top-k can displace), via hit counts against nprobe=k
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in probe_ivf_index(spark, queries, m2, nprobe=8).collect()
+    }
+    hits1 = len({(r["query_id"], r["neighbor_id"]) for r in got1} & full)
+    hits2 = len(set(pairs2) & full)
+    assert hits2 >= hits1
+    # (c) nprobe=k == brute force: identical result from both indexes
+    fullm1 = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in probe_ivf_index(spark, queries, m1, nprobe=8).collect()
+    }
+    fullm2 = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in probe_ivf_index(spark, queries, m2, nprobe=8).collect()
+    }
+    assert fullm1 == fullm2
+    assert fullm1, "vacuous equality"
+    # (d) append inherits m: the appended vector is found via BOTH its
+    # cells — probe from the exact position of the appended vector at
+    # nprobe=1 must surface it as its own (excluded) twin's neighbor
+    hi = emb.agg(F.max("vec_id")).collect()[0][0]
+    new_vec = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + hi + 1).alias("vec_id"), "e"
+    )
+    append_ivf_batch(spark, new_vec, m2)
+    assert _read_meta(spark, m2)[1] == 2
+    probe0 = probe_ivf_index(
+        spark,
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        ),
+        m2,
+        nprobe=1,
+    ).collect()
+    # vec 0's exact twin (cos 1.0) must rank first
+    assert any(
+        r["neighbor_id"] == hi + 1 and r["rk"] == 1 for r in probe0
+    ), probe0
 
 
 def test_ivf_build_clamps_k_to_corpus(spark, tmp_path):

@@ -44,6 +44,7 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--topk", type=int, default=5)
     ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--m", type=int, default=1, help="multi-assignment factor")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
@@ -69,7 +70,7 @@ def main() -> None:
         truth[int(ids[qi])] = set(int(v) for v in top)
 
     index = tempfile.mkdtemp(prefix="ivf_recall_")
-    build_ivf_index(spark, emb, index, k=args.k)
+    build_ivf_index(spark, emb, index, k=args.k, assign_m=args.m)
     queries = emb.filter(
         F.col("vec_id").isin([int(ids[i]) for i in qidx])
     ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
@@ -88,7 +89,7 @@ def main() -> None:
         )
         total = sum(len(t) for t in truth.values())
         print(
-            f"nprobe={nprobe}: recall@{args.topk} "
+            f"m={args.m} nprobe={nprobe}: recall@{args.topk} "
             f"{hits / total:.3f} probe {dt:.2f}s",
             flush=True,
         )

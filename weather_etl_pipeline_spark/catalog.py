@@ -106,6 +106,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.read.parquet(*([path] * replication)), nanos_cols
         )
         if sig is not None:
+            # evict prior generations of the same logical table (older
+            # stat signatures, e.g. overwritten test fixtures) so a
+            # long-lived driver holds at most one entry per
+            # (app, dir, table, replication) instead of leaking every
+            # superseded analyzed plan
+            stale = [k for k in _TABLE_CACHE if k[:4] == key[:4]]
+            for k in stale:
+                del _TABLE_CACHE[k]
             _TABLE_CACHE[key] = df
     return df
 

@@ -21,24 +21,31 @@ that store, mirroring ``sources/maintenance.py::compact_zone``'s
 posture (library function + pytest contract, driver-side work strictly
 bounded metadata):
 
-- ``build_signature_store`` — one job over the corpus: banded portable
-  minhash signatures (the exact arithmetic of
+- ``build_signature_store`` — one job over the corpus: exact-dup
+  COLLAPSE first (one rep per distinct text — _collapse_exact, the
+  same contract every inline banded op carries; members persisted as
+  star edges to ``<store>/edges``), then banded portable minhash
+  signatures over the reps (the exact arithmetic of
   ``dedup_minhash_portable``; reference parity target
   /root/reference/silver.py:36's read-then-derive staging, re-expressed
   as a persisted derived table) written to ``<store>/bands``
-  partitioned by ``(band, sig_shard)``, plus the per-doc shingle-code
+  partitioned by ``(band, sig_shard)``, plus the per-rep shingle-code
   arrays (the exact-verify sidecar) to ``<store>/codes`` partitioned by
   ``id_shard``. The per-bucket membership rank (the corpus-side
   ``_LSH_BUCKET_CAP`` every banded structure applies) is computed at
   build time and STORED, so probes filter ``rn <= cap`` instead of
-  re-windowing the corpus.
+  re-windowing the corpus. Collapse-first is a RECALL property under
+  the cap: a dup-heavy corpus would otherwise fill capped buckets with
+  exact twins and crowd distinct near-dups out of candidacy.
 - ``probe_signature_store`` — batch-vs-store only: signatures are
   computed for the BATCH inline (its size is the cost budget), the
   store is read partition-pruned to the batch's ``(band, sig_shard)``
   set and never shuffled (the batch side broadcasts), and the exact
   jaccard verify is a columnar scan-and-probe of the code sidecar
-  against the broadcast candidates. No corpus-side signature
-  computation anywhere.
+  against the broadcast candidates; verified rep matches expand to
+  member pairs through the star edges (identical text ⇒ identical
+  score), so probe output is complete over the UNcollapsed corpus. No
+  corpus-side signature computation anywhere.
 - ``append_signature_batch`` — the ingest loop's accept step: appends
   a batch's signatures with base-offset ranks (valid because ingest
   doc_ids are monotonic, asserted against the meta watermark), codes
@@ -68,8 +75,10 @@ from pyspark.sql import functions as F
 from ..functions.exact import hround
 from .dedup import (
     _LSH_BUCKET_CAP,
+    _MH_BANDS,
     _MH_VERIFY_T,
     _SH_CHUNKS,
+    _collapse_exact,
     _portable_minhash_tables,
     simhash_df,
     spread_to_cores,
@@ -156,7 +165,7 @@ def _verify_simhash(cand: DataFrame, shb: DataFrame, codes: DataFrame) -> DataFr
 _FAMILIES: dict[str, dict] = {
     "minhash": {
         "tables": _portable_minhash_tables,
-        "n_bands": 8,  # _MH_BANDS
+        "n_bands": _MH_BANDS,
         "verify": _verify_minhash,
         "empty_schema": "new_id long, old_id long, jaccard_shingles double",
     },
@@ -177,23 +186,72 @@ def _codes_path(store_path: str) -> str:
     return os.path.join(store_path, "codes")
 
 
+def _edges_path(store_path: str) -> str:
+    return os.path.join(store_path, "edges")
+
+
+_EDGES_SCHEMA = "rep_id long, member_id long"
+
+
+def _read_edges(spark: SparkSession, store_path: str) -> DataFrame:
+    """The store's exact-dup star edges (rep_id, member_id) — written
+    by build/append alongside the signatures. Explicit schema because
+    the table is legitimately EMPTY (a dup-free corpus writes zero edge
+    rows → a dir with no part files, which schema inference refuses);
+    a missing dir (store built before edges existed) reads as empty
+    too, degrading to rep-only probe output rather than failing."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(_EDGES_SCHEMA).parquet(_edges_path(store_path))
+    except AnalysisException:
+        return spark.createDataFrame([], _EDGES_SCHEMA)
+
+
 def build_signature_store(
     spark: SparkSession,
     docs: DataFrame,
     store_path: str,
     family: str = "minhash",
+    watermark_hi: int | None = None,
 ) -> None:
-    """One corpus pass → two partitioned lake tables (see module doc).
+    """One corpus pass → three partitioned lake tables (see module doc).
 
     ``docs`` needs (doc_id, text). Overwrites any prior store — rebuild
     runs on the compaction cadence, not per ingest. ``family`` picks
     the signature scheme (minhash jaccard / simhash hamming); the
     layout, rank, watermark, and crash semantics are identical.
+
+    Collapse-first (same contract as every inline banded op,
+    dedup.py::_collapse_exact): exact-duplicate texts are collapsed to
+    one representative BEFORE banding, so twins can't fill capped
+    buckets and crowd genuinely-distinct near-dups out of probe
+    candidacy; the members are persisted as star edges
+    (``<store>/edges``) and probes expand verified rep matches back to
+    member pairs (identical text ⇒ identical signature ⇒ identical
+    verify score), so output completeness is unchanged.
+
+    ``watermark_hi``: optional floor for the meta watermark. A
+    compaction REBUILD from the accepted corpus may not contain the
+    max doc_id ever committed (a batch whose tail docs were all
+    quarantined) — regressing the watermark below a committed
+    watermark_hi would let a crash-redelivered batch past the ingest
+    loop's replay short-circuit and re-probe a store containing its
+    own accepted docs. The build therefore also PRESERVES any existing
+    store watermark by default: meta = max(corpus max, existing
+    watermark, watermark_hi).
     """
     from pyspark.sql import Window
 
     fam = _FAMILIES[family]
-    sh, bands = fam["tables"](docs)
+    # watermark floor, read BEFORE the overwrite clobbers meta
+    floor = -1 if watermark_hi is None else int(watermark_hi)
+    try:
+        floor = max(floor, read_store_watermark(spark, store_path))
+    except Exception:
+        pass  # no prior store — fresh build
+    reps, edges = _collapse_exact(docs.select("doc_id", "text"))
+    sh, bands = fam["tables"](reps)
     # per-bucket membership rank STORED so probes apply the corpus-side
     # cap with a filter instead of re-windowing the corpus every batch
     w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
@@ -219,9 +277,22 @@ def build_signature_store(
         .parquet(_codes_path(store_path))
     )
     sh.unpersist()
-    # meta: the append contract's watermark (1-row table)
+    # exact-dup star edges: no partitionBy (an empty table must still
+    # leave a readable dir — _read_edges reads with explicit schema);
+    # probes broadcast the tiny verified side against this scan
+    (
+        edges.select(
+            F.col("doc_a").alias("rep_id"), F.col("doc_b").alias("member_id")
+        )
+        .repartition(N_ID_SHARDS)
+        .write.mode("overwrite")
+        .parquet(_edges_path(store_path))
+    )
+    # meta: the append contract's watermark (1-row table) — over the
+    # FULL input (members and null-text docs included), floored by any
+    # pre-rebuild watermark / explicit watermark_hi
     hi = docs.agg(F.max("doc_id").alias("hi")).collect()[0]["hi"]
-    _write_meta(spark, store_path, int(hi if hi is not None else -1))
+    _write_meta(spark, store_path, max(int(hi if hi is not None else -1), floor))
 
 
 def _meta_path(store_path: str) -> str:
@@ -320,7 +391,27 @@ def append_signature_batch(
                     f"meta watermark {stored_max} — a previous append "
                     "crashed mid-write; rebuild the store"
                 )
-    shb, bandsb = fam["tables"](batch)
+        # edges torn-check: member_id >= rep_id always, so any torn
+        # edge row from a crashed append has member_id above the mark
+        if (
+            _read_edges(spark, store_path)
+            .filter(F.col("member_id") > stored_max)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                f"torn append detected: {_edges_path(store_path)} holds "
+                f"member_ids above the meta watermark {stored_max} — a "
+                "previous append crashed mid-write; rebuild the store"
+            )
+    # collapse-first, batch-internal: same recall contract as build.
+    # Cross-batch twins of STORED texts stay their own rep here — in the
+    # ingest topology the probe already quarantined them (exact twins
+    # always verify: identical codes ⇒ jaccard 1.0 / hamming 0), so
+    # accepted appends contain none by construction; a direct library
+    # append of unprobed twins merely costs a bucket slot, never recall.
+    reps_b, edges_b = _collapse_exact(batch.select("doc_id", "text"))
+    shb, bandsb = fam["tables"](reps_b)
     bandsb = bandsb.withColumn(
         "sig_shard", F.pmod("band_sig", F.lit(N_SIG_SHARDS))
     )
@@ -353,19 +444,28 @@ def append_signature_batch(
     new_bands = new_bands.withColumn(
         "rn", F.coalesce("_base", F.lit(0)) + F.col("_rn0")
     ).select("doc_id", "band", "band_sig", "rn", "sig_shard")
-    # write order is the crash-consistency story: codes FIRST (a
-    # codes-present/bands-missing torn state is benign — the new docs
-    # are simply not yet searchable, exactly as before the append),
-    # bands second (the reverse order would generate candidates whose
-    # verify rows are missing: silent recall loss), meta watermark LAST
-    # (so any torn state is detectable as rows above the watermark —
-    # see the torn-append check on entry).
+    # write order is the crash-consistency story: codes and edges FIRST
+    # (a codes/edges-present, bands-missing torn state is benign — the
+    # new docs are simply not yet searchable, exactly as before the
+    # append; torn edges expand nothing because their reps have no band
+    # rows), bands second (the reverse order would generate candidates
+    # whose verify rows are missing: silent recall loss), meta watermark
+    # LAST (so any torn state is detectable as rows above the watermark
+    # — see the torn-append checks on entry).
     (
         shb.withColumn("id_shard", F.pmod("doc_id", F.lit(N_ID_SHARDS)))
         .repartition(N_ID_SHARDS, "id_shard")
         .write.mode("append")
         .partitionBy("id_shard")
         .parquet(_codes_path(store_path))
+    )
+    (
+        edges_b.select(
+            F.col("doc_a").alias("rep_id"), F.col("doc_b").alias("member_id")
+        )
+        .repartition(N_ID_SHARDS)
+        .write.mode("append")
+        .parquet(_edges_path(store_path))
     )
     (
         new_bands.repartition(fam["n_bands"] * N_SIG_SHARDS, "band", "sig_shard")
@@ -460,4 +560,20 @@ def probe_signature_store(
     codes = spark.read.parquet(_codes_path(store_path)).filter(
         F.col("doc_id") <= watermark  # committed rows only
     )
-    return fam["verify"](cand, shb, codes)
+    verified = fam["verify"](cand, shb, codes)
+    # star-edge expansion: the store is collapse-first (build/append
+    # band one rep per distinct text), so a verified (new, rep) match
+    # stands for every exact member of rep's text too — identical text
+    # ⇒ identical signature ⇒ identical verify score. Broadcast the
+    # tiny verified side against the edges scan (same worst-case class
+    # as the codes scan: columnar longs, no shuffle).
+    score_col = verified.columns[2]
+    edges = _read_edges(spark, store_path).filter(
+        F.col("member_id") <= watermark  # committed rows only
+    )
+    member_hits = (
+        F.broadcast(verified)
+        .join(edges, verified["old_id"] == edges["rep_id"])
+        .select("new_id", F.col("member_id").alias("old_id"), score_col)
+    )
+    return verified.unionByName(member_hits)

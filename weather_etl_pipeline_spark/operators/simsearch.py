@@ -169,7 +169,15 @@ def simsearch_knn_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cand = np.nonzero(mask)[0]
                 if not len(cand):
                     continue
-                top = cand[np.argsort(-row[cand], kind="stable")[:keep]]
+                # prune in the FINAL ranking's order — (-sim rounded to
+                # the rank's 6dp, then neighbor_id) — not raw BLAS sim:
+                # a batch holding >keep candidates inside one 1e-6
+                # rounding class (many near-identical embeddings) in
+                # non-ascending id order could otherwise prune a row the
+                # exact (cos_sim DESC, neighbor_id) rank would keep; the
+                # margin covers ~1e-15 fold noise, not 1e-6 ties
+                order = np.lexsort((ids[cand], -np.round(row[cand], 6)))
+                top = cand[order[:keep]]
                 out_q.append(np.full(len(top), q_ids[qi], dtype=np.int64))
                 out_n.append(ids[top])
             if out_q:
