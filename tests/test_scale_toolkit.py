@@ -270,3 +270,43 @@ def test_xn_amplifier_replicates_facts_not_dims(spark):
     r1 = load_table(spark, base, "region").count()
     r3 = load_table(spark, base + "@x3", "region").count()
     assert r3 == r1  # dims stay 1x (replicating both join sides is N^2)
+
+
+def test_xn_amplifier_offsets_entity_keys(spark):
+    """Round-9 contract: @xN gives entity tables N× DISTINCT keys
+    (replica keys offset by the stride), not N copies of each key —
+    raw duplication made keyed queries semantically ambiguous and the
+    @xN oracle differential unrunnable. lineitem stays raw duplication
+    (its keys must keep joining unamplified orders/part/supplier)."""
+    from weather_etl_pipeline_spark.catalog import _SCALE_STRIDE, load_table
+
+    base = "/root/testdata/sf0.001"
+    d1 = load_table(spark, base, "documents")
+    d3 = load_table(spark, base + "@x3", "documents")
+    n1, n3 = d1.count(), d3.count()
+    assert n3 == 3 * n1
+    assert d3.select("doc_id").distinct().count() == n3  # keys stay unique
+    # replica 2 carries the base payloads under offset ids
+    base_texts = {r["text"] for r in d1.collect()}
+    rep2 = {
+        r["text"]
+        for r in d3.filter(
+            (F.col("doc_id") >= 2 * _SCALE_STRIDE)
+            & (F.col("doc_id") < 3 * _SCALE_STRIDE)
+        ).collect()
+    }
+    assert rep2 == base_texts
+    # events: BOTH event_id and user_id offset (distinct users per
+    # replica — sessionization must never interleave replicas)
+    e3 = load_table(spark, base + "@x3", "events")
+    assert e3.select("event_id").distinct().count() == e3.count()
+    u1 = load_table(spark, base, "events").select("user_id").distinct().count()
+    assert e3.select("user_id").distinct().count() == 3 * u1
+    # lineitem: raw duplication preserved (keys join unamplified orders)
+    li1 = load_table(spark, base, "lineitem")
+    li3 = load_table(spark, base + "@x3", "lineitem")
+    assert li3.count() == 3 * li1.count()
+    assert (
+        li3.select("l_orderkey").distinct().count()
+        == li1.select("l_orderkey").distinct().count()
+    )

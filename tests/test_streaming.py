@@ -788,3 +788,211 @@ def test_stream_ingest_ann_end_to_end(spark, tmp_path):
     }
     assert rej == {(100, 7)}
     assert read_ivf_watermark(spark, index) == 101
+
+
+# --- unified curation loop (round 9): quality → text dedup → ANN dedup -------
+
+
+def test_curation_loop_end_to_end_with_crash_replay(spark, tmp_path):
+    """The unified incremental curation loop (streaming/curation_loop):
+    three micro-batches through quality gate → signature-store probe →
+    IVF probe → quarantine-with-evidence → append BOTH stores →
+    curated-lake write, including (a) IVF bootstrap from an untrained
+    index with a watermark FLOOR (the batch max was quality-rejected),
+    (b) a crash between the text-stage commit and the ANN append with
+    replay, and (c) a full-success replay no-op. Lake contents and both
+    watermarks asserted after every step."""
+    import pytest as _pytest
+
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+        read_store_watermark,
+    )
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        build_ivf_index,
+        read_ivf_watermark,
+    )
+    from weather_etl_pipeline_spark.streaming import curation_loop as cl
+
+    def good(i, topic):
+        # comfortably above _Q_KEEP: long, varied, stopword-bearing
+        return (
+            f"the corpus document number {i} talks about the {topic} "
+            f"in useful detail for a curious reader with patience"
+        )
+
+    schema = "doc_id long, text string, e array<double>, src string"
+    seed_texts = [good(i, f"seed topic {i}") for i in range(4)]
+    sig_store = str(tmp_path / "sig")
+    ivf_index = str(tmp_path / "ivf")
+    lake = str(tmp_path / "lake")
+    rejects = str(tmp_path / "rej")
+    build_signature_store(
+        spark,
+        spark.createDataFrame(
+            list(enumerate(seed_texts)), "doc_id long, text string"
+        ),
+        sig_store,
+    )
+    # IVF starts UNTRAINED (no vectors ingested yet)
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"), ivf_index
+    )
+
+    def run(rows, batch_id):
+        cl.process_curation_batch(
+            spark,
+            spark.createDataFrame(rows, schema),
+            batch_id,
+            sig_store,
+            ivf_index,
+            lake,
+            rejects,
+        )
+
+    v101 = [1.0, 0.0, 0.0, 0.0]
+    v201 = [0.9999, 0.01, 0.0, 0.0]  # cos vs v101 ≈ 0.99995 > 0.995
+    v202 = [0.0, 1.0, 0.0, 0.0]
+    v300 = [0.0, 0.0, 1.0, 0.0]
+
+    # batch 1: 100 text-dups seed 0; 101 fresh (bootstraps the IVF);
+    # 103 (the batch MAX) fails quality → the IVF bootstrap must FLOOR
+    # its watermark at 103, not 101
+    run(
+        [
+            (100, seed_texts[0], [0.5, 0.5, 0.5, 0.5], "crawl"),
+            (101, good(101, "spark streaming semantics"), v101, "crawl"),
+            (103, "zz zz", [0.1, 0.2, 0.3, 0.4], "crawl"),
+        ],
+        1,
+    )
+    assert read_store_watermark(spark, sig_store) == 103
+    assert read_ivf_watermark(spark, ivf_index) == 103
+
+    # batch 2: 200 text-dups doc 101 (accepted last batch); 201 is an
+    # EMBEDDING near-dup of 101 with fresh text; 202 fresh
+    run(
+        [
+            (200, good(101, "spark streaming semantics"), v202, "crawl"),
+            (201, good(201, "totally different wording here"), v201, "crawl"),
+            (202, good(202, "parquet footer statistics"), v202, "crawl"),
+        ],
+        2,
+    )
+    assert read_store_watermark(spark, sig_store) == 202
+    assert read_ivf_watermark(spark, ivf_index) == 202
+
+    # batch 3 with a crash between the text commit and the ANN append
+    b3 = [
+        (300, good(300, "zone map pruning tricks"), v300, "crawl"),
+        (301, seed_texts[1], [0.3, 0.3, 0.3, 0.3], "crawl"),
+    ]
+    real_append = cl.append_ivf_batch
+    try:
+        cl.append_ivf_batch = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected crash")
+        )
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            run(b3, 3)
+    finally:
+        cl.append_ivf_batch = real_append
+    # text stage committed, ANN did not
+    assert read_store_watermark(spark, sig_store) == 301
+    assert read_ivf_watermark(spark, ivf_index) == 202
+    # replay: must read the text evidence back (NOT re-probe a store
+    # holding 300's own signature and self-dup it), finish the ANN
+    # stage, and write the lake
+    run(b3, 3)
+    assert read_ivf_watermark(spark, ivf_index) == 301
+
+    lk = spark.read.parquet(lake)
+    assert "e" not in lk.columns  # vectors live in the index, not the lake
+    acc = {(r["doc_id"], r["src"]) for r in lk.collect()}
+    assert acc == {(101, "crawl"), (202, "crawl"), (300, "crawl")}
+
+    # evidence trail, per stage
+    q_rej = {r["doc_id"] for r in spark.read.parquet(f"{rejects}/quality").collect()}
+    assert q_rej == {103}
+    t_rej = {
+        (r["new_id"], r["old_id"])
+        for r in spark.read.parquet(f"{rejects}/text").collect()
+    }
+    # exactly these docs were text-quarantined; the shared sentence
+    # frame makes the seeds legitimate near-dups of each other too, so
+    # assert the canonical (exact-dup) pairs as a subset rather than
+    # the full evidence multiset
+    assert {p[0] for p in t_rej} == {100, 200, 301}
+    assert {(100, 0), (200, 101), (301, 1)} <= t_rej
+    a_rej = {
+        (r["new_id"], r["old_id"])
+        for r in spark.read.parquet(f"{rejects}/ann").collect()
+    }
+    assert a_rej == {(201, 101)}
+
+    # full-success replay: a redelivered completed batch is a no-op
+    # (watermarks hold, lake identical, no monotonicity error)
+    run(b3, 3)
+    assert read_store_watermark(spark, sig_store) == 301
+    assert read_ivf_watermark(spark, ivf_index) == 301
+    acc2 = {(r["doc_id"], r["src"]) for r in spark.read.parquet(lake).collect()}
+    assert acc2 == acc
+
+
+def test_curation_loop_streaming_wrapper(spark, tmp_path):
+    """stream_curated_ingest drives the same batch body through a real
+    StreamingQuery (foreachBatch), one file per trigger."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+    )
+    from weather_etl_pipeline_spark.operators.ivf_store import build_ivf_index
+    from weather_etl_pipeline_spark.streaming.curation_loop import (
+        stream_curated_ingest,
+    )
+
+    schema = "doc_id long, text string, e array<double>, src string"
+    txt = (
+        "the corpus document number one talks about the weather "
+        "in useful detail for a curious reader with patience"
+    )
+    sig_store = str(tmp_path / "sig")
+    ivf_index = str(tmp_path / "ivf")
+    build_signature_store(
+        spark,
+        spark.createDataFrame([(0, txt)], "doc_id long, text string"),
+        sig_store,
+    )
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"), ivf_index
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (10, txt, [1.0, 0.0], "crawl"),  # text dup of seed 0
+            (
+                11,
+                "the fresh document talks about a new topic in detail "
+                "for everyone with interest and patience to spare",
+                [0.0, 1.0],
+                "crawl",
+            ),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(src)
+    q = stream_curated_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        spark,
+        sig_store,
+        ivf_index,
+        str(tmp_path / "lake"),
+        str(tmp_path / "rej"),
+        str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    acc = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "lake")).collect()
+    }
+    assert acc == {11}

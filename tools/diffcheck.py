@@ -84,11 +84,36 @@ def main() -> int:
     reg = load_all()
     spark = get_spark("diffcheck")
 
+    # `<dir>@xN` amplifies the fact tables N-fold on BOTH engines,
+    # mirroring catalog.load_table exactly: entity tables get
+    # KEY-OFFSET replicas (N× distinct docs/vectors/users — see
+    # catalog._SCALE_KEY_REMAP for why raw duplication is untestable),
+    # lineitem gets raw N-fold listing, dims stay 1×. The differential
+    # then runs at sf*N scale with identical inputs on both engines.
+    from weather_etl_pipeline_spark.catalog import (  # noqa: E402
+        _resolve_sf_dir,
+        _SCALE_KEY_REMAP,
+        _SCALE_STRIDE,
+    )
+
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        base, n = _resolve_sf_dir(sf_dir, t)
+        if n > 1 and t in _SCALE_KEY_REMAP:
+            repl = ", ".join(
+                f"{c} + _rep.range * {_SCALE_STRIDE} AS {c}"
+                for c in _SCALE_KEY_REMAP[t]
+            )
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * EXCLUDE (range) REPLACE ({repl}) "
+                f"FROM read_parquet('{base}/{t}.parquet'), range({n}) _rep"
+            )
+        else:
+            files = ", ".join([f"'{base}/{t}.parquet'"] * n)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet([{files}])"
+            )
 
     n_pass = n_fail = n_rowsonly = 0
     for name, q in sorted(reg.items()):

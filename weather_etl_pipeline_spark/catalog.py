@@ -41,6 +41,28 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 # cardinality N^2-fold, which models nothing real.
 _SCALE_FACT_TABLES = frozenset({"lineitem", "events", "documents", "embeddings"})
 
+# Entity tables get KEY-OFFSET replicas instead of raw duplication:
+# replica r adds r*_SCALE_STRIDE to the listed key columns, so `@xN`
+# models N× MORE entities (distinct docs/vectors/users carrying the
+# original payload distribution) rather than every primary key
+# appearing N times. Raw duplication is semantically ambiguous for
+# keyed queries — a sessionizer, a per-doc explode, and a count-per-
+# entity each "correctly" disagree about what 10 copies of event_id 7
+# mean — which made an oracle differential at @xN unrunnable (round-9
+# first attempt: 15 spurious fails, every one a duplication-semantics
+# split, zero value drift). lineitem stays raw duplication: its rows
+# join UNamplified orders/part/supplier, so offsetting its keys would
+# dangle every join; N copies per orderkey models N× fatter orders,
+# which its (all-aggregating) queries read consistently on both
+# engines. The stride keeps ids < ~1e9 at @x100 so id-hash arithmetic
+# (knuth_hash) stays inside BIGINT on both engines.
+_SCALE_KEY_REMAP: dict[str, tuple[str, ...]] = {
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("event_id", "user_id"),
+}
+_SCALE_STRIDE = 10_000_000
+
 
 def _resolve_sf_dir(sf_dir: str, name: str) -> tuple[str, int]:
     """``<dir>@xN`` amplifies the fact tables N-fold by listing their
@@ -102,9 +124,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name, replication, sig)
     df = _TABLE_CACHE.get(key) if sig is not None else None
     if df is None:
-        df = _convert_long_ts_cols(
-            spark.read.parquet(*([path] * replication)), nanos_cols
-        )
+        if replication > 1 and name in _SCALE_KEY_REMAP:
+            # ONE scan × a broadcast replica range (narrow, any N), keys
+            # offset per replica — N× distinct entities, zero copies
+            base = _convert_long_ts_cols(spark.read.parquet(path), nanos_cols)
+            rep = temp_col(base, "_rep")
+            keys = _SCALE_KEY_REMAP[name]
+            df = (
+                base.crossJoin(
+                    F.broadcast(
+                        spark.range(replication).select(F.col("id").alias(rep))
+                    )
+                )
+                .select(
+                    *[
+                        (
+                            (F.col(c) + F.col(rep) * F.lit(_SCALE_STRIDE)).alias(c)
+                            if c in keys
+                            else F.col(c)
+                        )
+                        for c in base.columns
+                    ]
+                )
+            )
+        else:
+            df = _convert_long_ts_cols(
+                spark.read.parquet(*([path] * replication)), nanos_cols
+            )
         if sig is not None:
             # evict prior generations of the same logical table (older
             # stat signatures, e.g. overwritten test fixtures) so a

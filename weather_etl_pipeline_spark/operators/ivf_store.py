@@ -224,12 +224,17 @@ def read_ivf_watermark(spark: SparkSession, index_path: str) -> int:
     return _read_meta(spark, index_path)[0]
 
 
-def _read_meta(spark: SparkSession, index_path: str) -> tuple[int, int]:
-    """(watermark, assign_m). assign_m defaults to 1 for indexes built
-    before multi-assignment existed (meta rows without the column)."""
+def _read_meta(spark: SparkSession, index_path: str) -> tuple[int, int, bool]:
+    """(watermark, assign_m, trained). Older meta rows lack the newer
+    columns: assign_m defaults to 1, trained to watermark >= 0 (an
+    untrained index used to be exactly "watermark -1"; the flag was
+    split out when builds gained a watermark FLOOR, which can leave an
+    empty/untrained index with a positive committed watermark)."""
     row = spark.read.parquet(_meta_path(index_path)).collect()[0]
+    wm = int(row["max_vec_id"])
     m = row["assign_m"] if "assign_m" in row.__fields__ else 1
-    return int(row["max_vec_id"]), int(m if m is not None else 1)
+    trained = row["trained"] if "trained" in row.__fields__ else (wm >= 0)
+    return wm, int(m if m is not None else 1), bool(trained)
 
 
 def build_ivf_index(
@@ -239,11 +244,20 @@ def build_ivf_index(
     k: int = _K,
     iters: int = _ITERS,
     assign_m: int = 1,
+    watermark_hi: int | None = None,
 ) -> None:
     """One corpus pass → the persisted IVF index (see module doc).
 
     ``emb`` needs (vec_id, e array<double>). Overwrites any prior
     index — rebuild runs on the compaction cadence, not per batch.
+
+    ``watermark_hi`` / watermark preservation: same contract as
+    build_signature_store — the meta watermark lands at max(corpus
+    max, existing watermark, watermark_hi), so a compaction rebuild
+    from the accepted corpus (or an ingest bootstrap whose batch tail
+    was quality-rejected) can never regress the committed batch marker
+    below what a streaming loop already relies on for its replay
+    short-circuit.
 
     ``assign_m``: store each vector in its m nearest cells (classic
     IVF multi-assignment). Storage and probed bytes scale ×m; recall
@@ -257,17 +271,26 @@ def build_ivf_index(
     Probes dedupe candidates, so output semantics are unchanged;
     nprobe=k remains exactly brute force. Appends inherit m from meta.
     """
+    # watermark floor, read BEFORE the overwrite clobbers meta
+    floor = -1 if watermark_hi is None else int(watermark_hi)
+    try:
+        floor = max(floor, read_ivf_watermark(spark, index_path))
+    except Exception:
+        pass  # no prior index — fresh build
     # vec_id is a key: replicated ingest rows must not multiply cell
     # membership (the probe's candidate set) or degenerate the k-means
-    # init (orderBy(vec_id).limit(k) over replicas yields duplicate
-    # seed centroids) — same collapse-first posture as the dedup family
+    # init (replicated sample rows yield duplicate seed centroids) —
+    # same collapse-first posture as the dedup family
     emb = emb.dropDuplicates(["vec_id"]).cache()
     try:
         hi = emb.agg(F.max("vec_id").alias("hi")).collect()[0]["hi"]
         if hi is None:
-            # empty corpus: meta only (zero-row partitioned writes leave
-            # no schema-readable files — the probe short-circuits on -1)
-            _write_meta(spark, index_path, -1)
+            # empty corpus: meta only, flagged UNTRAINED (zero-row
+            # partitioned writes leave no schema-readable files — the
+            # probe short-circuits on the flag; the watermark itself
+            # may sit at the floor, which is why trained is a separate
+            # column and not "watermark >= 0")
+            _write_meta(spark, index_path, floor, trained=False)
             return
         dim = len(emb.select("e").first()["e"])
         # clamp k to the corpus: both Lloyd paths seed from the first k
@@ -300,16 +323,21 @@ def build_ivf_index(
         cent.coalesce(1).write.mode("overwrite").parquet(
             _centroids_path(index_path)
         )
-        _write_meta(spark, index_path, int(hi), assign_m)
+        _write_meta(spark, index_path, max(int(hi), floor), assign_m)
     finally:
         emb.unpersist()
 
 
 def _write_meta(
-    spark: SparkSession, index_path: str, max_vec_id: int, assign_m: int = 1
+    spark: SparkSession,
+    index_path: str,
+    max_vec_id: int,
+    assign_m: int = 1,
+    trained: bool = True,
 ) -> None:
     spark.createDataFrame(
-        [(int(max_vec_id), int(assign_m))], "max_vec_id long, assign_m int"
+        [(int(max_vec_id), int(assign_m), bool(trained))],
+        "max_vec_id long, assign_m int, trained boolean",
     ).coalesce(1).write.mode("overwrite").parquet(_meta_path(index_path))
 
 
@@ -348,20 +376,22 @@ def append_ivf_batch(
     lo_hi = batch.agg(
         F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
     ).collect()[0]
-    stored_max, assign_m = _read_meta(spark, index_path)
+    stored_max, assign_m, trained = _read_meta(spark, index_path)
     if lo_hi["lo"] is None:
         # all-duplicates ingest batch: advance the commit marker only
         if watermark_hi is not None and watermark_hi > stored_max:
-            _write_meta(spark, index_path, int(watermark_hi), assign_m)
+            _write_meta(
+                spark, index_path, int(watermark_hi), assign_m, trained
+            )
         return
     if lo_hi["lo"] <= stored_max:
         raise ValueError(
             f"append contract violated: batch min vec_id {lo_hi['lo']} "
             f"<= stored max {stored_max} (ingest ids must be monotonic)"
         )
-    if stored_max < 0:
+    if not trained:
         raise ValueError(
-            "cannot append into an empty IVF index: no trained centroids "
+            "cannot append into an untrained IVF index: no centroids "
             "to assign against — build_ivf_index over the first corpus"
         )
     orphans = (
@@ -420,8 +450,10 @@ def probe_ivf_index(
     ``queries`` needs (query_id, qe array<double>). Self-matches
     (neighbor_id == query_id) are excluded, as in the inline op.
     """
-    watermark, assign_m = _read_meta(spark, index_path)
-    if watermark < 0:
+    watermark, assign_m, trained = _read_meta(spark, index_path)
+    if watermark < 0 or not trained:
+        # untrained (possibly floor-watermarked) or empty index:
+        # nothing searchable, and the data dirs hold zero files
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rk long"
         )

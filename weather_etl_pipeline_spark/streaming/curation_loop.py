@@ -1,0 +1,264 @@
+"""End-to-end incremental curation loop — the unified production
+ingest topology, wiring the pieces that previously ran separately
+(quality gate from operators/curation.py, text near-dup probe/append
+from operators/dedup_store.py, embedding near-dup probe/append from
+operators/ivf_store.py) into ONE replay-safe per-batch pipeline:
+
+    new batch
+      → quality gate           (deterministic score, evidence written)
+      → signature-store probe  (text near-dup vs accepted corpus)
+      → IVF-index probe        (embedding near-dup vs accepted corpus)
+      → quarantine w/ evidence (three rejects tables, batch_id-keyed)
+      → append BOTH stores     (accepted docs' signatures + vectors)
+      → curated-lake write     (partitioned, batch_id-keyed overwrite)
+
+Reference parity: this is the streaming superset of the reference's
+scheduled re-run loop (/root/reference/main.py:36 re-runs the whole
+bronze→silver→gold pipeline per tick); the quality/dedup semantics are
+the training-data extensions SURVEY.md §2.9 specifies.
+
+Replay contract (foreachBatch is at-least-once; the loop is
+IDEMPOTENT per batch):
+- Stage decisions are either pure functions of the batch (quality
+  gate) or probes against COMMITTED store state only — and each
+  probe's evidence is persisted to its batch_id-keyed rejects dir
+  BEFORE the corresponding store append advances that store's
+  watermark past the batch.
+- Each store's watermark is its own batch-commit marker (appends and
+  the bootstrap build advance it to the FULL batch max via
+  watermark_hi, rejected docs included). On redelivery, a stage whose
+  store already covers the batch does NOT re-probe (the store now
+  contains the batch's own accepted docs — a re-probe would quarantine
+  them as self-dups); it reads its persisted evidence back instead,
+  reconstructing the identical accepted set.
+- The lake write is last and batch_id-keyed overwrite, so every crash
+  point replays to the same final lake contents. Torn store appends
+  (crash inside append_*) refuse loudly on retry, exactly as in the
+  single-store loops — recovery is a store rebuild.
+
+Stage ordering note: the TEXT stage commits before the ANN stage, so
+the one cross-store invariant is sig_watermark >= ivf_watermark at
+every batch boundary; a replayed batch can find the text stage
+committed and the ANN stage not, which is exactly the state the
+evidence read-back handles.
+
+Scale posture — everything inherited from the store ops: per-batch
+cost is batch-bounded (probes are partition-pruned scans joined via
+broadcast of the batch; appends' rank bases come from the batch's own
+shard set), the quality gate is a map-only expression, and the lake
+write is one partitioned append-shaped overwrite. Nothing in the loop
+scans or shuffles the accepted corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import _Q_KEEP
+from ..operators.dedup_store import (
+    _FAMILIES,
+    append_signature_batch,
+    probe_signature_store,
+    read_store_watermark,
+)
+from ..operators.ivf_store import (
+    _read_meta,
+    append_ivf_batch,
+    build_ivf_index,
+    probe_ivf_index,
+)
+from ..operators.text import quality_expr
+from .ingest_ann import _ANN_DUP_COS
+
+_ANN_EVIDENCE_SCHEMA = "new_id long, old_id long, cos_sim double"
+_QUALITY_EVIDENCE_SCHEMA = "doc_id long, quality double"
+
+
+def _evidence_path(rejects_dir: str, stage: str, batch_id: int) -> str:
+    return f"{rejects_dir}/{stage}/batch_id={int(batch_id)}"
+
+
+def _read_evidence(
+    spark: SparkSession, rejects_dir: str, stage: str, batch_id: int, schema: str
+) -> DataFrame:
+    """Persisted stage evidence, read back on replay. Explicit schema:
+    a stage that rejected nothing wrote a zero-row table (no part
+    files), which schema inference refuses."""
+    return spark.read.schema(schema).parquet(
+        _evidence_path(rejects_dir, stage, batch_id)
+    )
+
+
+def process_curation_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    sig_store: str,
+    ivf_index: str,
+    lake_dir: str,
+    rejects_dir: str,
+    min_quality: float = _Q_KEEP,
+    nprobe: int = 1,
+    dup_cos: float = _ANN_DUP_COS,
+    family: str = "minhash",
+) -> None:
+    """One micro-batch of the unified curation loop (module doc).
+
+    ``batch_df`` needs (doc_id, text, e array<double>) plus payload
+    columns, which ride through to the lake untouched. doc_id doubles
+    as the IVF vec_id — one embedding per document, one monotonic id
+    sequence for both stores.
+    """
+    hi_row = batch_df.agg(F.max("doc_id").alias("hi")).collect()[0]
+    if hi_row["hi"] is None:
+        return
+    hi = int(hi_row["hi"])
+    # NOTE there is deliberately NO whole-batch short-circuit: a crash
+    # can land between the last store commit and the lake write, so a
+    # fully-committed batch still falls through — every stage below
+    # then reads its persisted evidence (never re-probing a store that
+    # contains the batch's own docs) and the lake write re-runs as an
+    # idempotent batch_id-keyed overwrite.
+    sig_wm = read_store_watermark(spark, sig_store)
+    ivf_wm, _, ivf_trained = _read_meta(spark, ivf_index)
+
+    # --- stage 1: quality gate (pure function — replay recomputes
+    # identically; evidence persisted for audit parity with the probes)
+    scored = batch_df.withColumn("_q", F.round(quality_expr(), 6))
+    q_rejects = scored.filter(
+        (F.col("_q") < min_quality) | F.col("text").isNull()
+    ).select("doc_id", F.col("_q").alias("quality"))
+    q_rejects.write.mode("overwrite").parquet(
+        _evidence_path(rejects_dir, "quality", batch_id)
+    )
+    qpass = scored.filter(
+        (F.col("_q") >= min_quality) & F.col("text").isNotNull()
+    ).drop("_q")
+
+    # --- stage 2: text near-dup vs the signature store.
+    # Downstream ALWAYS consumes the persisted evidence file, never the
+    # live probe lineage: the append below MUTATES the store, so a lazy
+    # recompute of the probe in a later stage would re-probe a store
+    # containing this batch's own signatures and self-dup everything.
+    # (The same reasoning gives replay safety for free: a redelivered
+    # batch whose stage already committed reads the identical file.)
+    if hi > sig_wm:
+        probe_signature_store(
+            spark, qpass.select("doc_id", "text"), sig_store, family=family
+        ).write.mode("overwrite").parquet(
+            _evidence_path(rejects_dir, "text", batch_id)
+        )
+    text_hits = _read_evidence(
+        spark, rejects_dir, "text", batch_id, _FAMILIES[family]["empty_schema"]
+    )
+    text_dup_ids = text_hits.select(
+        F.col("new_id").alias("doc_id")
+    ).distinct()
+    text_pass = qpass.join(text_dup_ids, "doc_id", "left_anti")
+    if hi > sig_wm:
+        # accept step: watermark_hi = FULL batch max (quality- and
+        # dup-rejected docs included) marks the stage committed
+        append_signature_batch(
+            spark,
+            text_pass.select("doc_id", "text"),
+            sig_store,
+            watermark_hi=hi,
+            family=family,
+        )
+
+    # --- stage 3: embedding near-dup vs the IVF index (same
+    # evidence-file discipline as stage 2: the append/build mutates the
+    # index, so downstream reads the persisted hits, never the probe)
+    vecs = text_pass.select(F.col("doc_id").alias("vec_id"), "e")
+    if hi > ivf_wm and not ivf_trained:
+        # bootstrap: the first surviving batch trains the quantizer and
+        # becomes the corpus — nothing to be a duplicate of. The build
+        # floors the watermark at the FULL batch max (tail ids may have
+        # been quality/text-rejected), keeping the replay short-circuit
+        # sound.
+        spark.createDataFrame([], _ANN_EVIDENCE_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(_evidence_path(rejects_dir, "ann", batch_id))
+        build_ivf_index(spark, vecs, ivf_index, watermark_hi=hi)
+    elif hi > ivf_wm:
+        (
+            probe_ivf_index(
+                spark,
+                vecs.select(
+                    F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+                ),
+                ivf_index,
+                topk=1,
+                nprobe=nprobe,
+            )
+            .filter(F.col("cos_sim") >= dup_cos)
+            .select(
+                F.col("query_id").alias("new_id"),
+                F.col("neighbor_id").alias("old_id"),
+                "cos_sim",
+            )
+            .write.mode("overwrite")
+            .parquet(_evidence_path(rejects_dir, "ann", batch_id))
+        )
+    ann_hits = _read_evidence(
+        spark, rejects_dir, "ann", batch_id, _ANN_EVIDENCE_SCHEMA
+    )
+    ann_dup_ids = ann_hits.select(F.col("new_id").alias("doc_id")).distinct()
+    accepted = text_pass.join(ann_dup_ids, "doc_id", "left_anti")
+    if ivf_trained and hi > ivf_wm:
+        append_ivf_batch(
+            spark,
+            accepted.select(F.col("doc_id").alias("vec_id"), "e"),
+            ivf_index,
+            watermark_hi=hi,
+        )
+
+    # --- stage 4: curated-lake partitioned write (batch_id-keyed
+    # overwrite → exactly-once lake contents under replay)
+    accepted.drop("e").write.mode("overwrite").parquet(
+        f"{lake_dir}/batch_id={int(batch_id)}"
+    )
+
+
+def stream_curated_ingest(
+    docs_stream: DataFrame,
+    spark: SparkSession,
+    sig_store: str,
+    ivf_index: str,
+    lake_dir: str,
+    rejects_dir: str,
+    checkpoint_dir: str,
+    min_quality: float = _Q_KEEP,
+    nprobe: int = 1,
+    dup_cos: float = _ANN_DUP_COS,
+    family: str = "minhash",
+):
+    """Start the unified curation stream; returns the StreamingQuery.
+
+    ``docs_stream`` needs (doc_id, text, e array<double>) plus payload
+    columns. Rejects land under ``rejects_dir/{quality,text,ann}/`` as
+    per-stage evidence rows; the curated lake under
+    ``lake_dir/batch_id=N/`` (embedding column dropped — the lake
+    carries documents; vectors live in the index)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_curation_batch(
+            spark,
+            batch_df,
+            batch_id,
+            sig_store,
+            ivf_index,
+            lake_dir,
+            rejects_dir,
+            min_quality=min_quality,
+            nprobe=nprobe,
+            dup_cos=dup_cos,
+            family=family,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

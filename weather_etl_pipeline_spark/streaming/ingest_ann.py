@@ -61,14 +61,18 @@ def process_ann_batch(
     # replay short-circuit — same reasoning as the text loop: after a
     # post-append crash the index contains the batch's own vectors and
     # a re-probe would quarantine the whole batch as self-dups
-    watermark = read_ivf_watermark(spark, index_path)
+    from ..operators.ivf_store import _read_meta
+
+    watermark, _, trained = _read_meta(spark, index_path)
     if hi <= watermark:
         return
-    if watermark < 0:
+    if not trained:
         # bootstrap from an empty index: nothing to be a duplicate OF,
         # and no trained quantizer to assign against — the first batch
         # trains the centroids and becomes the corpus (build writes the
-        # meta watermark last, so this is replay-safe like the append)
+        # meta watermark last, so this is replay-safe like the append;
+        # watermark_hi floors the committed marker at the FULL batch
+        # max in case upstream filtering dropped the tail ids)
         spark.createDataFrame(
             [], "new_id long, old_id long, cos_sim double"
         ).write.mode("overwrite").parquet(
@@ -77,7 +81,7 @@ def process_ann_batch(
         batch_df.write.mode("overwrite").parquet(
             f"{accepted_dir}/batch_id={int(batch_id)}"
         )
-        build_ivf_index(spark, batch, index_path)
+        build_ivf_index(spark, batch, index_path, watermark_hi=int(hi))
         return
     queries = batch.select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
