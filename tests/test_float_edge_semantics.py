@@ -68,3 +68,32 @@ def test_percentile_agrees_on_finite_values(spark):
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in finite])
     du = con.execute("SELECT quantile_cont(v, 0.5) FROM t").fetchone()[0]
     assert sp == du  # NULLs excluded, interpolation identical
+
+
+def test_scaled_long_floor_form_equals_bigdecimal_round(spark):
+    """Round-9 hot-path change: scaled_long moved from ROUND (per-row
+    BigDecimal in Spark codegen — measured ~40% of q1) to
+    FLOOR(x*10^d + 0.5). On fixed-scale data the two are exactly equal
+    (true scaled values are integers ± ulp noise, never half-integers)
+    — pinned here over a value grid including negatives, zero, and the
+    repr-hostile decimals that motivated hround."""
+    from pyspark.sql import functions as F
+
+    from weather_etl_pipeline_spark.functions.exact import scaled_long
+
+    # in-contract grid ONLY (<= 2 decimals): a 3-decimal value like
+    # 2.675 scales to an exact half-integer (-267.5), where HALF_UP and
+    # floor(+0.5) legitimately split on negatives — that case is
+    # outside scaled_long's documented precondition for BOTH forms
+    # (the old ROUND form silently mis-scaled it too)
+    vals = [
+        0.0, 0.01, -0.01, 123.45, -123.45, 0.07, -0.07, 1e7 - 0.01,
+        -(1e7 - 0.01), 4781.25, -4781.25, 0.29, 999999.99, -999999.99,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.select(
+        scaled_long("x", 2).alias("floor_form"),
+        F.round(F.col("x") * 100, 0).cast("long").alias("round_form"),
+    ).collect()
+    for r in got:
+        assert r["floor_form"] == r["round_form"], r

@@ -135,3 +135,72 @@ def test_zorder_timestamp_column_clusters(spark, tmp_path):
     path = str(tmp_path / "zt")
     zorder_write(ev, ["ts", "user_id"], path, n_files=N_FILES)
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_optimize_table_zorder_prunes_point_lookup_same_results(spark, tmp_path):
+    """Round-9 maintenance promotion: optimize_table(zorder_by=...) on
+    an ingest-ordered events lake must (a) leave query RESULTS
+    byte-identical, (b) make a (user_id, value) point-lookup-shaped
+    filter (the registered filter-query shape) a footer-prunable read
+    on BOTH columns — strictly fewer candidate files than the ingest
+    layout — and (c) clean up its swap dirs."""
+    from weather_etl_pipeline_spark.sources.maintenance import optimize_table
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).filter(F.col("value").isNotNull())
+    lake = str(tmp_path / "events_lake")
+    # ingest order: time-sorted arrival, N small files — the layout a
+    # streaming sink leaves behind
+    (
+        ev.repartitionByRange(N_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(lake)
+    )
+
+    def lookup():
+        # the filter_point_lookup shape on (user_id, value)
+        df = spark.read.parquet(lake)
+        return sorted(
+            tuple(r)
+            for r in df.filter(
+                (F.col("user_id").between(10, 30))
+                & (F.col("value") > 0)
+            )
+            .select("event_id", "user_id", "value")
+            .collect()
+        )
+
+    before_rows = lookup()
+    stats = ev.agg(
+        F.expr("percentile(value, 0.45)").alias("lo"),
+        F.expr("percentile(value, 0.55)").alias("hi"),
+    ).collect()[0]
+    lo_v, hi_v = float(stats["lo"]), float(stats["hi"])
+    before_u = _candidate_files(lake, "user_id", 10, 30)
+    before_v = _candidate_files(lake, "value", lo_v, hi_v)
+
+    report = optimize_table(
+        spark,
+        lake,
+        zorder_by=["user_id", "value"],
+        target_file_bytes=max(1, _tree_bytes_of(lake) // N_FILES),
+    )
+    assert report["mode"] == "zorder"
+
+    after_rows = lookup()
+    assert after_rows == before_rows  # same results, new layout
+    assert after_rows, "vacuous: the lookup matched nothing"
+    after_u = _candidate_files(lake, "user_id", 10, 30)
+    after_v = _candidate_files(lake, "value", lo_v, hi_v)
+    # ingest (time) order clusters NEITHER column → ~all files are
+    # candidates; the z-order must prune BOTH
+    assert after_u < before_u, (before_u, after_u)
+    assert after_v < before_v, (before_v, after_v)
+    # swap hygiene: no tmp/old leftovers
+    assert not Path(lake + ".__optimize_tmp__").exists()
+    assert not Path(lake + ".__optimize_old__").exists()
+
+
+def _tree_bytes_of(path: str) -> int:
+    return sum(p.stat().st_size for p in Path(path).rglob("*.parquet"))

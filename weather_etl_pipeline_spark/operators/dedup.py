@@ -1157,7 +1157,11 @@ def _psh_bits_of_hash(h):
     )
 
 
-def _portable_simhash_oracle() -> str:
+def _portable_simhash_cte() -> str:
+    """Oracle CTE prefix through ``cand`` (deduped banded candidate
+    pairs carrying both signatures) — shared by the pair oracle and the
+    threshold-curve oracle so the candidate pipeline can never drift
+    between them."""
     code = _PMH_ORACLE_CODE.format(t="t")
     def mix31(x: str, k: int) -> str:
         a = f"(({x}) % {_PSH_M31})"
@@ -1218,7 +1222,12 @@ cand AS (
   JOIN capped b ON a.chunk = b.chunk AND a.val = b.val
               AND a.doc_id < b.doc_id
   WHERE a.rn <= {_LSH_BUCKET_CAP} AND b.rn <= {_LSH_BUCKET_CAP}
-)
+)"""
+
+
+def _portable_simhash_oracle() -> str:
+    return f"""
+{_portable_simhash_cte()}
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
 FROM cand
 WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_CHUNKS - 1}
@@ -1227,12 +1236,13 @@ SELECT doc_a, doc_b, CAST(0 AS INTEGER) AS hamming FROM star_edges
 """
 
 
-@register("dedup_simhash_portable", oracle=_portable_simhash_oracle())
-def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-exact twin of dedup_simhash — same collapse-first
-    cluster-certificate contract (star edges at hamming 0 + banded
-    rep-level pairs), portable arithmetic hashes;
-    (doc_a, doc_b, hamming)."""
+def _portable_simhash_scored(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(scored, star): all deduped banded candidate pairs with their
+    hamming distance (UNfiltered — the radius cut is the caller's), plus
+    the exact-collapse star edges. Shared by the portable pair op and
+    the threshold curve, mirroring the oracle's shared ``cand`` CTE."""
     reps, star = _collapse_exact(load_table(spark, sf_dir, "documents"))
     docs = spread_to_cores(reps)
     toks = F.array_distinct(F.split("text", " "))
@@ -1286,16 +1296,57 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    pairs = (
+    scored = (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= _SH_CHUNKS - 1)
         # one row per pair under doc_id duplication — mirrors the
         # oracle's DISTINCT cand (see dedup_simhash for the rationale)
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
+    return scored, star
+
+
+@register("dedup_simhash_portable", oracle=_portable_simhash_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact twin of dedup_simhash — same collapse-first
+    cluster-certificate contract (star edges at hamming 0 + banded
+    rep-level pairs), portable arithmetic hashes;
+    (doc_a, doc_b, hamming)."""
+    scored, star = _portable_simhash_scored(spark, sf_dir)
+    pairs = scored.filter(F.col("hamming") <= _SH_CHUNKS - 1)
     return pairs.unionByName(
         star.withColumn("hamming", F.lit(0).cast("int"))
+    )
+
+
+# --- simhash threshold-tuning curve -------------------------------------------
+# The hamming twin of dedup_jaccard_threshold_curve: how you PICK the
+# verify radius on a real corpus — the hamming-distance histogram over
+# every banded candidate (NOT just those inside the current radius; the
+# whole point is seeing the mass beyond it). Same tuning-signal
+# posture: rep-level by construction (exact twins collapse upstream, so
+# a dup-heavy corpus can't bury the near-dup valley under a hamming-0
+# spike), bounded by the same bucket caps the pair query pays.
+
+
+@register(
+    "dedup_simhash_threshold_curve",
+    oracle=f"""
+{_portable_simhash_cte()}
+SELECT CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming,
+       COUNT(*) AS n_pairs
+FROM cand
+GROUP BY 1
+""",
+)
+def dedup_simhash_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored, _ = _portable_simhash_scored(spark, sf_dir)
+    return (
+        scored.select(F.col("hamming").cast("long").alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 

@@ -409,12 +409,15 @@ def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.exact import REV_D, rev_scaled, unscale
 
     li = load_table(spark, sf_dir, "lineitem")
-    band = F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT) DIV 3")
+    # floor(+0.5) scaled forms: exact-equal to the oracle's ROUND on
+    # fixed-scale values (functions/exact.py scaled_long rationale) and
+    # primitive in codegen, vs ROUND's per-row BigDecimal detour
+    band = F.expr("CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) DIV 3")
     return (
         li.groupBy(band.alias("discount_band"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias(
+            F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")).alias(
                 "total_qty"
             ),
             F.sum(rev_scaled()).alias("_rs"),

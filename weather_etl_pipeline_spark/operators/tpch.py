@@ -37,6 +37,7 @@ from ..functions.exact import (
     oracle_unscale,
     partial_by_partition,
     rev_scaled,
+    scaled_long,
     unscale,
 )
 from ..registry import register
@@ -446,9 +447,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part, F.col("l_partkey") == F.col("avg_partkey")
     ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     return small.agg(
-        (unscale(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")), 2, None) / 7.0).alias(
-            "avg_yearly"
-        )
+        (
+            unscale(F.sum(scaled_long("l_extendedprice", 2)), 2, None) / 7.0
+        ).alias("avg_yearly")
     )
 
 

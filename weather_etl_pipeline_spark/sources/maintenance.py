@@ -113,3 +113,103 @@ def compact_zone(
     )
     write_partitions(compacted, zone_path, partition_cols)
     return len(frag)
+
+
+def _tree_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes under ``path`` (Hadoop FS metadata, no scan)."""
+    fs, root = _fs_and_path(spark, path)
+    total = 0
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        total += int(it.next().getLen())
+    return total
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    zorder_by: list[str] | None = None,
+    partition_cols: tuple[str, ...] = (),
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    zorder_bits: int = 8,
+) -> dict:
+    """The ONE lake-maintenance entry point — the hand-rolled form of
+    Delta's ``OPTIMIZE [table] [ZORDER BY (cols)]`` (with Delta jars
+    present the call site swaps for that statement, same probe posture
+    as sources/formats.py):
+
+    - ``zorder_by=None``: small-file compaction of fragmented hive
+      partitions (compact_zone — a no-op on an already-compacted zone).
+    - ``zorder_by=[cols]``: clustered rewrite — compaction and
+      multi-column clustering in ONE pass. The whole table is rewritten
+      to ceil(bytes/target) files, range-partitioned and sorted on the
+      interleaved z-value (zorder.zvalue_column), so parquet min/max
+      footers prune scans on ANY clustered column; with
+      ``partition_cols`` the range runs on (partitions…, z) and the
+      hive layout is preserved, so partition pruning composes with the
+      z-clustering inside each partition.
+
+    The z-order rewrite swaps directories rather than overwriting in
+    place (Spark cannot overwrite a path that feeds the running plan):
+    the new layout is fully written to ``<path>.__optimize_tmp__``,
+    then <path> → ``.__optimize_old__`` → deleted. Crash recovery is
+    mechanical and loud, mirroring the metadata swap's refuse-don't-
+    tear posture: a leftover tmp dir means the rewrite never committed
+    (delete it and re-run); a missing live dir with an ``__optimize_
+    old__`` present means the crash hit between the two renames
+    (rename old back, re-run). Data is never deleted before the new
+    layout is durable.
+
+    Returns a small report dict (mode, files, bytes) for the caller's
+    maintenance log.
+    """
+    from ..catalog import temp_col
+    from .fs import delete, path_exists, rename
+    from .zorder import zvalue_column
+
+    if not zorder_by:
+        n = compact_zone(
+            spark, table_path, tuple(partition_cols), target_file_bytes
+        )
+        return {"mode": "compact", "compacted_partitions": n}
+
+    total = _tree_bytes(spark, table_path)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = (
+        scan_zone(spark, table_path)
+        if partition_cols
+        else spark.read.parquet(table_path)
+    )
+    zc = temp_col(df, "z")
+    staged = df.withColumn(zc, zvalue_column(df, list(zorder_by), zorder_bits))
+    base = table_path.rstrip("/")
+    tmp, old = base + ".__optimize_tmp__", base + ".__optimize_old__"
+    if path_exists(spark, tmp) or path_exists(spark, old):
+        raise ValueError(
+            f"previous optimize_table left {tmp} or {old} behind — a "
+            "crashed rewrite needs manual recovery (see docstring) "
+            "before another run"
+        )
+    range_cols = [F.col(c) for c in partition_cols] + [F.col(zc)]
+    writer = (
+        staged.repartitionByRange(n_files, *range_cols)
+        .sortWithinPartitions(*partition_cols, zc)
+        .drop(zc)
+        .write.mode("overwrite")
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    if not rename(spark, table_path, old):
+        raise IOError(f"optimize_table: could not stage {table_path} aside")
+    if not rename(spark, tmp, table_path):
+        rename(spark, old, table_path)  # roll back to the intact layout
+        raise IOError(f"optimize_table: could not commit {tmp}")
+    delete(spark, old)
+    return {
+        "mode": "zorder",
+        "zorder_by": list(zorder_by),
+        "n_files": n_files,
+        "bytes": total,
+    }
