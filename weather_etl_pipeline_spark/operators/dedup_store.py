@@ -426,6 +426,15 @@ def append_signature_batch(
             .distinct()
             .collect()
         ]
+        # rank bases must be BATCH-bounded, not store-bounded: shard
+        # pruning alone stops pruning once a batch touches most shards
+        # (200 docs × 8 bands ≈ 379/512 shards — measured a store-wide
+        # 1.6M-row groupBy shuffle per append at @x10). The broadcast
+        # semi-join narrows the pruned scan to the batch's EXACT
+        # (band, band_sig) buckets before any aggregation, so the
+        # groupBy input is ≤ batch_buckets × bucket depth at any corpus
+        # size.
+        batch_buckets = F.broadcast(bandsb.select("band", "band_sig").distinct())
         base = (
             spark.read.parquet(_bands_path(store_path))
             .filter(
@@ -435,6 +444,7 @@ def append_signature_batch(
                 if shard_keys
                 else F.lit(False)
             )
+            .join(batch_buckets, ["band", "band_sig"], "leftsemi")
             .groupBy("band", "band_sig")
             .agg(F.max("rn").alias("_base"))
         )
@@ -452,9 +462,18 @@ def append_signature_batch(
     # whose verify rows are missing: silent recall loss), meta watermark
     # LAST (so any torn state is detectable as rows above the watermark
     # — see the torn-append checks on entry).
+    # append task counts scale with the CLUSTER, capped by the layout —
+    # not the layout constant itself: hash partitioning on the dir keys
+    # keeps the one-file-per-touched-dir guarantee at ANY task count
+    # (each dir's rows land in exactly one task), while a fixed
+    # repartition(512) launched 512 near-empty tasks per tiny ingest
+    # batch (measured 18.8s of a 200-doc append — task-launch overhead,
+    # not data). Build keeps the full fan-out (one task per dir) for
+    # its one-file-per-dir layout; appends are the per-batch hot path.
+    par = max(batch.sparkSession.sparkContext.defaultParallelism, 8)
     (
         shb.withColumn("id_shard", F.pmod("doc_id", F.lit(N_ID_SHARDS)))
-        .repartition(N_ID_SHARDS, "id_shard")
+        .repartition(min(N_ID_SHARDS, par), "id_shard")
         .write.mode("append")
         .partitionBy("id_shard")
         .parquet(_codes_path(store_path))
@@ -463,12 +482,14 @@ def append_signature_batch(
         edges_b.select(
             F.col("doc_a").alias("rep_id"), F.col("doc_b").alias("member_id")
         )
-        .repartition(N_ID_SHARDS)
+        .repartition(min(N_ID_SHARDS, par))
         .write.mode("append")
         .parquet(_edges_path(store_path))
     )
     (
-        new_bands.repartition(fam["n_bands"] * N_SIG_SHARDS, "band", "sig_shard")
+        new_bands.repartition(
+            min(fam["n_bands"] * N_SIG_SHARDS, par), "band", "sig_shard"
+        )
         .write.mode("append")
         .partitionBy("band", "sig_shard")
         .parquet(_bands_path(store_path))
