@@ -310,3 +310,25 @@ def test_xn_amplifier_offsets_entity_keys(spark):
         li3.select("l_orderkey").distinct().count()
         == li1.select("l_orderkey").distinct().count()
     )
+
+
+def test_xn_amplifier_refuses_keys_at_stride(spark, tmp_path):
+    """Review fix (round 9): a base corpus whose keys reach the stride
+    would make replica key ranges overlap — and because the oracle
+    mirrors the same arithmetic, the differential would PASS on the
+    corrupted semantics. The remap must refuse loudly at load time
+    (footer stats, no scan)."""
+    import pytest
+
+    from weather_etl_pipeline_spark.catalog import _SCALE_STRIDE, load_table
+
+    d = tmp_path / "sfbad"
+    d.mkdir()
+    spark.createDataFrame(
+        [(0, "a b c", "en", "s", 5), (_SCALE_STRIDE + 7, "d e f", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    with pytest.raises(ValueError, match="stride"):
+        load_table(spark, str(d) + "@x2", "documents")
+    # plain (unamplified) load of the same table is untouched
+    assert load_table(spark, str(d), "documents").count() == 2

@@ -996,3 +996,99 @@ def test_curation_loop_streaming_wrapper(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "lake")).collect()
     }
     assert acc == {11}
+
+
+def test_curation_loop_intra_batch_exact_dups_collapse(spark, tmp_path):
+    """Review fix (round 9): exact text twins arriving in the SAME
+    micro-batch must not both reach the curated lake — the batch-
+    internal collapse quarantines members with (member, rep) evidence
+    before any store probe."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+    )
+    from weather_etl_pipeline_spark.operators.ivf_store import build_ivf_index
+    from weather_etl_pipeline_spark.streaming.curation_loop import (
+        process_curation_batch,
+    )
+
+    txt = (
+        "the corpus document number seven talks about the weather "
+        "in useful detail for a curious reader with patience"
+    )
+    sig, ivf = str(tmp_path / "sig"), str(tmp_path / "ivf")
+    build_signature_store(
+        spark, spark.createDataFrame([], "doc_id long, text string"), sig
+    )
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"), ivf
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, txt, [1.0, 0.0], "crawl"),
+            (11, txt, [0.9, 0.1], "crawl"),  # exact twin, same batch
+            (12, txt, [0.0, 1.0], "crawl"),  # another twin
+        ],
+        "doc_id long, text string, e array<double>, src string",
+    )
+    process_curation_batch(
+        spark, batch, 1, sig, ivf, str(tmp_path / "lake"), str(tmp_path / "rej")
+    )
+    lake = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "lake")).collect()}
+    assert lake == {10}  # min-id rep survives, members quarantined
+    intra = {
+        (r["new_id"], r["old_id"])
+        for r in spark.read.parquet(str(tmp_path / "rej") + "/intra").collect()
+    }
+    assert intra == {(11, 10), (12, 10)}
+    # replay is a no-op with identical lake contents
+    process_curation_batch(
+        spark, batch, 1, sig, ivf, str(tmp_path / "lake"), str(tmp_path / "rej")
+    )
+    lake2 = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "lake")).collect()}
+    assert lake2 == lake
+
+
+def test_curation_loop_bootstrap_preserves_assign_m(spark, tmp_path):
+    """Review fix (round 9): an index pre-built empty at assign_m=2 to
+    configure a stream must keep m=2 through the bootstrap rebuild and
+    subsequent appends — meta records m for untrained indexes and the
+    loop forwards it."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+    )
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        _read_meta,
+        build_ivf_index,
+    )
+    from weather_etl_pipeline_spark.streaming.curation_loop import (
+        process_curation_batch,
+    )
+
+    sig, ivf = str(tmp_path / "sig"), str(tmp_path / "ivf")
+    build_signature_store(
+        spark, spark.createDataFrame([], "doc_id long, text string"), sig
+    )
+    build_ivf_index(
+        spark,
+        spark.createDataFrame([], "vec_id long, e array<double>"),
+        ivf,
+        assign_m=2,
+    )
+    assert _read_meta(spark, ivf) == (-1, 2, False)
+    batch = spark.createDataFrame(
+        [
+            (
+                1,
+                "the corpus document number one talks about the weather "
+                "in useful detail for a curious reader with patience",
+                [1.0, 0.0, 0.0],
+                "crawl",
+            )
+        ],
+        "doc_id long, text string, e array<double>, src string",
+    )
+    process_curation_batch(
+        spark, batch, 1, sig, ivf, str(tmp_path / "lake"), str(tmp_path / "rej")
+    )
+    wm, m, trained = _read_meta(spark, ivf)
+    assert (wm, m, trained) == (1, 2, True)

@@ -861,3 +861,34 @@ def test_knn_topk_scan_plan_shape(spark):
     assert "Exchange rangepartitioning" not in between
     assert "Exchange SinglePartition" not in between
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+@pytest.mark.parametrize("kind", ["sig", "ivf"])
+def test_store_rebuild_fails_loud_on_corrupt_meta(spark, tmp_path, kind):
+    """Review fix (round 9): the watermark-floor read may skip ONLY a
+    missing meta (fresh build). A present-but-unreadable meta must
+    raise — silently treating a corrupt store as fresh would regress
+    the committed watermark and re-open the ingest loop's replay
+    self-dup window with no error anywhere."""
+    import pytest as _pytest
+
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+    )
+    from weather_etl_pipeline_spark.operators.ivf_store import build_ivf_index
+
+    store = tmp_path / "store"
+    (store / "meta").mkdir(parents=True)
+    (store / "meta" / "part-00000.parquet").write_bytes(b"not parquet at all")
+    if kind == "sig":
+        docs = spark.createDataFrame(
+            [(1, "one two three four")], "doc_id long, text string"
+        )
+        with _pytest.raises(Exception):
+            build_signature_store(spark, docs, str(store))
+    else:
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, e array<double>"
+        )
+        with _pytest.raises(Exception):
+            build_ivf_index(spark, emb, str(store))

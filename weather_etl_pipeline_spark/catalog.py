@@ -65,10 +65,12 @@ _SCALE_STRIDE = 10_000_000
 
 
 def _resolve_sf_dir(sf_dir: str, name: str) -> tuple[str, int]:
-    """``<dir>@xN`` amplifies the fact tables N-fold by listing their
-    parquet N times — a zero-copy synthetic scale-up for local scale
-    testing (tools/scale_sweep.py). Timing-only: duplicated rows change
-    dedup/distinct semantics, so correctness harnesses never use it."""
+    """``<dir>@xN`` amplifies the fact tables N-fold — a zero-copy
+    synthetic scale-up. Entity tables (_SCALE_KEY_REMAP) get key-offset
+    union replicas (N× DISTINCT keys), lineitem a raw N-fold listing;
+    since round 9 the amplification is CORRECTNESS-GRADE: diffcheck
+    mirrors the exact remap in its DuckDB views and the full registry
+    differential runs at sf0.1@x10 as a gate (COVERAGE.md)."""
     if "@x" in sf_dir:
         base, _, n = sf_dir.rpartition("@x")
         return base, max(1, int(n)) if name in _SCALE_FACT_TABLES else 1
@@ -105,6 +107,44 @@ def _stat_sig(path: str) -> tuple | None:
     return (st.st_mtime_ns, st.st_size)
 
 
+def _assert_keys_below_stride(path: str, keys: tuple[str, ...]) -> None:
+    """Refuse @xN key-offset amplification when any base key reaches
+    the stride: replica key ranges would overlap and the 'N× distinct
+    entities' contract would silently corrupt keyed semantics (with the
+    oracle mirroring the same arithmetic, the differential would still
+    pass — so this must be loud at load time). Footer stats only —
+    no data scan."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    )
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema not in keys:
+                    continue
+                stats = col.statistics
+                if stats is None or stats.max is None:
+                    raise ValueError(
+                        f"@xN key remap needs footer stats for {col.path_in_schema!r}"
+                        f" in {f} to validate the stride contract"
+                    )
+                if int(stats.max) >= _SCALE_STRIDE:
+                    raise ValueError(
+                        f"@xN key remap contract violated: {col.path_in_schema!r}"
+                        f" max {stats.max} >= stride {_SCALE_STRIDE} in {f} —"
+                        " replica key ranges would overlap"
+                    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
@@ -135,6 +175,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # expected).
             from functools import reduce
 
+            # the "N× DISTINCT keys" contract requires every base key
+            # below the stride — validate from parquet FOOTER stats
+            # (metadata-only, no scan); silent collisions would corrupt
+            # keyed semantics while the mirrored oracle hid it
+            _assert_keys_below_stride(path, _SCALE_KEY_REMAP[name])
             base = _convert_long_ts_cols(spark.read.parquet(path), nanos_cols)
             keys = _SCALE_KEY_REMAP[name]
 

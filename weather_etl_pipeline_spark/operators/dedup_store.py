@@ -244,12 +244,20 @@ def build_signature_store(
     from pyspark.sql import Window
 
     fam = _FAMILIES[family]
-    # watermark floor, read BEFORE the overwrite clobbers meta
+    # watermark floor, read BEFORE the overwrite clobbers meta. Only a
+    # MISSING meta (fresh build) may skip the floor — a present-but-
+    # unreadable meta must fail loudly here: silently treating a
+    # corrupt store as fresh would regress the committed watermark,
+    # re-open the ingest loop's replay window, and quarantine a
+    # redelivered batch as self-duplicates with no error anywhere.
+    from pyspark.errors import AnalysisException
+
     floor = -1 if watermark_hi is None else int(watermark_hi)
     try:
         floor = max(floor, read_store_watermark(spark, store_path))
-    except Exception:
-        pass  # no prior store — fresh build
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
     reps, edges = _collapse_exact(docs.select("doc_id", "text"))
     sh, bands = fam["tables"](reps)
     # per-bucket membership rank STORED so probes apply the corpus-side

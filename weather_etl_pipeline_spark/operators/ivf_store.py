@@ -271,12 +271,18 @@ def build_ivf_index(
     Probes dedupe candidates, so output semantics are unchanged;
     nprobe=k remains exactly brute force. Appends inherit m from meta.
     """
-    # watermark floor, read BEFORE the overwrite clobbers meta
+    # watermark floor, read BEFORE the overwrite clobbers meta. Only a
+    # MISSING meta (fresh build) may skip the floor; a present-but-
+    # unreadable meta fails loudly — same replay-window rationale as
+    # build_signature_store.
+    from pyspark.errors import AnalysisException
+
     floor = -1 if watermark_hi is None else int(watermark_hi)
     try:
         floor = max(floor, read_ivf_watermark(spark, index_path))
-    except Exception:
-        pass  # no prior index — fresh build
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
     # vec_id is a key: replicated ingest rows must not multiply cell
     # membership (the probe's candidate set) or degenerate the k-means
     # init (replicated sample rows yield duplicate seed centroids) —
@@ -289,8 +295,18 @@ def build_ivf_index(
             # partitioned writes leave no schema-readable files — the
             # probe short-circuits on the flag; the watermark itself
             # may sit at the floor, which is why trained is a separate
-            # column and not "watermark >= 0")
-            _write_meta(spark, index_path, floor, trained=False)
+            # column and not "watermark >= 0"). assign_m is RECORDED
+            # even though nothing is assigned yet: an empty build is
+            # how a stream pre-configures its index, and the bootstrap
+            # rebuild reads m back from meta — dropping it here would
+            # silently downgrade the stream to m=1 forever.
+            _write_meta(
+                spark,
+                index_path,
+                floor,
+                max(1, int(assign_m)),
+                trained=False,
+            )
             return
         dim = len(emb.select("e").first()["e"])
         # clamp k to the corpus: both Lloyd paths seed from the first k
@@ -298,19 +314,26 @@ def build_ivf_index(
         # size would IndexError mid-iteration (a 10-vector bootstrap
         # corpus with the k=64 production default is a legitimate call)
         k = max(1, min(k, emb.count()))
-        assign_m = max(1, min(int(assign_m), k))
+        # meta records the CONFIGURED m; this build's own assignment
+        # clamps to the k it actually trained (a 1-vector bootstrap
+        # corpus can only fill one cell) — probes and appends re-clamp
+        # against the stored centroid count themselves, so the
+        # configured m takes effect again as the corpus grows instead
+        # of being silently downgraded forever
+        assign_m = max(1, int(assign_m))
+        m_eff = min(assign_m, k)
         if k >= _VEC_ASSIGN_MIN_K:
             rows = _centroids_vectorized(spark, emb, k, iters, dim)
             cent = spark.createDataFrame(
                 rows, "cell int, centroid array<double>"
             )
-            cells = _assign_np(emb, rows, m=assign_m)
+            cells = _assign_np(emb, rows, m=m_eff)
         else:
             cent = kmeans_centroids(emb, k=k, iters=iters, dim=dim)
             cells = (
                 _assign(emb, cent)
-                if assign_m == 1
-                else _assign_m_hof(emb, cent, assign_m)
+                if m_eff == 1
+                else _assign_m_hof(emb, cent, m_eff)
             )
         # one task per cell dir → one file per dir (k files total), the
         # same tiny-file guard as the signature store's shard layout

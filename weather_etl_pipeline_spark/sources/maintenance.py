@@ -174,6 +174,19 @@ def optimize_table(
         )
         return {"mode": "compact", "compacted_partitions": n}
 
+    # leftover guard FIRST — before any read or the quantile sketch:
+    # in the crash-between-renames state the live dir is MISSING, so a
+    # later read would fail with a generic PATH_NOT_FOUND instead of
+    # this curated recovery message, and in the tmp-leftover state the
+    # re-run would burn a full table sketch before refusing
+    base = table_path.rstrip("/")
+    tmp, old = base + ".__optimize_tmp__", base + ".__optimize_old__"
+    if path_exists(spark, tmp) or path_exists(spark, old):
+        raise ValueError(
+            f"previous optimize_table left {tmp} or {old} behind — a "
+            "crashed rewrite needs manual recovery (see docstring) "
+            "before another run"
+        )
     total = _tree_bytes(spark, table_path)
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = (
@@ -183,14 +196,6 @@ def optimize_table(
     )
     zc = temp_col(df, "z")
     staged = df.withColumn(zc, zvalue_column(df, list(zorder_by), zorder_bits))
-    base = table_path.rstrip("/")
-    tmp, old = base + ".__optimize_tmp__", base + ".__optimize_old__"
-    if path_exists(spark, tmp) or path_exists(spark, old):
-        raise ValueError(
-            f"previous optimize_table left {tmp} or {old} behind — a "
-            "crashed rewrite needs manual recovery (see docstring) "
-            "before another run"
-        )
     range_cols = [F.col(c) for c in partition_cols] + [F.col(zc)]
     writer = (
         staged.repartitionByRange(n_files, *range_cols)

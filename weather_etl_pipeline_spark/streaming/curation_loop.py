@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.curation import _Q_KEEP
+from ..operators.dedup import _collapse_exact
 from ..operators.dedup_store import (
     _FAMILIES,
     append_signature_batch,
@@ -121,7 +122,7 @@ def process_curation_batch(
     # contains the batch's own docs) and the lake write re-runs as an
     # idempotent batch_id-keyed overwrite.
     sig_wm = read_store_watermark(spark, sig_store)
-    ivf_wm, _, ivf_trained = _read_meta(spark, ivf_index)
+    ivf_wm, ivf_m, ivf_trained = _read_meta(spark, ivf_index)
 
     # --- stage 1: quality gate (pure function — replay recomputes
     # identically; evidence persisted for audit parity with the probes)
@@ -135,6 +136,25 @@ def process_curation_batch(
     qpass = scored.filter(
         (F.col("_q") >= min_quality) & F.col("text").isNotNull()
     ).drop("_q")
+
+    # --- stage 1.5: batch-INTERNAL exact-dup collapse (pure function of
+    # the batch, so replay recomputes it identically — no store state
+    # involved). Both probes below compare batch-vs-STORE only, so
+    # without this a crawler double-fetch (two identical texts in one
+    # micro-batch) would put both copies in the curated lake forever —
+    # the store append even collapses them into rep+star-edge, i.e. the
+    # loop knew they were twins and kept both. Members quarantine with
+    # (member, rep) evidence; the min-doc_id rep carries on.
+    _, intra_edges = _collapse_exact(qpass.select("doc_id", "text"))
+    intra = intra_edges.select(
+        F.col("doc_b").alias("new_id"), F.col("doc_a").alias("old_id")
+    )
+    intra.write.mode("overwrite").parquet(
+        _evidence_path(rejects_dir, "intra", batch_id)
+    )
+    qpass = qpass.join(
+        intra.select(F.col("new_id").alias("doc_id")), "doc_id", "left_anti"
+    )
 
     # --- stage 2: text near-dup vs the signature store.
     # Downstream ALWAYS consumes the persisted evidence file, never the
@@ -155,17 +175,55 @@ def process_curation_batch(
     text_dup_ids = text_hits.select(
         F.col("new_id").alias("doc_id")
     ).distinct()
-    text_pass = qpass.join(text_dup_ids, "doc_id", "left_anti")
-    if hi > sig_wm:
-        # accept step: watermark_hi = FULL batch max (quality- and
-        # dup-rejected docs included) marks the stage committed
-        append_signature_batch(
+    # persisted for the batch's lifetime: text_pass feeds the sig
+    # append, the IVF probe/build, the IVF append (via accepted), and
+    # the lake write — unpersisted, every one of those actions would
+    # re-read the micro-batch source and recompute the quality gate +
+    # both anti-joins (the per-batch hot path, several scans over)
+    text_pass = qpass.join(text_dup_ids, "doc_id", "left_anti").persist()
+    try:
+        if hi > sig_wm:
+            # accept step: watermark_hi = FULL batch max (quality- and
+            # dup-rejected docs included) marks the stage committed
+            append_signature_batch(
+                spark,
+                text_pass.select("doc_id", "text"),
+                sig_store,
+                watermark_hi=hi,
+                family=family,
+            )
+        _finish_ann_and_lake(
             spark,
-            text_pass.select("doc_id", "text"),
-            sig_store,
-            watermark_hi=hi,
-            family=family,
+            text_pass,
+            batch_id,
+            ivf_index,
+            lake_dir,
+            rejects_dir,
+            hi,
+            ivf_wm,
+            ivf_m,
+            ivf_trained,
+            nprobe,
+            dup_cos,
         )
+    finally:
+        text_pass.unpersist()
+
+
+def _finish_ann_and_lake(
+    spark: SparkSession,
+    text_pass: DataFrame,
+    batch_id: int,
+    ivf_index: str,
+    lake_dir: str,
+    rejects_dir: str,
+    hi: int,
+    ivf_wm: int,
+    ivf_m: int,
+    ivf_trained: bool,
+    nprobe: int,
+    dup_cos: float,
+) -> None:
 
     # --- stage 3: embedding near-dup vs the IVF index (same
     # evidence-file discipline as stage 2: the append/build mutates the
@@ -180,7 +238,9 @@ def process_curation_batch(
         spark.createDataFrame([], _ANN_EVIDENCE_SCHEMA).write.mode(
             "overwrite"
         ).parquet(_evidence_path(rejects_dir, "ann", batch_id))
-        build_ivf_index(spark, vecs, ivf_index, watermark_hi=hi)
+        # assign_m carried from the pre-built (possibly empty) index's
+        # meta — a stream configured at m=2 must not bootstrap to m=1
+        build_ivf_index(spark, vecs, ivf_index, assign_m=ivf_m, watermark_hi=hi)
     elif hi > ivf_wm:
         (
             probe_ivf_index(
@@ -205,20 +265,23 @@ def process_curation_batch(
         spark, rejects_dir, "ann", batch_id, _ANN_EVIDENCE_SCHEMA
     )
     ann_dup_ids = ann_hits.select(F.col("new_id").alias("doc_id")).distinct()
-    accepted = text_pass.join(ann_dup_ids, "doc_id", "left_anti")
-    if ivf_trained and hi > ivf_wm:
-        append_ivf_batch(
-            spark,
-            accepted.select(F.col("doc_id").alias("vec_id"), "e"),
-            ivf_index,
-            watermark_hi=hi,
-        )
+    accepted = text_pass.join(ann_dup_ids, "doc_id", "left_anti").persist()
+    try:
+        if ivf_trained and hi > ivf_wm:
+            append_ivf_batch(
+                spark,
+                accepted.select(F.col("doc_id").alias("vec_id"), "e"),
+                ivf_index,
+                watermark_hi=hi,
+            )
 
-    # --- stage 4: curated-lake partitioned write (batch_id-keyed
-    # overwrite → exactly-once lake contents under replay)
-    accepted.drop("e").write.mode("overwrite").parquet(
-        f"{lake_dir}/batch_id={int(batch_id)}"
-    )
+        # --- stage 4: curated-lake partitioned write (batch_id-keyed
+        # overwrite → exactly-once lake contents under replay)
+        accepted.drop("e").write.mode("overwrite").parquet(
+            f"{lake_dir}/batch_id={int(batch_id)}"
+        )
+    finally:
+        accepted.unpersist()
 
 
 def stream_curated_ingest(

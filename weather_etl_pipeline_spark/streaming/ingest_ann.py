@@ -63,7 +63,7 @@ def process_ann_batch(
     # a re-probe would quarantine the whole batch as self-dups
     from ..operators.ivf_store import _read_meta
 
-    watermark, _, trained = _read_meta(spark, index_path)
+    watermark, assign_m, trained = _read_meta(spark, index_path)
     if hi <= watermark:
         return
     if not trained:
@@ -81,7 +81,11 @@ def process_ann_batch(
         batch_df.write.mode("overwrite").parquet(
             f"{accepted_dir}/batch_id={int(batch_id)}"
         )
-        build_ivf_index(spark, batch, index_path, watermark_hi=int(hi))
+        # assign_m carried from the (possibly empty) pre-built index's
+        # meta — a stream configured at m=2 must not bootstrap to m=1
+        build_ivf_index(
+            spark, batch, index_path, assign_m=assign_m, watermark_hi=int(hi)
+        )
         return
     queries = batch.select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
