@@ -204,3 +204,36 @@ def test_optimize_table_zorder_prunes_point_lookup_same_results(spark, tmp_path)
 
 def _tree_bytes_of(path: str) -> int:
     return sum(p.stat().st_size for p in Path(path).rglob("*.parquet"))
+
+
+def test_optimize_table_refuses_crashed_rewrite_leftovers(spark, tmp_path):
+    """Review fix (round 9): the leftover guard runs BEFORE any read or
+    quantile sketch, so both crash states refuse with the curated
+    recovery message — including the between-renames state where the
+    live dir is MISSING (a later read would otherwise fail with a
+    generic PATH_NOT_FOUND)."""
+    import pytest
+
+    from weather_etl_pipeline_spark.sources.maintenance import optimize_table
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    lake = str(tmp_path / "lake")
+    ev.coalesce(2).write.parquet(lake)
+
+    # state 1: tmp leftover (crash after staging, before the swap)
+    Path(lake + ".__optimize_tmp__").mkdir()
+    with pytest.raises(ValueError, match="manual recovery"):
+        optimize_table(spark, lake, zorder_by=["user_id", "value"])
+    Path(lake + ".__optimize_tmp__").rmdir()
+
+    # state 2: old leftover with the live dir missing (crash between
+    # the two renames) — still the curated message, not PATH_NOT_FOUND
+    import shutil
+
+    shutil.move(lake, lake + ".__optimize_old__")
+    with pytest.raises(ValueError, match="manual recovery"):
+        optimize_table(spark, lake, zorder_by=["user_id", "value"])
+    shutil.move(lake + ".__optimize_old__", lake)
+    # recovered state optimizes fine
+    report = optimize_table(spark, lake, zorder_by=["user_id", "value"])
+    assert report["mode"] == "zorder"
