@@ -66,15 +66,14 @@ def asof_join(
     # determinism guards on the right side:
     # - drop NULL timestamps (they sort NULLS FIRST and would forward-
     #   fill their carry into every left row);
-    # - collapse ties on (key, ts) — max(carry) backward / min(carry)
-    #   forward — otherwise the carried value at a tied timestamp
-    #   depends on shuffle order
+    # - ties on (key, ts) resolve INSIDE the carry window (round 9):
+    #   right rows at equal timestamps are ordered by carry (asc
+    #   backward / desc forward), so the last() below returns
+    #   max(carry) backward / min(carry) forward — the same
+    #   deterministic tie-collapse the previous groupBy(key, ts)
+    #   performed, without its extra exchange. The whole as-of is now
+    #   ONE shuffle (the window's partitionBy) instead of two.
     right = right.filter(F.col(right_ts).isNotNull())
-    tie_collapse = F.max if direction == "backward" else F.min
-    if carry == right_ts:
-        right = right.select(key, right_ts).distinct()
-    else:
-        right = right.groupBy(key, right_ts).agg(tie_collapse(carry).alias(carry))
     r_tag = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
@@ -94,9 +93,17 @@ def asof_join(
     # timestamp order so "preceding" means "following in event time"
     u = l_tag.unionByName(r_tag)
     ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    # third order key = the tie-collapse: among right rows at one
+    # (key, ts), the winning carry sorts LAST so last(ignorenulls)
+    # returns it (null-carry rows are skipped by ignorenulls, so their
+    # position is immaterial); left rows (_is_left=1) still sort after
+    # all right rows at the same timestamp, keeping ties inclusive
+    tie_order = (
+        F.col("_carry").asc() if direction == "backward" else F.col("_carry").desc()
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy(ts_order, F.col("_is_left").asc())
+        .orderBy(ts_order, F.col("_is_left").asc(), tie_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn(
