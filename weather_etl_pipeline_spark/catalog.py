@@ -123,6 +123,13 @@ def _assert_keys_below_stride(path: str, keys: tuple[str, ...]) -> None:
         if os.path.isfile(path)
         else sorted(_glob.glob(os.path.join(path, "*.parquet")))
     )
+    if not files:
+        # zero discovered files = zero validation — the silent state
+        # this guard exists to forbid (nested hive layouts, remote FS)
+        raise ValueError(
+            f"@xN key remap could not discover parquet files under {path!r}"
+            " to validate the stride contract"
+        )
     for f in files:
         md = pq.ParquetFile(f).metadata
         for rg in range(md.num_row_groups):
@@ -132,16 +139,21 @@ def _assert_keys_below_stride(path: str, keys: tuple[str, ...]) -> None:
                 if col.path_in_schema not in keys:
                     continue
                 stats = col.statistics
-                if stats is None or stats.max is None:
+                if stats is None or stats.max is None or stats.min is None:
                     raise ValueError(
                         f"@xN key remap needs footer stats for {col.path_in_schema!r}"
                         f" in {f} to validate the stride contract"
                     )
-                if int(stats.max) >= _SCALE_STRIDE:
+                # keys must sit in [0, stride): a negative key would
+                # collide with ANOTHER replica's range just as surely
+                # as one at/above the stride (e.g. -9_999_995 at @x2
+                # lands on base id 5)
+                if int(stats.max) >= _SCALE_STRIDE or int(stats.min) < 0:
                     raise ValueError(
                         f"@xN key remap contract violated: {col.path_in_schema!r}"
-                        f" max {stats.max} >= stride {_SCALE_STRIDE} in {f} —"
-                        " replica key ranges would overlap"
+                        f" range [{stats.min}, {stats.max}] outside the stride"
+                        f" interval [0, {_SCALE_STRIDE}) in {f} — replica key"
+                        " ranges would overlap"
                     )
 
 

@@ -300,8 +300,9 @@ def stream_curated_ingest(
     """Start the unified curation stream; returns the StreamingQuery.
 
     ``docs_stream`` needs (doc_id, text, e array<double>) plus payload
-    columns. Rejects land under ``rejects_dir/{quality,text,ann}/`` as
-    per-stage evidence rows; the curated lake under
+    columns. Rejects land under ``rejects_dir/{quality,intra,text,ann}/``
+    as per-stage evidence rows (``intra`` = batch-internal exact text
+    twins, quarantined before any store probe); the curated lake under
     ``lake_dir/batch_id=N/`` (embedding column dropped — the lake
     carries documents; vectors live in the index)."""
 
