@@ -194,24 +194,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             _assert_keys_below_stride(path, _SCALE_KEY_REMAP[name])
             base = _convert_long_ts_cols(spark.read.parquet(path), nanos_cols)
             keys = _SCALE_KEY_REMAP[name]
+            # TWO-LEVEL replica layout: min(N, parallelism) union
+            # branches (one scan TASK each — how a real N×-bigger table
+            # parallelizes), each crossJoined with a broadcast range of
+            # its replica sub-interval (one plan NODE per branch, so a
+            # @x1000 plan stays ~32 branches instead of 1000 — a flat
+            # 1000-branch union measured 69s of plan ANALYSIS alone,
+            # while the single-branch crossJoin form serialized every
+            # scan; this shape caps both failure modes at any N).
+            n_br = max(1, min(replication, spark.sparkContext.defaultParallelism))
+            per, extra = divmod(replication, n_br)
+            rep = temp_col(base, "_rep")
 
-            def _branch(r: int) -> DataFrame:
-                if r == 0:
-                    return base
-                return base.select(
-                    *[
-                        (
-                            (F.col(c) + F.lit(r * _SCALE_STRIDE)).alias(c)
-                            if c in keys
-                            else F.col(c)
+            def _branch(b: int) -> DataFrame:
+                start = b * per + min(b, extra)
+                width = per + (1 if b < extra else 0)
+                if width == 1:
+                    inner = base
+                    off = F.lit(start * _SCALE_STRIDE)
+                else:
+                    inner = base.crossJoin(
+                        F.broadcast(
+                            spark.range(width).select(F.col("id").alias(rep))
                         )
+                    )
+                    off = (F.lit(start) + F.col(rep)) * F.lit(_SCALE_STRIDE)
+                return inner.select(
+                    *[
+                        (F.col(c) + off).alias(c) if c in keys else F.col(c)
                         for c in base.columns
                     ]
                 )
 
             df = reduce(
-                DataFrame.unionByName,
-                (_branch(r) for r in range(replication)),
+                DataFrame.unionByName, (_branch(b) for b in range(n_br))
             )
         else:
             df = _convert_long_ts_cols(
