@@ -90,6 +90,22 @@ def main() -> None:
     # tools/bench_context.py. Measured AFTER the query passes so it
     # reads the same host window the per-query numbers came from.
     context = bench_context(spark, sf_dir)
+    # Diagnostics (per-pass raws, floor accounting, fixture context) go out
+    # FIRST on their own line: the driver captures only the output tail, and
+    # round 9's full-fat single line overflowed it ("parsed": null in
+    # BENCH_r09.json). The LAST stdout line is the compact contract object
+    # {metric, value, unit, queries, sf} and nothing else.
+    print(
+        json.dumps(
+            {
+                "diagnostics": "bench",
+                "passes": raw,
+                "floor_sec": round(floor, 3),
+                "engine_sec": round(total - floor * len(per_query), 3),
+                "context": context,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -97,10 +113,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
-                "passes": raw,
-                "floor_sec": round(floor, 3),
-                "engine_sec": round(total - floor * len(per_query), 3),
-                "context": context,
                 "sf": sf,
             }
         )

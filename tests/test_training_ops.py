@@ -309,8 +309,18 @@ def test_signature_store_torn_append_is_benign_and_detected(
         ).collect()
     }
 
-    # simulate the crash: write batch_b's CODES only (the first of the
-    # three append writes), leaving bands and meta untouched
+    # simulate the crash: the append's INTENT journal entry (pending_hi
+    # in meta — written before any data write), then batch_b's CODES
+    # only (the first of the three data writes), leaving bands and the
+    # commit meta untouched
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        _read_sig_meta,
+        _write_meta,
+    )
+
+    wm0, has_data0, _, _ = _read_sig_meta(spark, store)
+    hi_b = batch_b.agg(F.max("doc_id")).collect()[0][0]
+    _write_meta(spark, store, wm0, has_data=has_data0, pending_hi=int(hi_b))
     shb, _ = _FAMILIES[family]["tables"](batch_b)
     (
         shb.withColumn("id_shard", F.pmod("doc_id", F.lit(N_ID_SHARDS)))
@@ -417,7 +427,12 @@ def test_ivf_index_probe_matches_inline(spark, tmp_path):
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
     index = str(tmp_path / "ivf")
-    build_ivf_index(spark, emb, index)
+    # k pinned to the inline op's default: the parity claim is same-k
+    # same-arithmetic (build's k default is auto-sqrt(n), which sizes
+    # for the corpus rather than matching the fixed inline default)
+    from weather_etl_pipeline_spark.operators.ivf import _K as _INLINE_K
+
+    build_ivf_index(spark, emb, index, k=_INLINE_K)
     assert read_ivf_watermark(spark, index) >= 0
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
@@ -660,7 +675,16 @@ def test_ivf_append_is_probe_visible_and_guarded(spark, tmp_path):
     with _pytest.raises(ValueError, match="monotonic"):
         append_ivf_batch(spark, corpus, index)
 
-    # torn-state refusal: plant an orphan row above the watermark
+    # torn-state refusal: simulate the mid-append crash — the intent
+    # journal entry (pending_hi, written before any data write), then
+    # an orphan cells row above the watermark, no commit meta
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        _read_meta_full,
+        _write_meta,
+    )
+
+    wm0, m0, tr0, _, _ = _read_meta_full(spark, index)
+    _write_meta(spark, index, wm0, m0, tr0, pending_hi=wm0 + 2_000_000)
     orphan = batch.limit(1).select(
         (F.col("vec_id") + 2_000_000).alias("vec_id"), "e", F.lit(0).alias("cell")
     )
@@ -745,8 +769,10 @@ def test_ivf_multi_assignment_contract(spark, tmp_path):
     )
     m1 = str(tmp_path / "m1")
     m2 = str(tmp_path / "m2")
-    build_ivf_index(spark, emb, m1, assign_m=1)
-    build_ivf_index(spark, emb, m2, assign_m=2)
+    # k pinned at 8: the nprobe=8 legs below rely on nprobe == k being
+    # exactly brute force (build's default k is auto-sqrt(n) now)
+    build_ivf_index(spark, emb, m1, k=8, assign_m=1)
+    build_ivf_index(spark, emb, m2, k=8, assign_m=2)
     assert _read_meta(spark, m2)[1] == 2
 
     got1 = probe_ivf_index(spark, queries, m1, nprobe=2).collect()

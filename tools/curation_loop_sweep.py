@@ -103,11 +103,9 @@ def main() -> None:
         sig, ivf = f"{work}/sig", f"{work}/ivf"
         t0 = time.perf_counter()
         build_signature_store(spark, corpus.select("doc_id", "text"), sig)
+        # k=None → the build's own auto-sqrt(n) sizing (round 10)
         build_ivf_index(
-            spark,
-            corpus.select(F.col("doc_id").alias("vec_id"), "e"),
-            ivf,
-            k=max(8, min(256, int(corpus.count() ** 0.5))),
+            spark, corpus.select(F.col("doc_id").alias("vec_id"), "e"), ivf
         )
         t_build = time.perf_counter() - t0
 

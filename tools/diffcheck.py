@@ -6,7 +6,17 @@ value multiset. Values are compared EXACTLY (stringified) — if this
 passes, any reasonable driver hash passes too.
 
 Usage:  python tools/diffcheck.py [sf_dir] [query ...]
-"""
+        DIFFCHECK_BIG_ROWS=<N> python tools/diffcheck.py <sf_dir>
+
+DIFFCHECK_BIG_ROWS: queries whose Spark output exceeds N rows switch
+to an engine-side compare — row count plus schema plus per-column
+engine-side checksums (exact for integer/string/date columns: SUMs and
+distinct counts are order-free; float columns compare count+min/max
+only, since cross-engine float SUM depends on accumulation order) —
+instead of a full driver collect. A 100M-row differential (sf0.1@x100
+gapfill) cannot be collected into the driver on either engine; this is
+the honest scalable form, and the output marks such rows "big" so a
+reader can tell which compare ran."""
 
 from __future__ import annotations
 
@@ -78,6 +88,44 @@ def rows_to_multiset(cols: list[str], rows: list[tuple]) -> list[str]:
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+def _big_compare(sdf, scount, scols, stypes, con, oracle) -> list[str]:
+    """Engine-side compare for outputs too large to collect: row count
+    + per-column order-free checksums (module doc). Returns problem
+    strings; empty = pass at this (weaker, marked) level."""
+    from pyspark.sql import functions as F
+
+    ocount = con.execute(f"SELECT count(*) FROM ({oracle})").fetchone()[0]
+    if scount != ocount:
+        return [f"rowcount spark={scount} oracle={ocount}"]
+    saggs, oexprs = [], []
+    for c in scols:
+        ct = canon_type(stypes[c])
+        qc = f'"{c}"'
+        saggs.append(F.count(F.col(c)).alias(f"cnt__{c}"))
+        oexprs.append(f'count({qc}) AS "cnt__{c}"')
+        if not ct.startswith("arr<"):
+            saggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+            oexprs += [f'min({qc}) AS "min__{c}"', f'max({qc}) AS "max__{c}"']
+        if ct in ("i16", "i32", "i64"):
+            # exact order-free sums: decimal(38,0) on Spark, hugeint on
+            # DuckDB — no float accumulation anywhere
+            saggs.append(
+                F.sum(F.col(c).cast("decimal(38,0)")).alias(f"sum__{c}")
+            )
+            oexprs.append(f'sum({qc}) AS "sum__{c}"')
+        if ct in ("i16", "i32", "i64", "str", "date", "ts", "bool"):
+            saggs.append(F.countDistinct(c).alias(f"dst__{c}"))
+            oexprs.append(f'count(DISTINCT {qc}) AS "dst__{c}"')
+    srow = sdf.agg(*saggs).collect()[0].asDict()
+    ores = con.execute(f"SELECT {', '.join(oexprs)} FROM ({oracle})")
+    orow = dict(zip([d[0] for d in ores.description], ores.fetchone()))
+    return [
+        f"checksum {k}: spark={canon(srow[k])} oracle={canon(orow[k])}"
+        for k in srow
+        if canon(srow[k]) != canon(orow[k])
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -115,7 +163,10 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet([{files}])"
             )
 
-    n_pass = n_fail = n_rowsonly = 0
+    import os
+
+    big_rows = int(os.environ.get("DIFFCHECK_BIG_ROWS", "0") or 0)
+    n_pass = n_fail = n_rowsonly = n_big = 0
     for name, q in sorted(reg.items()):
         if only and name not in only:
             continue
@@ -123,8 +174,53 @@ def main() -> int:
         try:
             spark.catalog.clearCache()  # no cross-query cache reuse or pinning
             sdf = q.fn(spark, sf_dir)
-            srows = sdf.collect()
             scols = sdf.columns
+            if big_rows and q.oracle is not None:
+                scount = sdf.count()
+                if scount > big_rows:
+                    # engine-side compare (module doc): collect is not
+                    # an option at this output size on either engine
+                    stypes = dict(
+                        zip(
+                            sdf.columns,
+                            [f.dataType.simpleString() for f in sdf.schema.fields],
+                        )
+                    )
+                    problems = []
+                    try:
+                        otypes = {
+                            r[0]: r[1]
+                            for r in con.execute(
+                                f"DESCRIBE {q.oracle}"
+                            ).fetchall()
+                        }
+                        if sorted(scols) != sorted(otypes):
+                            problems.append(
+                                f"columns spark={sorted(scols)} "
+                                f"oracle={sorted(otypes)}"
+                            )
+                        else:
+                            problems += [
+                                f"dtype {c}: spark={stypes[c]} oracle={otypes[c]}"
+                                for c in scols
+                                if canon_type(stypes[c]) != canon_type(otypes[c])
+                            ]
+                            problems += _big_compare(
+                                sdf, scount, scols, stypes, con, q.oracle
+                            )
+                    except Exception as e:  # noqa: BLE001
+                        problems.append(f"oracle error: {e}")
+                    if problems:
+                        print(f"FAIL  {name}: " + "; ".join(problems))
+                        n_fail += 1
+                    else:
+                        print(
+                            f"big   {name}: {scount} rows, engine-side "
+                            f"checksums ok [{time.time()-t0:.1f}s]"
+                        )
+                        n_big += 1
+                    continue
+            srows = sdf.collect()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -169,7 +265,8 @@ def main() -> int:
             print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
 
-    print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail")
+    big_note = f", {n_big} big (engine-side checksums)" if n_big else ""
+    print(f"\n{n_pass} ok, {n_rowsonly} rows-only{big_note}, {n_fail} fail")
     return 1 if n_fail else 0
 
 

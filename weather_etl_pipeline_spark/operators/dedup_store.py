@@ -73,6 +73,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import hround
+from ..functions.jvmrows import empty_df, one_row_df
 from .dedup import (
     _LSH_BUCKET_CAP,
     _MH_BANDS,
@@ -205,7 +206,7 @@ def _read_edges(spark: SparkSession, store_path: str) -> DataFrame:
     try:
         return spark.read.schema(_EDGES_SCHEMA).parquet(_edges_path(store_path))
     except AnalysisException:
-        return spark.createDataFrame([], _EDGES_SCHEMA)
+        return empty_df(spark, _EDGES_SCHEMA)
 
 
 def build_signature_store(
@@ -284,6 +285,12 @@ def build_signature_store(
         .partitionBy("id_shard")
         .parquet(_codes_path(store_path))
     )
+    # has_data for meta: a zero-row partitioned write leaves NO data
+    # files (the dirs aren't schema-readable), and that's decided by sh
+    # being empty — which docs being non-empty does NOT imply (all-null
+    # texts, all-<3-token texts). Checked on the cached sh, so it's a
+    # cache hit, not a recompute.
+    has_data = sh.limit(1).count() > 0
     sh.unpersist()
     # exact-dup star edges: no partitionBy (an empty table must still
     # leave a readable dir — _read_edges reads with explicit schema);
@@ -298,9 +305,15 @@ def build_signature_store(
     )
     # meta: the append contract's watermark (1-row table) — over the
     # FULL input (members and null-text docs included), floored by any
-    # pre-rebuild watermark / explicit watermark_hi
+    # pre-rebuild watermark / explicit watermark_hi. pending_hi=null: a
+    # fresh build is by definition a clean commit point.
     hi = docs.agg(F.max("doc_id").alias("hi")).collect()[0]["hi"]
-    _write_meta(spark, store_path, max(int(hi if hi is not None else -1), floor))
+    _write_meta(
+        spark,
+        store_path,
+        max(int(hi if hi is not None else -1), floor),
+        has_data=has_data,
+    )
 
 
 def _meta_path(store_path: str) -> str:
@@ -308,22 +321,93 @@ def _meta_path(store_path: str) -> str:
 
 
 def read_store_watermark(spark: SparkSession, store_path: str) -> int:
-    """The store's committed high-water doc_id (-1 = empty store: a
-    build over an empty corpus writes meta=-1 and ZERO data files, so
-    the bands/codes dirs aren't even schema-readable — every consumer
-    must branch on the watermark BEFORE touching them). Rows above the
-    watermark are uncommitted append leftovers and are invisible to
-    probes; meta is written last, so this is the store's one source of
-    truth for what an append actually committed."""
-    return int(
-        spark.read.parquet(_meta_path(store_path)).collect()[0]["max_doc_id"]
-    )
+    """The store's committed high-water doc_id (-1 = never committed
+    anything). Rows above the watermark are uncommitted append
+    leftovers and are invisible to probes; meta is written last, so
+    this is the store's one source of truth for what an append
+    actually committed. NOTE the watermark alone no longer implies
+    data files exist: a rebuild from an empty accepted corpus under a
+    watermark FLOOR leaves watermark >= 0 with ZERO band/code files —
+    ``has_data`` in meta (see _read_sig_meta) is the flag consumers
+    must branch on before touching the data dirs."""
+    return _read_sig_meta(spark, store_path)[0]
 
 
-def _write_meta(spark: SparkSession, store_path: str, max_doc_id: int) -> None:
-    spark.createDataFrame([(int(max_doc_id),)], "max_doc_id long").coalesce(
-        1
+def _read_sig_meta(
+    spark: SparkSession, store_path: str
+) -> tuple[int, bool, int | None, bool]:
+    """(watermark, has_data, pending_hi, legacy).
+
+    - ``has_data``: bands/codes hold at least one data file — the flag
+      probe/append branch on instead of ``watermark >= 0`` (a floored
+      rebuild from an empty corpus has watermark >= 0 and zero files;
+      pre-flag stores default to the old watermark rule, which was
+      exact for them).
+    - ``pending_hi``: the append journal — non-null means an append
+      declared intent and never committed (crashed mid-write); the
+      next append must run the orphan recovery scan before trusting
+      the data dirs. Null = last append committed cleanly.
+    - ``legacy``: meta predates the journal column — torn state can't
+      be ruled out from meta alone, so the next append runs the
+      recovery scan once (its commit upgrades the schema).
+    """
+    row = spark.read.parquet(_meta_path(store_path)).collect()[0]
+    wm = int(row["max_doc_id"])
+    fields = row.__fields__
+    has_data = bool(row["has_data"]) if "has_data" in fields else (wm >= 0)
+    legacy = "pending_hi" not in fields
+    pending = None if legacy or row["pending_hi"] is None else int(row["pending_hi"])
+    return wm, has_data, pending, legacy
+
+
+def _write_meta(
+    spark: SparkSession,
+    store_path: str,
+    max_doc_id: int,
+    has_data: bool = True,
+    pending_hi: int | None = None,
+) -> None:
+    # JVM-side 1-row build (functions/jvmrows.py): a createDataFrame +
+    # coalesce(1) meta write cost a flat ~4.5s of serialized
+    # Python-partition round-trips, × intent+commit × both stores per
+    # ingest micro-batch — the loop's dominant fixed cost in round 9
+    one_row_df(
+        spark,
+        (
+            int(max_doc_id),
+            bool(has_data),
+            None if pending_hi is None else int(pending_hi),
+        ),
+        "max_doc_id long, has_data boolean, pending_hi long",
     ).write.mode("overwrite").parquet(_meta_path(store_path))
+
+
+def _orphans_above(
+    spark: SparkSession, path: str, id_col: str, watermark: int
+) -> bool:
+    """True if ``path`` holds rows with ``id_col`` above ``watermark``
+    — the torn-append recovery scan. The predicate pushes to parquet
+    row-group stats (metadata-speed); a file-less or missing dir reads
+    as no orphans (zero files ⇒ zero rows, whatever meta claims)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return bool(
+            spark.read.parquet(path)
+            .filter(F.col(id_col) > watermark)
+            .limit(1)
+            .count()
+        )
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+        ):
+            return False
+        raise
 
 
 def append_signature_batch(
@@ -332,6 +416,8 @@ def append_signature_batch(
     store_path: str,
     watermark_hi: int | None = None,
     family: str = "minhash",
+    tables: tuple[DataFrame, DataFrame] | None = None,
+    shard_keys: list[int] | None = None,
 ) -> None:
     """Append an ingested batch's signatures to an existing store —
     the accept step of the ingest loop (probe → filter dups → append)
@@ -354,6 +440,28 @@ def append_signature_batch(
     on the FULL batch range, and without this a replayed batch whose
     max doc was a dup would re-probe against a store that now contains
     its own accepted docs (everything re-flagged as self-duplicate).
+
+    ``tables``: optional precomputed ``(sidecar, banded)`` for the
+    batch — the ingest loop's signature-reuse hook. The probe already
+    derived (and persisted) the batch's signatures; recomputing them
+    here was a measured ~1.4s/batch pure-recompute term. Contract when
+    provided: the batch is already exact-collapsed (no two rows share
+    a text — the loop's intra-batch collapse guarantees this), and
+    ``tables`` was derived from a SUPERSET of the batch by the same
+    family (rows are filtered to the batch's doc_ids here, so passing
+    the pre-probe batch's tables is exact).
+
+    Torn-append detection (the journal): meta carries ``pending_hi``,
+    written as an INTENT record before the first data write and
+    cleared by the commit write after the last. A clean store
+    (pending null) skips the data-dir orphan scans entirely — the
+    round-9 loop paid ~2.7s/batch of parquet footer metadata reads
+    re-proving every batch that no crash had ever happened, a term
+    that grows with store file count. A set ``pending_hi`` (or a
+    legacy meta predating the column) triggers the recovery scan once:
+    orphan rows above the watermark ⇒ refuse loudly (rebuild is the
+    recovery, as before); none ⇒ the crash landed before any data
+    write, and the append proceeds.
     """
     from pyspark.sql import Window
 
@@ -361,12 +469,12 @@ def append_signature_batch(
     lo_hi = batch.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]
-    stored_max = read_store_watermark(spark, store_path)
+    stored_max, has_data, pending, legacy = _read_sig_meta(spark, store_path)
     if lo_hi["lo"] is None:
         # nothing to append (e.g. an all-duplicates ingest batch) — but
         # still advance the watermark so the batch reads as committed
         if watermark_hi is not None and watermark_hi > stored_max:
-            _write_meta(spark, store_path, int(watermark_hi))
+            _write_meta(spark, store_path, int(watermark_hi), has_data=has_data)
         return
     if lo_hi["lo"] <= stored_max:
         raise ValueError(
@@ -378,62 +486,70 @@ def append_signature_batch(
     # the monotonicity check and append the same rows again — duplicate
     # band rows with freshly offset ranks would inflate buckets past
     # the cap and silently evict genuinely distinct docs from probe
-    # candidacy. Refuse loudly instead; recovery = rebuild (or prune
-    # the orphans). The doc_id predicate pushes to parquet row-group
-    # stats, so the checks are metadata-speed, not scans. An empty
-    # store (watermark -1) skips the scans entirely: a build over an
-    # empty corpus writes ZERO data files, so the dirs aren't
-    # schema-readable — this is the bootstrap path of an ingest
-    # pipeline that starts from nothing.
-    if stored_max >= 0:
-        for sub in (_bands_path(store_path), _codes_path(store_path)):
-            orphans = (
-                spark.read.parquet(sub)
-                .filter(F.col("doc_id") > stored_max)
-                .limit(1)
-                .count()
-            )
-            if orphans:
+    # candidacy. The journal (docstring above) confines the orphan
+    # scans to the recovery path; _orphans_above treats file-less dirs
+    # as clean, so the scan is safe even on a has_data=False store
+    # whose crashed append managed to write some files.
+    if pending is not None or legacy:
+        for sub, col in (
+            (_bands_path(store_path), "doc_id"),
+            (_codes_path(store_path), "doc_id"),
+            (_edges_path(store_path), "member_id"),
+        ):
+            # edges: member_id >= rep_id always, so any torn edge row
+            # from a crashed append has member_id above the mark
+            if _orphans_above(spark, sub, col, stored_max):
                 raise ValueError(
-                    f"torn append detected: {sub} holds doc_ids above the "
+                    f"torn append detected: {sub} holds {col}s above the "
                     f"meta watermark {stored_max} — a previous append "
                     "crashed mid-write; rebuild the store"
                 )
-        # edges torn-check: member_id >= rep_id always, so any torn
-        # edge row from a crashed append has member_id above the mark
-        if (
-            _read_edges(spark, store_path)
-            .filter(F.col("member_id") > stored_max)
-            .limit(1)
-            .count()
-        ):
-            raise ValueError(
-                f"torn append detected: {_edges_path(store_path)} holds "
-                f"member_ids above the meta watermark {stored_max} — a "
-                "previous append crashed mid-write; rebuild the store"
-            )
+    hi = int(lo_hi["hi"])
+    if watermark_hi is not None:
+        hi = max(hi, int(watermark_hi))
+    # intent record: from here to the commit write, a crash is
+    # detectable from meta alone
+    _write_meta(
+        spark, store_path, stored_max, has_data=has_data, pending_hi=hi
+    )
     # collapse-first, batch-internal: same recall contract as build.
     # Cross-batch twins of STORED texts stay their own rep here — in the
     # ingest topology the probe already quarantined them (exact twins
     # always verify: identical codes ⇒ jaccard 1.0 / hamming 0), so
     # accepted appends contain none by construction; a direct library
     # append of unprobed twins merely costs a bucket slot, never recall.
-    reps_b, edges_b = _collapse_exact(batch.select("doc_id", "text"))
-    shb, bandsb = fam["tables"](reps_b)
+    if tables is None:
+        reps_b, edges_b = _collapse_exact(batch.select("doc_id", "text"))
+        shb, bandsb = fam["tables"](reps_b)
+        owns_cache = True
+    else:
+        shb, bandsb = tables
+        ids = F.broadcast(batch.select("doc_id"))
+        shb = shb.join(ids, "doc_id", "leftsemi")
+        bandsb = bandsb.join(ids, "doc_id", "leftsemi")
+        edges_b = None  # pre-collapsed batch: no intra-batch twins
+        owns_cache = False
     bandsb = bandsb.withColumn(
         "sig_shard", F.pmod("band_sig", F.lit(N_SIG_SHARDS))
     )
     w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
     new_bands = bandsb.withColumn("_rn0", F.row_number().over(w))
-    if stored_max >= 0:
-        shard_keys = [
-            r["key"]
-            for r in bandsb.select(
-                (F.col("band") * N_SIG_SHARDS + F.col("sig_shard")).alias("key")
-            )
-            .distinct()
-            .collect()
-        ]
+    if has_data:
+        # shard_keys: the loop passes the PROBE's key set (collected
+        # once per batch — a superset of this post-filter batch's, so
+        # pruning stays correct, just possibly wider); standalone
+        # appends collect their own
+        if shard_keys is None:
+            shard_keys = [
+                r["key"]
+                for r in bandsb.select(
+                    (F.col("band") * N_SIG_SHARDS + F.col("sig_shard")).alias(
+                        "key"
+                    )
+                )
+                .distinct()
+                .collect()
+            ]
         # rank bases must be BATCH-bounded, not store-bounded: shard
         # pruning alone stops pruning once a batch touches most shards
         # (200 docs × 8 bands ≈ 379/512 shards — measured a store-wide
@@ -486,14 +602,17 @@ def append_signature_batch(
         .partitionBy("id_shard")
         .parquet(_codes_path(store_path))
     )
-    (
-        edges_b.select(
-            F.col("doc_a").alias("rep_id"), F.col("doc_b").alias("member_id")
+    if edges_b is not None:
+        # pre-collapsed (tables=) batches carry no intra-batch twins —
+        # an empty edges append would be a pure no-op job, skipped
+        (
+            edges_b.select(
+                F.col("doc_a").alias("rep_id"), F.col("doc_b").alias("member_id")
+            )
+            .repartition(min(N_ID_SHARDS, par))
+            .write.mode("append")
+            .parquet(_edges_path(store_path))
         )
-        .repartition(min(N_ID_SHARDS, par))
-        .write.mode("append")
-        .parquet(_edges_path(store_path))
-    )
     (
         new_bands.repartition(
             min(fam["n_bands"] * N_SIG_SHARDS, par), "band", "sig_shard"
@@ -502,11 +621,16 @@ def append_signature_batch(
         .partitionBy("band", "sig_shard")
         .parquet(_bands_path(store_path))
     )
-    shb.unpersist()
-    hi = int(lo_hi["hi"])
-    if watermark_hi is not None:
-        hi = max(hi, int(watermark_hi))
-    _write_meta(spark, store_path, hi)
+    if not has_data:
+        # a bootstrap append into a file-less store: flip the flag only
+        # if this batch actually wrote signature rows (an all-null or
+        # all-short-text batch writes none). Cache hit when the caller
+        # provided tables; cheap cached check otherwise.
+        has_data = shb.limit(1).count() > 0
+    if owns_cache:
+        shb.unpersist()
+    # commit: watermark advances, intent journal clears
+    _write_meta(spark, store_path, hi, has_data=has_data)
 
 
 def probe_signature_store(
@@ -514,6 +638,8 @@ def probe_signature_store(
     batch: DataFrame,
     store_path: str,
     family: str = "minhash",
+    tables: tuple[DataFrame, DataFrame] | None = None,
+    shard_keys: list[int] | None = None,
 ) -> DataFrame:
     """(new_id, old_id, <score>) — batch docs near-duplicating a
     stored-corpus doc; the persisted-store twin of
@@ -531,14 +657,24 @@ def probe_signature_store(
     on replay. cache=False: the probe runs inside long-lived streaming
     loops; a per-call cache here leaked one pinned DataFrame per
     micro-batch (the signature recompute it buys is a map-only
-    projection over the batch)."""
+    projection over the batch).
+
+    ``tables``: optional precomputed ``(sidecar, banded)`` for the
+    batch — callers that consume the signatures more than once (the
+    unified loop probes, then appends the survivors) derive them once,
+    persist, and pass them here; lifetime stays with the caller."""
     fam = _FAMILIES[family]
-    watermark = read_store_watermark(spark, store_path)
-    if watermark < 0:
-        # empty store: nothing to duplicate against — and the data dirs
-        # hold zero files (not schema-readable), so short-circuit
-        return spark.createDataFrame([], fam["empty_schema"])
-    shb, bandsb = fam["tables"](batch, cache=False)
+    watermark, has_data, _, _ = _read_sig_meta(spark, store_path)
+    if not has_data:
+        # file-less store (never built with data, or rebuilt from an
+        # empty accepted corpus under a watermark floor): nothing to
+        # duplicate against — and the data dirs hold zero files (not
+        # schema-readable), so short-circuit on the meta flag, never
+        # the watermark (a floored empty store has watermark >= 0)
+        return empty_df(spark, fam["empty_schema"])
+    shb, bandsb = (
+        tables if tables is not None else fam["tables"](batch, cache=False)
+    )
 
     # bounded work-list collect #1: the batch's (band, sig_shard) set —
     # ≤ 8×64 rows — prunes the store scan to matching partitions. One
@@ -546,17 +682,20 @@ def probe_signature_store(
     # OR-chain of 512 conjunctions nests the expression tree 512 deep
     # and overflows the plan-conversion stack; the composite references
     # only partition columns, so partition pruning still applies.
-    shard_keys = [
-        r["key"]
-        for r in bandsb.select(
-            (
-                F.col("band") * N_SIG_SHARDS
-                + F.pmod("band_sig", F.lit(N_SIG_SHARDS))
-            ).alias("key")
-        )
-        .distinct()
-        .collect()
-    ]
+    # ``shard_keys``: the loop collects this set once per batch and
+    # shares it with the append (one driver round-trip instead of two).
+    if shard_keys is None:
+        shard_keys = [
+            r["key"]
+            for r in bandsb.select(
+                (
+                    F.col("band") * N_SIG_SHARDS
+                    + F.pmod("band_sig", F.lit(N_SIG_SHARDS))
+                ).alias("key")
+            )
+            .distinct()
+            .collect()
+        ]
     store_bands = (
         spark.read.parquet(_bands_path(store_path))
         .filter(

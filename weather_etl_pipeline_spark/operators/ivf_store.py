@@ -42,6 +42,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.jvmrows import empty_df, one_row_df
 from ..functions.vectors import cosine
 from .ivf import _assign, _dist2, _ITERS, _K, _seed_rows, kmeans_centroids
 
@@ -230,18 +231,33 @@ def _read_meta(spark: SparkSession, index_path: str) -> tuple[int, int, bool]:
     untrained index used to be exactly "watermark -1"; the flag was
     split out when builds gained a watermark FLOOR, which can leave an
     empty/untrained index with a positive committed watermark)."""
+    return _read_meta_full(spark, index_path)[:3]
+
+
+def _read_meta_full(
+    spark: SparkSession, index_path: str
+) -> tuple[int, int, bool, int | None, bool]:
+    """(watermark, assign_m, trained, pending_hi, legacy) — the append
+    journal view. ``pending_hi`` non-null = an append declared intent
+    and never committed; ``legacy`` = meta predates the journal column
+    (torn state can't be ruled out from meta alone, so the next append
+    runs the orphan recovery scan once). Mirrors
+    dedup_store._read_sig_meta."""
     row = spark.read.parquet(_meta_path(index_path)).collect()[0]
+    fields = row.__fields__
     wm = int(row["max_vec_id"])
-    m = row["assign_m"] if "assign_m" in row.__fields__ else 1
-    trained = row["trained"] if "trained" in row.__fields__ else (wm >= 0)
-    return wm, int(m if m is not None else 1), bool(trained)
+    m = row["assign_m"] if "assign_m" in fields else 1
+    trained = row["trained"] if "trained" in fields else (wm >= 0)
+    legacy = "pending_hi" not in fields
+    pending = None if legacy or row["pending_hi"] is None else int(row["pending_hi"])
+    return wm, int(m if m is not None else 1), bool(trained), pending, legacy
 
 
 def build_ivf_index(
     spark: SparkSession,
     emb: DataFrame,
     index_path: str,
-    k: int = _K,
+    k: int | None = None,
     iters: int = _ITERS,
     assign_m: int = 1,
     watermark_hi: int | None = None,
@@ -250,6 +266,18 @@ def build_ivf_index(
 
     ``emb`` needs (vec_id, e array<double>). Overwrites any prior
     index — rebuild runs on the compaction cadence, not per batch.
+
+    ``k=None`` (default) auto-sizes the quantizer to the corpus:
+    k = clamp(round(sqrt(n)), _K, 4096). sqrt(n) balances the IVF cost
+    model's two terms — per-probe candidate work is nprobe·(n/k) and
+    per-query cell ranking is O(k), so their sum is minimized at
+    k ~ sqrt(n) (the standard IVF sizing rule, e.g. the FAISS
+    guidelines). The floor keeps tiny corpora at the small-k HOF path
+    this module's contract tests pin; the 4096 cap bounds the
+    driver-side centroid round-trip (4096 × dim doubles) and the
+    centroid-assignment matmul width — past it, per-cell membership
+    keeps growing linearly but a deeper structure (IVF-PQ, sharded
+    coarse quantizers) is the right answer, not more cells.
 
     ``watermark_hi`` / watermark preservation: same contract as
     build_signature_store — the meta watermark lands at max(corpus
@@ -309,11 +337,16 @@ def build_ivf_index(
             )
             return
         dim = len(emb.select("e").first()["e"])
+        n = emb.count()
+        if k is None:
+            # auto-k (docstring): sqrt-n sizing, floored at the legacy
+            # default so small/test corpora keep their pinned plans
+            k = max(_K, min(4096, int(round(n**0.5))))
         # clamp k to the corpus: both Lloyd paths seed from the first k
         # vectors and index rows[i] for i < k — a k beyond the corpus
         # size would IndexError mid-iteration (a 10-vector bootstrap
         # corpus with the k=64 production default is a legitimate call)
-        k = max(1, min(k, emb.count()))
+        k = max(1, min(k, n))
         # meta records the CONFIGURED m; this build's own assignment
         # clamps to the k it actually trained (a 1-vector bootstrap
         # corpus can only fill one cell) — probes and appends re-clamp
@@ -343,7 +376,13 @@ def build_ivf_index(
             .partitionBy("cell")
             .parquet(_cells_path(index_path))
         )
-        cent.coalesce(1).write.mode("overwrite").parquet(
+        # repartition(1), not coalesce(1): cent is a Python-local
+        # relation (defaultParallelism Python-backed partitions); a
+        # coalesced single task would drain them SEQUENTIALLY, one
+        # Python-worker round-trip each (~4.5s flat on local[32] —
+        # functions/jvmrows.py). The shuffle reads them in parallel,
+        # then one task writes the one file.
+        cent.repartition(1).write.mode("overwrite").parquet(
             _centroids_path(index_path)
         )
         _write_meta(spark, index_path, max(int(hi), floor), assign_m)
@@ -357,11 +396,20 @@ def _write_meta(
     max_vec_id: int,
     assign_m: int = 1,
     trained: bool = True,
+    pending_hi: int | None = None,
 ) -> None:
-    spark.createDataFrame(
-        [(int(max_vec_id), int(assign_m), bool(trained))],
-        "max_vec_id long, assign_m int, trained boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(index_path))
+    # JVM-side 1-row build — see functions/jvmrows.py (a Python-local
+    # 1-row coalesce(1) write cost ~4.5s flat, paid twice per append)
+    one_row_df(
+        spark,
+        (
+            int(max_vec_id),
+            int(assign_m),
+            bool(trained),
+            None if pending_hi is None else int(pending_hi),
+        ),
+        "max_vec_id long, assign_m int, trained boolean, pending_hi long",
+    ).write.mode("overwrite").parquet(_meta_path(index_path))
 
 
 def append_ivf_batch(
@@ -399,7 +447,9 @@ def append_ivf_batch(
     lo_hi = batch.agg(
         F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
     ).collect()[0]
-    stored_max, assign_m, trained = _read_meta(spark, index_path)
+    stored_max, assign_m, trained, pending, legacy = _read_meta_full(
+        spark, index_path
+    )
     if lo_hi["lo"] is None:
         # all-duplicates ingest batch: advance the commit marker only
         if watermark_hi is not None and watermark_hi > stored_max:
@@ -417,18 +467,45 @@ def append_ivf_batch(
             "cannot append into an untrained IVF index: no centroids "
             "to assign against — build_ivf_index over the first corpus"
         )
-    orphans = (
-        spark.read.parquet(_cells_path(index_path))
-        .filter(F.col("vec_id") > stored_max)
-        .limit(1)
-        .count()
+    # torn detection via the meta journal (pending_hi): a clean commit
+    # point skips the orphan footer scan entirely — the scan is
+    # file-count-bound and was a fixed per-batch tax in the ingest
+    # loop. A set intent (or legacy meta) runs it once; orphan rows ⇒
+    # refuse (rebuild recovers), none ⇒ the crash landed before any
+    # data write and the retry is safe. Mirrors append_signature_batch.
+    if pending is not None or legacy:
+        from pyspark.errors import AnalysisException
+
+        try:
+            orphans = (
+                spark.read.parquet(_cells_path(index_path))
+                .filter(F.col("vec_id") > stored_max)
+                .limit(1)
+                .count()
+            )
+        except AnalysisException as e:
+            msg = str(e)
+            if not (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+                or "Unable to infer schema" in msg
+            ):
+                raise
+            orphans = 0  # file-less cells dir: zero rows, nothing torn
+        if orphans:
+            raise ValueError(
+                f"torn append detected: cells hold vec_ids above the meta "
+                f"watermark {stored_max} — a previous append crashed "
+                "mid-write; rebuild the index"
+            )
+    hi = int(lo_hi["hi"])
+    if watermark_hi is not None:
+        hi = max(hi, int(watermark_hi))
+    # intent record: crash anywhere below is detectable from meta alone
+    _write_meta(
+        spark, index_path, stored_max, assign_m, trained, pending_hi=hi
     )
-    if orphans:
-        raise ValueError(
-            f"torn append detected: cells hold vec_ids above the meta "
-            f"watermark {stored_max} — a previous append crashed "
-            "mid-write; rebuild the index"
-        )
     batch = batch.dropDuplicates(["vec_id"])
     cent = spark.read.parquet(_centroids_path(index_path))
     cent_rows = sorted(
@@ -453,9 +530,7 @@ def append_ivf_batch(
         .partitionBy("cell")
         .parquet(_cells_path(index_path))
     )
-    hi = int(lo_hi["hi"])
-    if watermark_hi is not None:
-        hi = max(hi, int(watermark_hi))
+    # commit: watermark advances, intent journal clears
     _write_meta(spark, index_path, hi, assign_m)
 
 
@@ -477,8 +552,8 @@ def probe_ivf_index(
     if watermark < 0 or not trained:
         # untrained (possibly floor-watermarked) or empty index:
         # nothing searchable, and the data dirs hold zero files
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos_sim double, rk long"
+        return empty_df(
+            spark, "query_id long, neighbor_id long, cos_sim double, rk long"
         )
     cent = spark.read.parquet(_centroids_path(index_path))
     # probe-set dedupe by key (the inline op's guard): replicated query
@@ -545,11 +620,15 @@ def probe_ivf_index(
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
     )
-    if assign_m > 1:
+    if min(assign_m, k) > 1:
         # multi-assignment: a vector in two probed cells surfaces twice
         # with an identical score — dedupe before ranking so rk stays a
-        # dense per-query rank (bounded exchange: candidates only; m=1
-        # indexes skip it, keeping the round-8 probe plan byte-identical)
+        # dense per-query rank (bounded exchange: candidates only).
+        # Keyed on the EFFECTIVE m — builds clamp assignment to
+        # min(assign_m, k) while meta records the configured value, so
+        # an index that actually holds one row per vector (k == 1 at
+        # bootstrap) skips the exchange; m=1 indexes keep the round-8
+        # probe plan byte-identical either way.
         scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

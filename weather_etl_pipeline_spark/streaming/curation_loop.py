@@ -31,10 +31,12 @@ IDEMPOTENT per batch):
   contains the batch's own accepted docs — a re-probe would quarantine
   them as self-dups); it reads its persisted evidence back instead,
   reconstructing the identical accepted set.
-- The lake write is last and batch_id-keyed overwrite, so every crash
-  point replays to the same final lake contents. Torn store appends
-  (crash inside append_*) refuse loudly on retry, exactly as in the
-  single-store loops — recovery is a store rebuild.
+- The lake write is a batch_id-keyed overwrite, so every crash point
+  replays to the same final lake contents — which is also why it needs
+  no ordering against the ANN append (the two run concurrently; round
+  10). Torn store appends (crash inside append_*) refuse loudly on
+  retry via the meta journal, exactly as in the single-store loops —
+  recovery is a store rebuild.
 
 Stage ordering note: the TEXT stage commits before the ANN stage, so
 the one cross-store invariant is sig_watermark >= ivf_watermark at
@@ -69,6 +71,7 @@ from ..operators.ivf_store import (
     build_ivf_index,
     probe_ivf_index,
 )
+from ..functions.jvmrows import empty_df
 from ..operators.text import quality_expr
 from .ingest_ann import _ANN_DUP_COS
 
@@ -78,6 +81,27 @@ _QUALITY_EVIDENCE_SCHEMA = "doc_id long, quality double"
 
 def _evidence_path(rejects_dir: str, stage: str, batch_id: int) -> str:
     return f"{rejects_dir}/{stage}/batch_id={int(batch_id)}"
+
+
+def _run_concurrently(*thunks) -> None:
+    """Submit independent Spark jobs from threads and join them all —
+    wall time = max, not sum. Used only for stage pairs with NO
+    ordering contract between them (the two stage-1 evidence writes;
+    the ANN append and the lake write). Spark job submission is
+    thread-safe; the shared 32-core pool schedules both. The first
+    exception propagates after all thunks settle."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+        if errs:
+            raise errs[0]
 
 
 def _read_evidence(
@@ -110,9 +134,21 @@ def process_curation_batch(
     columns, which ride through to the lake untouched. doc_id doubles
     as the IVF vec_id — one embedding per document, one monotonic id
     sequence for both stores.
+
+    Pre-build requirement: BOTH stores must exist before the first
+    batch — at minimum an empty build that writes meta
+    (``build_signature_store`` / ``build_ivf_index`` over zero-row
+    input; the IVF build records the stream's assign_m there too). The
+    loop's first act is reading both watermarks; a never-built store
+    path raises a "build the stores first" ValueError.
     """
-    hi_row = batch_df.agg(F.max("doc_id").alias("hi")).collect()[0]
+    # scored persists for the batch's lifetime (see stage 1); the
+    # batch-max collect below doubles as its materialization, so the
+    # gate expression and the batch source are evaluated exactly once
+    scored = batch_df.withColumn("_q", F.round(quality_expr(), 6)).persist()
+    hi_row = scored.agg(F.max("doc_id").alias("hi")).collect()[0]
     if hi_row["hi"] is None:
+        scored.unpersist()
         return
     hi = int(hi_row["hi"])
     # NOTE there is deliberately NO whole-batch short-circuit: a crash
@@ -121,18 +157,28 @@ def process_curation_batch(
     # then reads its persisted evidence (never re-probing a store that
     # contains the batch's own docs) and the lake write re-runs as an
     # idempotent batch_id-keyed overwrite.
-    sig_wm = read_store_watermark(spark, sig_store)
-    ivf_wm, ivf_m, ivf_trained = _read_meta(spark, ivf_index)
+    from pyspark.errors import AnalysisException
+
+    try:
+        sig_wm = read_store_watermark(spark, sig_store)
+        ivf_wm, ivf_m, ivf_trained = _read_meta(spark, ivf_index)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            raise ValueError(
+                "curation loop requires both stores pre-built before the "
+                "first micro-batch: run build_signature_store and "
+                "build_ivf_index (empty input is fine — they write the "
+                f"meta the loop keys on). Missing: {msg}"
+            ) from e
+        raise
 
     # --- stage 1: quality gate (pure function — replay recomputes
-    # identically; evidence persisted for audit parity with the probes)
-    scored = batch_df.withColumn("_q", F.round(quality_expr(), 6))
+    # identically; evidence persisted for audit parity with the probes;
+    # scored was persisted and materialized above).
     q_rejects = scored.filter(
         (F.col("_q") < min_quality) | F.col("text").isNull()
     ).select("doc_id", F.col("_q").alias("quality"))
-    q_rejects.write.mode("overwrite").parquet(
-        _evidence_path(rejects_dir, "quality", batch_id)
-    )
     qpass = scored.filter(
         (F.col("_q") >= min_quality) & F.col("text").isNotNull()
     ).drop("_q")
@@ -149,12 +195,46 @@ def process_curation_batch(
     intra = intra_edges.select(
         F.col("doc_b").alias("new_id"), F.col("doc_a").alias("old_id")
     )
-    intra.write.mode("overwrite").parquet(
-        _evidence_path(rejects_dir, "intra", batch_id)
+    # the two stage-1 evidence writes are order-free (both pure
+    # functions of the cached batch, different dirs) — run concurrently
+    _run_concurrently(
+        lambda: q_rejects.write.mode("overwrite").parquet(
+            _evidence_path(rejects_dir, "quality", batch_id)
+        ),
+        lambda: intra.write.mode("overwrite").parquet(
+            _evidence_path(rejects_dir, "intra", batch_id)
+        ),
     )
-    qpass = qpass.join(
-        intra.select(F.col("new_id").alias("doc_id")), "doc_id", "left_anti"
-    )
+    # anti-join against the PERSISTED evidence, not the live window
+    # lineage — every downstream action would otherwise re-run the
+    # collapse window per consumption (same read-back discipline as
+    # the probe stages, and replay-identical by construction)
+    intra_ids = _read_evidence(
+        spark, rejects_dir, "intra", batch_id, "new_id long, old_id long"
+    ).select(F.col("new_id").alias("doc_id"))
+    qpass = qpass.join(F.broadcast(intra_ids), "doc_id", "left_anti")
+
+    # the batch's signature tables, derived ONCE and shared by the
+    # probe AND the append (fam["tables"] caches the sidecar; the loop
+    # owns the lifetime). Round 9 derived them independently in each —
+    # a measured ~1.4s/batch of pure recompute per extra consumer. The
+    # shard-key work-list is likewise collected once and shared (this
+    # collect doubles as the signature cache's materialization).
+    fam = _FAMILIES[family]
+    shb, bandsb = fam["tables"](qpass.select("doc_id", "text"))
+    from ..operators.dedup_store import N_SIG_SHARDS
+
+    shard_keys = [
+        r["key"]
+        for r in bandsb.select(
+            (
+                F.col("band") * N_SIG_SHARDS
+                + F.pmod("band_sig", F.lit(N_SIG_SHARDS))
+            ).alias("key")
+        )
+        .distinct()
+        .collect()
+    ]
 
     # --- stage 2: text near-dup vs the signature store.
     # Downstream ALWAYS consumes the persisted evidence file, never the
@@ -165,7 +245,12 @@ def process_curation_batch(
     # batch whose stage already committed reads the identical file.)
     if hi > sig_wm:
         probe_signature_store(
-            spark, qpass.select("doc_id", "text"), sig_store, family=family
+            spark,
+            qpass.select("doc_id", "text"),
+            sig_store,
+            family=family,
+            tables=(shb, bandsb),
+            shard_keys=shard_keys,
         ).write.mode("overwrite").parquet(
             _evidence_path(rejects_dir, "text", batch_id)
         )
@@ -184,13 +269,18 @@ def process_curation_batch(
     try:
         if hi > sig_wm:
             # accept step: watermark_hi = FULL batch max (quality- and
-            # dup-rejected docs included) marks the stage committed
+            # dup-rejected docs included) marks the stage committed.
+            # tables= reuses the probe's cached signatures (append
+            # filters them to the surviving doc_ids; the batch is
+            # exact-collapsed by stage 1.5, as the hook requires).
             append_signature_batch(
                 spark,
                 text_pass.select("doc_id", "text"),
                 sig_store,
                 watermark_hi=hi,
                 family=family,
+                tables=(shb, bandsb),
+                shard_keys=shard_keys,
             )
         _finish_ann_and_lake(
             spark,
@@ -208,6 +298,8 @@ def process_curation_batch(
         )
     finally:
         text_pass.unpersist()
+        shb.unpersist()
+        scored.unpersist()
 
 
 def _finish_ann_and_lake(
@@ -235,9 +327,9 @@ def _finish_ann_and_lake(
         # floors the watermark at the FULL batch max (tail ids may have
         # been quality/text-rejected), keeping the replay short-circuit
         # sound.
-        spark.createDataFrame([], _ANN_EVIDENCE_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(_evidence_path(rejects_dir, "ann", batch_id))
+        empty_df(spark, _ANN_EVIDENCE_SCHEMA).write.mode("overwrite").parquet(
+            _evidence_path(rejects_dir, "ann", batch_id)
+        )
         # assign_m carried from the pre-built (possibly empty) index's
         # meta — a stream configured at m=2 must not bootstrap to m=1
         build_ivf_index(spark, vecs, ivf_index, assign_m=ivf_m, watermark_hi=hi)
@@ -267,18 +359,26 @@ def _finish_ann_and_lake(
     ann_dup_ids = ann_hits.select(F.col("new_id").alias("doc_id")).distinct()
     accepted = text_pass.join(ann_dup_ids, "doc_id", "left_anti").persist()
     try:
-        if ivf_trained and hi > ivf_wm:
-            append_ivf_batch(
-                spark,
-                accepted.select(F.col("doc_id").alias("vec_id"), "e"),
-                ivf_index,
-                watermark_hi=hi,
-            )
+        # --- stage 4: ANN append + curated-lake write, concurrently.
+        # No ordering contract binds them: the lake write is a
+        # batch_id-keyed idempotent overwrite (replays to the same
+        # contents from ANY crash point), and the append's own journal
+        # makes a mid-append crash detectable regardless of whether the
+        # lake write had finished. Both read the cached `accepted`.
+        def _ann() -> None:
+            if ivf_trained and hi > ivf_wm:
+                append_ivf_batch(
+                    spark,
+                    accepted.select(F.col("doc_id").alias("vec_id"), "e"),
+                    ivf_index,
+                    watermark_hi=hi,
+                )
 
-        # --- stage 4: curated-lake partitioned write (batch_id-keyed
-        # overwrite → exactly-once lake contents under replay)
-        accepted.drop("e").write.mode("overwrite").parquet(
-            f"{lake_dir}/batch_id={int(batch_id)}"
+        _run_concurrently(
+            _ann,
+            lambda: accepted.drop("e")
+            .write.mode("overwrite")
+            .parquet(f"{lake_dir}/batch_id={int(batch_id)}"),
         )
     finally:
         accepted.unpersist()
@@ -304,7 +404,14 @@ def stream_curated_ingest(
     as per-stage evidence rows (``intra`` = batch-internal exact text
     twins, quarantined before any store probe); the curated lake under
     ``lake_dir/batch_id=N/`` (embedding column dropped — the lake
-    carries documents; vectors live in the index)."""
+    carries documents; vectors live in the index).
+
+    PRE-BUILD REQUIREMENT: ``sig_store`` and ``ivf_index`` must be
+    built before the stream starts — an EMPTY build is the normal
+    bootstrap (writes the meta the loop keys on; the IVF build also
+    records assign_m there, which the in-loop bootstrap rebuild reads
+    back). A stream started against never-built paths fails its first
+    batch with a "build the stores first" ValueError."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_curation_batch(
