@@ -342,6 +342,63 @@ def test_signature_store_torn_append_is_benign_and_detected(
         append_signature_batch(spark, batch_b, store, family=family)
 
 
+def test_torn_state_refuses_even_for_empty_batch_appends(spark, tmp_path):
+    """Round-10 journal hardening: the all-duplicates (empty-batch)
+    append path only advances the watermark — but it must still run
+    the torn recovery first. Pre-fix it sat in front of the check, so
+    an empty append after a crashed one would clear the intent journal
+    and advance the watermark PAST the crashed attempt's orphan rows,
+    silently legitimizing them. Pinned for BOTH stores."""
+    import pytest as _pytest
+
+    from weather_etl_pipeline_spark.operators import dedup_store as dstore
+    from weather_etl_pipeline_spark.operators import ivf_store as istore
+
+    # --- signature store
+    store = str(tmp_path / "sig")
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    dstore.build_signature_store(spark, corpus, store)
+    # crashed append: intent journal + orphan codes row, no commit
+    wm, has_data, _, _ = dstore._read_sig_meta(spark, store)
+    dstore._write_meta(spark, store, wm, has_data=has_data, pending_hi=50)
+    shb, _ = dstore._FAMILIES["minhash"]["tables"](
+        spark.createDataFrame(
+            [(50, "orphan words from a crashed append run")],
+            "doc_id long, text string",
+        )
+    )
+    (
+        shb.withColumn("id_shard", F.pmod("doc_id", F.lit(dstore.N_ID_SHARDS)))
+        .write.mode("append")
+        .partitionBy("id_shard")
+        .parquet(dstore._codes_path(store))
+    )
+    shb.unpersist()
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="torn append"):
+        dstore.append_signature_batch(spark, empty, store, watermark_hi=60)
+    assert dstore.read_store_watermark(spark, store) == wm  # unmoved
+
+    # --- IVF index
+    index = str(tmp_path / "ivf")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, e array<double>"
+    )
+    istore.build_ivf_index(spark, emb, index, k=2)
+    iwm, m, tr, _, _ = istore._read_meta_full(spark, index)
+    istore._write_meta(spark, index, iwm, m, tr, pending_hi=50)
+    spark.createDataFrame(
+        [(50, [0.5, 0.5], 0)], "vec_id long, e array<double>, cell int"
+    ).write.mode("append").partitionBy("cell").parquet(f"{index}/cells")
+    iempty = spark.createDataFrame([], "vec_id long, e array<double>")
+    with _pytest.raises(ValueError, match="torn append"):
+        istore.append_ivf_batch(spark, iempty, index, watermark_hi=60)
+    assert istore.read_ivf_watermark(spark, index) == iwm  # unmoved
+
+
 def test_signature_store_collapse_first_recall_past_bucket_cap(spark, tmp_path):
     """Round-9 recall fix: a corpus whose one text has MORE exact twins
     than _LSH_BUCKET_CAP must still probe-match ALL of them. Pre-fix,
@@ -403,6 +460,54 @@ def test_signature_store_rebuild_preserves_committed_watermark(spark, tmp_path):
     # ...and an explicit floor above it wins
     build_signature_store(spark, accepted, store, watermark_hi=120)
     assert read_store_watermark(spark, store) == 120
+
+
+def test_signature_store_floored_empty_rebuild_probes_and_appends(
+    spark, tmp_path
+):
+    """Round-10 advisor fix: a compaction rebuild from an EMPTY accepted
+    corpus under a preserved watermark leaves watermark >= 0 with ZERO
+    band/code data files. Probe and append must branch on the meta
+    has_data flag, not the watermark — pre-fix both died on
+    schema-inference of the file-less dirs. The follow-on append must
+    bootstrap ranks from zero and flip has_data so the store becomes
+    searchable again."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        append_signature_batch,
+        build_signature_store,
+        probe_signature_store,
+        read_store_watermark,
+    )
+
+    store = str(tmp_path / "flooredempty")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    # the advisor's exact scenario: empty rebuild with a committed floor
+    build_signature_store(spark, empty, store, watermark_hi=99)
+    assert read_store_watermark(spark, store) == 99
+
+    probe = spark.createDataFrame(
+        [(1000, "some words to probe with here")], "doc_id long, text string"
+    )
+    assert probe_signature_store(spark, probe, store).count() == 0
+
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    append_signature_batch(spark, batch, store)
+    assert read_store_watermark(spark, store) == 100
+    # the appended doc is now searchable: an exact twin probes back
+    hits = probe_signature_store(
+        spark,
+        spark.createDataFrame(
+            [(2000, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        ),
+        store,
+    ).collect()
+    assert [(r["new_id"], r["old_id"], r["jaccard_shingles"]) for r in hits] == [
+        (2000, 100, 1.0)
+    ]
 
 
 # --- persisted IVF index (round 8: the signature-store pattern for ANN) -------

@@ -470,26 +470,18 @@ def append_signature_batch(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]
     stored_max, has_data, pending, legacy = _read_sig_meta(spark, store_path)
-    if lo_hi["lo"] is None:
-        # nothing to append (e.g. an all-duplicates ingest batch) — but
-        # still advance the watermark so the batch reads as committed
-        if watermark_hi is not None and watermark_hi > stored_max:
-            _write_meta(spark, store_path, int(watermark_hi), has_data=has_data)
-        return
-    if lo_hi["lo"] <= stored_max:
-        raise ValueError(
-            f"append contract violated: batch min doc_id {lo_hi['lo']} "
-            f"<= stored max {stored_max} (ingest ids must be monotonic)"
-        )
-    # torn-append detection: a crash mid-append leaves rows above the
-    # meta watermark (meta is written LAST). A blind retry would pass
-    # the monotonicity check and append the same rows again — duplicate
-    # band rows with freshly offset ranks would inflate buckets past
-    # the cap and silently evict genuinely distinct docs from probe
-    # candidacy. The journal (docstring above) confines the orphan
-    # scans to the recovery path; _orphans_above treats file-less dirs
-    # as clean, so the scan is safe even on a has_data=False store
-    # whose crashed append managed to write some files.
+    # torn-append detection FIRST — before even the empty-batch path: a
+    # crash mid-append leaves rows above the meta watermark (meta is
+    # written LAST). A blind retry would pass the monotonicity check
+    # and append the same rows again — duplicate band rows with freshly
+    # offset ranks would inflate buckets past the cap and silently
+    # evict genuinely distinct docs from probe candidacy. The journal
+    # (docstring above) confines the orphan scans to the recovery path;
+    # _orphans_above treats file-less dirs as clean, so the scan is
+    # safe even on a has_data=False store whose crashed append managed
+    # to write some files. The empty-batch path below MUST sit behind
+    # this check: it advances the watermark, and advancing past a
+    # crashed append's orphan rows would legitimize them silently.
     if pending is not None or legacy:
         for sub, col in (
             (_bands_path(store_path), "doc_id"),
@@ -504,6 +496,19 @@ def append_signature_batch(
                     f"meta watermark {stored_max} — a previous append "
                     "crashed mid-write; rebuild the store"
                 )
+    if lo_hi["lo"] is None:
+        # nothing to append (e.g. an all-duplicates ingest batch) — but
+        # still advance the watermark so the batch reads as committed
+        # (the write also clears a recovery-cleared journal / upgrades
+        # legacy meta, both vetted clean just above)
+        if watermark_hi is not None and watermark_hi > stored_max:
+            _write_meta(spark, store_path, int(watermark_hi), has_data=has_data)
+        return
+    if lo_hi["lo"] <= stored_max:
+        raise ValueError(
+            f"append contract violated: batch min doc_id {lo_hi['lo']} "
+            f"<= stored max {stored_max} (ingest ids must be monotonic)"
+        )
     hi = int(lo_hi["hi"])
     if watermark_hi is not None:
         hi = max(hi, int(watermark_hi))

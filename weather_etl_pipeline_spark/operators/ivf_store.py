@@ -450,29 +450,16 @@ def append_ivf_batch(
     stored_max, assign_m, trained, pending, legacy = _read_meta_full(
         spark, index_path
     )
-    if lo_hi["lo"] is None:
-        # all-duplicates ingest batch: advance the commit marker only
-        if watermark_hi is not None and watermark_hi > stored_max:
-            _write_meta(
-                spark, index_path, int(watermark_hi), assign_m, trained
-            )
-        return
-    if lo_hi["lo"] <= stored_max:
-        raise ValueError(
-            f"append contract violated: batch min vec_id {lo_hi['lo']} "
-            f"<= stored max {stored_max} (ingest ids must be monotonic)"
-        )
-    if not trained:
-        raise ValueError(
-            "cannot append into an untrained IVF index: no centroids "
-            "to assign against — build_ivf_index over the first corpus"
-        )
-    # torn detection via the meta journal (pending_hi): a clean commit
-    # point skips the orphan footer scan entirely — the scan is
-    # file-count-bound and was a fixed per-batch tax in the ingest
-    # loop. A set intent (or legacy meta) runs it once; orphan rows ⇒
-    # refuse (rebuild recovers), none ⇒ the crash landed before any
-    # data write and the retry is safe. Mirrors append_signature_batch.
+    # torn detection via the meta journal (pending_hi), FIRST — before
+    # even the empty-batch path: a clean commit point skips the orphan
+    # footer scan entirely — the scan is file-count-bound and was a
+    # fixed per-batch tax in the ingest loop. A set intent (or legacy
+    # meta) runs it once; orphan rows ⇒ refuse (rebuild recovers),
+    # none ⇒ the crash landed before any data write and the retry is
+    # safe. The empty-batch path MUST sit behind this check: it
+    # advances the watermark, and advancing past a crashed append's
+    # orphan rows would legitimize them silently. Mirrors
+    # append_signature_batch.
     if pending is not None or legacy:
         from pyspark.errors import AnalysisException
 
@@ -499,6 +486,24 @@ def append_ivf_batch(
                 f"watermark {stored_max} — a previous append crashed "
                 "mid-write; rebuild the index"
             )
+    if lo_hi["lo"] is None:
+        # all-duplicates ingest batch: advance the commit marker only
+        # (vetted clean just above)
+        if watermark_hi is not None and watermark_hi > stored_max:
+            _write_meta(
+                spark, index_path, int(watermark_hi), assign_m, trained
+            )
+        return
+    if lo_hi["lo"] <= stored_max:
+        raise ValueError(
+            f"append contract violated: batch min vec_id {lo_hi['lo']} "
+            f"<= stored max {stored_max} (ingest ids must be monotonic)"
+        )
+    if not trained:
+        raise ValueError(
+            "cannot append into an untrained IVF index: no centroids "
+            "to assign against — build_ivf_index over the first corpus"
+        )
     hi = int(lo_hi["hi"])
     if watermark_hi is not None:
         hi = max(hi, int(watermark_hi))
