@@ -388,7 +388,7 @@ def test_torn_state_refuses_even_for_empty_batch_appends(spark, tmp_path):
         [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, e array<double>"
     )
     istore.build_ivf_index(spark, emb, index, k=2)
-    iwm, m, tr, _, _ = istore._read_meta_full(spark, index)
+    iwm, m, tr, _, _, _ = istore._read_meta_full(spark, index)
     istore._write_meta(spark, index, iwm, m, tr, pending_hi=50)
     spark.createDataFrame(
         [(50, [0.5, 0.5], 0)], "vec_id long, e array<double>, cell int"
@@ -788,7 +788,7 @@ def test_ivf_append_is_probe_visible_and_guarded(spark, tmp_path):
         _write_meta,
     )
 
-    wm0, m0, tr0, _, _ = _read_meta_full(spark, index)
+    wm0, m0, tr0, _, _, _ = _read_meta_full(spark, index)
     _write_meta(spark, index, wm0, m0, tr0, pending_hi=wm0 + 2_000_000)
     orphan = batch.limit(1).select(
         (F.col("vec_id") + 2_000_000).alias("vec_id"), "e", F.lit(0).alias("cell")

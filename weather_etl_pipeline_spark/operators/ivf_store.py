@@ -236,12 +236,14 @@ def _read_meta(spark: SparkSession, index_path: str) -> tuple[int, int, bool]:
 
 def _read_meta_full(
     spark: SparkSession, index_path: str
-) -> tuple[int, int, bool, int | None, bool]:
-    """(watermark, assign_m, trained, pending_hi, legacy) — the append
-    journal view. ``pending_hi`` non-null = an append declared intent
-    and never committed; ``legacy`` = meta predates the journal column
-    (torn state can't be ruled out from meta alone, so the next append
-    runs the orphan recovery scan once). Mirrors
+) -> tuple[int, int, bool, int | None, bool, int | None]:
+    """(watermark, assign_m, trained, pending_hi, legacy, n_cells) —
+    the append journal view. ``pending_hi`` non-null = an append
+    declared intent and never committed; ``legacy`` = meta predates the
+    journal column (torn state can't be ruled out from meta alone, so
+    the next append runs the orphan recovery scan once); ``n_cells`` =
+    stored centroid count (None on pre-round-10 meta — consumers fall
+    back to counting the centroids table). Mirrors
     dedup_store._read_sig_meta."""
     row = spark.read.parquet(_meta_path(index_path)).collect()[0]
     fields = row.__fields__
@@ -250,7 +252,12 @@ def _read_meta_full(
     trained = row["trained"] if "trained" in fields else (wm >= 0)
     legacy = "pending_hi" not in fields
     pending = None if legacy or row["pending_hi"] is None else int(row["pending_hi"])
-    return wm, int(m if m is not None else 1), bool(trained), pending, legacy
+    n_cells = (
+        int(row["n_cells"])
+        if "n_cells" in fields and row["n_cells"] is not None
+        else None
+    )
+    return wm, int(m if m is not None else 1), bool(trained), pending, legacy, n_cells
 
 
 def build_ivf_index(
@@ -385,7 +392,10 @@ def build_ivf_index(
         cent.repartition(1).write.mode("overwrite").parquet(
             _centroids_path(index_path)
         )
-        _write_meta(spark, index_path, max(int(hi), floor), assign_m)
+        # n_cells = k exactly: the centroids table always holds k rows
+        # (empty clusters keep their old centroid), so probes can skip
+        # their own cent.count() job
+        _write_meta(spark, index_path, max(int(hi), floor), assign_m, n_cells=k)
     finally:
         emb.unpersist()
 
@@ -397,6 +407,7 @@ def _write_meta(
     assign_m: int = 1,
     trained: bool = True,
     pending_hi: int | None = None,
+    n_cells: int | None = None,
 ) -> None:
     # JVM-side 1-row build — see functions/jvmrows.py (a Python-local
     # 1-row coalesce(1) write cost ~4.5s flat, paid twice per append)
@@ -407,8 +418,10 @@ def _write_meta(
             int(assign_m),
             bool(trained),
             None if pending_hi is None else int(pending_hi),
+            None if n_cells is None else int(n_cells),
         ),
-        "max_vec_id long, assign_m int, trained boolean, pending_hi long",
+        "max_vec_id long, assign_m int, trained boolean, pending_hi long,"
+        " n_cells int",
     ).write.mode("overwrite").parquet(_meta_path(index_path))
 
 
@@ -447,7 +460,7 @@ def append_ivf_batch(
     lo_hi = batch.agg(
         F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
     ).collect()[0]
-    stored_max, assign_m, trained, pending, legacy = _read_meta_full(
+    stored_max, assign_m, trained, pending, legacy, n_cells = _read_meta_full(
         spark, index_path
     )
     # torn detection via the meta journal (pending_hi), FIRST — before
@@ -491,7 +504,12 @@ def append_ivf_batch(
         # (vetted clean just above)
         if watermark_hi is not None and watermark_hi > stored_max:
             _write_meta(
-                spark, index_path, int(watermark_hi), assign_m, trained
+                spark,
+                index_path,
+                int(watermark_hi),
+                assign_m,
+                trained,
+                n_cells=n_cells,
             )
         return
     if lo_hi["lo"] <= stored_max:
@@ -509,7 +527,13 @@ def append_ivf_batch(
         hi = max(hi, int(watermark_hi))
     # intent record: crash anywhere below is detectable from meta alone
     _write_meta(
-        spark, index_path, stored_max, assign_m, trained, pending_hi=hi
+        spark,
+        index_path,
+        stored_max,
+        assign_m,
+        trained,
+        pending_hi=hi,
+        n_cells=n_cells,
     )
     batch = batch.dropDuplicates(["vec_id"])
     cent = spark.read.parquet(_centroids_path(index_path))
@@ -536,7 +560,7 @@ def append_ivf_batch(
         .parquet(_cells_path(index_path))
     )
     # commit: watermark advances, intent journal clears
-    _write_meta(spark, index_path, hi, assign_m)
+    _write_meta(spark, index_path, hi, assign_m, n_cells=n_cells)
 
 
 def probe_ivf_index(
@@ -553,7 +577,9 @@ def probe_ivf_index(
     ``queries`` needs (query_id, qe array<double>). Self-matches
     (neighbor_id == query_id) are excluded, as in the inline op.
     """
-    watermark, assign_m, trained = _read_meta(spark, index_path)
+    watermark, assign_m, trained, _, _, n_cells = _read_meta_full(
+        spark, index_path
+    )
     if watermark < 0 or not trained:
         # untrained (possibly floor-watermarked) or empty index:
         # nothing searchable, and the data dirs hold zero files
@@ -564,7 +590,10 @@ def probe_ivf_index(
     # probe-set dedupe by key (the inline op's guard): replicated query
     # rows must not multiply the cell-scan work
     q = queries.dropDuplicates(["query_id"])
-    k = cent.count()
+    # k from meta when recorded (the centroids table always holds
+    # exactly k rows) — saves a count job per probe in the ingest loop;
+    # pre-round-10 meta falls back to counting
+    k = n_cells if n_cells is not None else cent.count()
     if k >= _VEC_ASSIGN_MIN_K:
         # large-k path: MUST match the build's assignment arithmetic
         # (shared threshold — see _VEC_ASSIGN_MIN_K) so a stored vector
