@@ -219,22 +219,28 @@ def process_curation_batch(
     # owns the lifetime). Round 9 derived them independently in each —
     # a measured ~1.4s/batch of pure recompute per extra consumer. The
     # shard-key work-list is likewise collected once and shared (this
-    # collect doubles as the signature cache's materialization).
+    # collect doubles as the signature cache's materialization). Both
+    # are gated on the text stage actually running: a replayed batch
+    # whose text stage committed reads evidence back and never touches
+    # the signatures.
     fam = _FAMILIES[family]
-    shb, bandsb = fam["tables"](qpass.select("doc_id", "text"))
-    from ..operators.dedup_store import N_SIG_SHARDS
+    shb = bandsb = None
+    shard_keys: list[int] | None = None
+    if hi > sig_wm:
+        from ..operators.dedup_store import N_SIG_SHARDS
 
-    shard_keys = [
-        r["key"]
-        for r in bandsb.select(
-            (
-                F.col("band") * N_SIG_SHARDS
-                + F.pmod("band_sig", F.lit(N_SIG_SHARDS))
-            ).alias("key")
-        )
-        .distinct()
-        .collect()
-    ]
+        shb, bandsb = fam["tables"](qpass.select("doc_id", "text"))
+        shard_keys = [
+            r["key"]
+            for r in bandsb.select(
+                (
+                    F.col("band") * N_SIG_SHARDS
+                    + F.pmod("band_sig", F.lit(N_SIG_SHARDS))
+                ).alias("key")
+            )
+            .distinct()
+            .collect()
+        ]
 
     # --- stage 2: text near-dup vs the signature store.
     # Downstream ALWAYS consumes the persisted evidence file, never the
@@ -298,7 +304,8 @@ def process_curation_batch(
         )
     finally:
         text_pass.unpersist()
-        shb.unpersist()
+        if shb is not None:
+            shb.unpersist()
         scored.unpersist()
 
 
