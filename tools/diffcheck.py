@@ -16,7 +16,17 @@ only, since cross-engine float SUM depends on accumulation order) —
 instead of a full driver collect. A 100M-row differential (sf0.1@x100
 gapfill) cannot be collected into the driver on either engine; this is
 the honest scalable form, and the output marks such rows "big" so a
-reader can tell which compare ran."""
+reader can tell which compare ran.
+
+DIFFCHECK_ORACLE_TIMEOUT=<seconds>: interrupt any single DuckDB oracle
+execution past the deadline (watchdog thread + con.interrupt()) and
+record the query as "FAIL ... oracle timeout". At @x100 one runaway
+oracle monopolized the host for 40+ minutes at 100 GB RSS / 21 GB of
+spill — a bounded sweep with named stragglers beats an unbounded one
+that may never report.
+
+DIFFCHECK_DUCKDB_MEM=<e.g. 32GB>: cap DuckDB's memory so a heavy
+oracle spills (or errors) instead of consuming the whole host."""
 
 from __future__ import annotations
 
@@ -88,13 +98,38 @@ def rows_to_multiset(cols: list[str], rows: list[tuple]) -> list[str]:
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
-def _big_compare(sdf, scount, scols, stypes, con, oracle) -> list[str]:
+def _oracle_exec(con, sql: str, timeout: float):
+    """con.execute with an interrupt watchdog (module doc). DuckDB has
+    no statement timeout; interrupt() from a sibling thread raises
+    InterruptException in the executing call."""
+    if not timeout:
+        return con.execute(sql)
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout):
+            con.interrupt()
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        return con.execute(sql)
+    finally:
+        done.set()
+        t.join()
+
+
+def _big_compare(sdf, scount, scols, stypes, con, oracle, timeout=0.0) -> list[str]:
     """Engine-side compare for outputs too large to collect: row count
     + per-column order-free checksums (module doc). Returns problem
     strings; empty = pass at this (weaker, marked) level."""
     from pyspark.sql import functions as F
 
-    ocount = con.execute(f"SELECT count(*) FROM ({oracle})").fetchone()[0]
+    ocount = _oracle_exec(
+        con, f"SELECT count(*) FROM ({oracle})", timeout
+    ).fetchone()[0]
     if scount != ocount:
         return [f"rowcount spark={scount} oracle={ocount}"]
     saggs, oexprs = [], []
@@ -117,7 +152,9 @@ def _big_compare(sdf, scount, scols, stypes, con, oracle) -> list[str]:
             saggs.append(F.countDistinct(c).alias(f"dst__{c}"))
             oexprs.append(f'count(DISTINCT {qc}) AS "dst__{c}"')
     srow = sdf.agg(*saggs).collect()[0].asDict()
-    ores = con.execute(f"SELECT {', '.join(oexprs)} FROM ({oracle})")
+    ores = _oracle_exec(
+        con, f"SELECT {', '.join(oexprs)} FROM ({oracle})", timeout
+    )
     orow = dict(zip([d[0] for d in ores.description], ores.fetchone()))
     return [
         f"checksum {k}: spark={canon(srow[k])} oracle={canon(orow[k])}"
@@ -127,6 +164,8 @@ def _big_compare(sdf, scount, scols, stypes, con, oracle) -> list[str]:
 
 
 def main() -> int:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     reg = load_all()
@@ -145,6 +184,10 @@ def main() -> int:
     )
 
     con = duckdb.connect()
+    mem = os.environ.get("DIFFCHECK_DUCKDB_MEM")
+    if mem:
+        con.execute(f"PRAGMA memory_limit='{mem}'")
+    oracle_timeout = float(os.environ.get("DIFFCHECK_ORACLE_TIMEOUT", "0") or 0)
     for t in TESTDATA_TABLES:
         base, n = _resolve_sf_dir(sf_dir, t)
         if n > 1 and t in _SCALE_KEY_REMAP:
@@ -162,8 +205,6 @@ def main() -> int:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet([{files}])"
             )
-
-    import os
 
     big_rows = int(os.environ.get("DIFFCHECK_BIG_ROWS", "0") or 0)
     n_pass = n_fail = n_rowsonly = n_big = 0
@@ -206,7 +247,13 @@ def main() -> int:
                                 if canon_type(stypes[c]) != canon_type(otypes[c])
                             ]
                             problems += _big_compare(
-                                sdf, scount, scols, stypes, con, q.oracle
+                                sdf,
+                                scount,
+                                scols,
+                                stypes,
+                                con,
+                                q.oracle,
+                                oracle_timeout,
                             )
                     except Exception as e:  # noqa: BLE001
                         problems.append(f"oracle error: {e}")
@@ -222,19 +269,23 @@ def main() -> int:
                     continue
             srows = sdf.collect()
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark error: {e}", flush=True)
             n_fail += 1
             continue
         if q.oracle is None:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(
+                f"rows  {name}: {len(srows)} rows (no oracle) "
+                f"[{time.time()-t0:.1f}s]",
+                flush=True,
+            )
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(q.oracle)
+            res = _oracle_exec(con, q.oracle, oracle_timeout)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:
-            print(f"FAIL  {name}: oracle error: {e}")
+            print(f"FAIL  {name}: oracle error: {e}", flush=True)
             n_fail += 1
             continue
         problems = []
@@ -259,10 +310,13 @@ def main() -> int:
                 ][:3]
                 problems.append(f"values differ; first diffs: {diffs}")
         if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems))
+            print(f"FAIL  {name}: " + "; ".join(problems), flush=True)
             n_fail += 1
         else:
-            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(
+                f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]",
+                flush=True,
+            )
             n_pass += 1
 
     big_note = f", {n_big} big (engine-side checksums)" if n_big else ""
