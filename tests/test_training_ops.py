@@ -399,6 +399,62 @@ def test_torn_state_refuses_even_for_empty_batch_appends(spark, tmp_path):
     assert istore.read_ivf_watermark(spark, index) == iwm  # unmoved
 
 
+def test_pending_journal_without_orphans_recovers_and_proceeds(spark, tmp_path):
+    """The journal's OTHER recovery leg: a crash after the intent write
+    but before any data write leaves pending set with zero orphan rows
+    — the retry's recovery scan finds nothing and the append must
+    PROCEED (refusing here would turn every pre-write crash into a
+    rebuild). Pinned for both stores."""
+    from weather_etl_pipeline_spark.operators import dedup_store as dstore
+    from weather_etl_pipeline_spark.operators import ivf_store as istore
+
+    store = str(tmp_path / "sig")
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string"
+    )
+    dstore.build_signature_store(spark, corpus, store)
+    wm, has_data, _, _ = dstore._read_sig_meta(spark, store)
+    dstore._write_meta(spark, store, wm, has_data=has_data, pending_hi=50)
+    batch = spark.createDataFrame(
+        [(50, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    dstore.append_signature_batch(spark, batch, store)  # must not raise
+    assert dstore.read_store_watermark(spark, store) == 50
+    assert dstore._read_sig_meta(spark, store)[2] is None  # journal clear
+    hits = dstore.probe_signature_store(
+        spark,
+        spark.createDataFrame(
+            [(99, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        ),
+        store,
+    ).collect()
+    assert {(r["new_id"], r["old_id"]) for r in hits} == {(99, 50)}
+
+    index = str(tmp_path / "ivf")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, e array<double>"
+    )
+    istore.build_ivf_index(spark, emb, index, k=2)
+    iwm, m, tr, _, _, ncells = istore._read_meta_full(spark, index)
+    istore._write_meta(spark, index, iwm, m, tr, pending_hi=50, n_cells=ncells)
+    istore.append_ivf_batch(
+        spark,
+        spark.createDataFrame([(50, [1.0, 0.1])], "vec_id long, e array<double>"),
+        index,
+    )  # must not raise
+    assert istore.read_ivf_watermark(spark, index) == 50
+    assert istore._read_meta_full(spark, index)[3] is None  # journal clear
+    got = istore.probe_ivf_index(
+        spark,
+        spark.createDataFrame(
+            [(99, [1.0, 0.1])], "query_id long, qe array<double>"
+        ),
+        index,
+        topk=1,
+    ).collect()
+    assert [r["neighbor_id"] for r in got] == [50]
+
+
 def test_signature_store_collapse_first_recall_past_bucket_cap(spark, tmp_path):
     """Round-9 recall fix: a corpus whose one text has MORE exact twins
     than _LSH_BUCKET_CAP must still probe-match ALL of them. Pre-fix,

@@ -273,21 +273,25 @@ def process_curation_batch(
     # both anti-joins (the per-batch hot path, several scans over)
     text_pass = qpass.join(text_dup_ids, "doc_id", "left_anti").persist()
     try:
-        if hi > sig_wm:
-            # accept step: watermark_hi = FULL batch max (quality- and
-            # dup-rejected docs included) marks the stage committed.
-            # tables= reuses the probe's cached signatures (append
-            # filters them to the surviving doc_ids; the batch is
-            # exact-collapsed by stage 1.5, as the hook requires).
-            append_signature_batch(
-                spark,
-                text_pass.select("doc_id", "text"),
-                sig_store,
-                watermark_hi=hi,
-                family=family,
-                tables=(shb, bandsb),
-                shard_keys=shard_keys,
-            )
+
+        def _sig_append() -> None:
+            if hi > sig_wm:
+                # accept step: watermark_hi = FULL batch max (quality-
+                # and dup-rejected docs included) marks the stage
+                # committed. tables= reuses the probe's cached
+                # signatures (append filters them to the surviving
+                # doc_ids; the batch is exact-collapsed by stage 1.5,
+                # as the hook requires).
+                append_signature_batch(
+                    spark,
+                    text_pass.select("doc_id", "text"),
+                    sig_store,
+                    watermark_hi=hi,
+                    family=family,
+                    tables=(shb, bandsb),
+                    shard_keys=shard_keys,
+                )
+
         _finish_ann_and_lake(
             spark,
             text_pass,
@@ -301,6 +305,7 @@ def process_curation_batch(
             ivf_trained,
             nprobe,
             dup_cos,
+            _sig_append,
         )
     finally:
         text_pass.unpersist()
@@ -322,44 +327,60 @@ def _finish_ann_and_lake(
     ivf_trained: bool,
     nprobe: int,
     dup_cos: float,
+    sig_append_thunk,
 ) -> None:
 
-    # --- stage 3: embedding near-dup vs the IVF index (same
-    # evidence-file discipline as stage 2: the append/build mutates the
-    # index, so downstream reads the persisted hits, never the probe)
+    # --- stage 2b ∥ 3: signature-store append ∥ embedding near-dup
+    # probe. The two touch DIFFERENT stores and the probe reads
+    # committed IVF state without advancing any watermark, so no
+    # ordering contract binds them — round 10 runs them concurrently
+    # (same evidence-file discipline as stage 2: the append/build
+    # mutates an index, so downstream reads the persisted hits, never
+    # the live probe).
     vecs = text_pass.select(F.col("doc_id").alias("vec_id"), "e")
     if hi > ivf_wm and not ivf_trained:
         # bootstrap: the first surviving batch trains the quantizer and
         # becomes the corpus — nothing to be a duplicate of. The build
         # floors the watermark at the FULL batch max (tail ids may have
         # been quality/text-rejected), keeping the replay short-circuit
-        # sound.
+        # sound. UNLIKE the probe, the bootstrap ADVANCES the IVF
+        # watermark — it must stay ordered AFTER the text commit, or a
+        # crash between the two could leave ivf_wm > sig_wm and break
+        # the module's cross-store invariant. Once-per-stream path;
+        # sequential costs nothing.
+        sig_append_thunk()
         empty_df(spark, _ANN_EVIDENCE_SCHEMA).write.mode("overwrite").parquet(
             _evidence_path(rejects_dir, "ann", batch_id)
         )
         # assign_m carried from the pre-built (possibly empty) index's
         # meta — a stream configured at m=2 must not bootstrap to m=1
         build_ivf_index(spark, vecs, ivf_index, assign_m=ivf_m, watermark_hi=hi)
-    elif hi > ivf_wm:
-        (
-            probe_ivf_index(
-                spark,
-                vecs.select(
-                    F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-                ),
-                ivf_index,
-                topk=1,
-                nprobe=nprobe,
-            )
-            .filter(F.col("cos_sim") >= dup_cos)
-            .select(
-                F.col("query_id").alias("new_id"),
-                F.col("neighbor_id").alias("old_id"),
-                "cos_sim",
-            )
-            .write.mode("overwrite")
-            .parquet(_evidence_path(rejects_dir, "ann", batch_id))
-        )
+    else:
+
+        def _ann_probe() -> None:
+            if hi > ivf_wm:
+                (
+                    probe_ivf_index(
+                        spark,
+                        vecs.select(
+                            F.col("vec_id").alias("query_id"),
+                            F.col("e").alias("qe"),
+                        ),
+                        ivf_index,
+                        topk=1,
+                        nprobe=nprobe,
+                    )
+                    .filter(F.col("cos_sim") >= dup_cos)
+                    .select(
+                        F.col("query_id").alias("new_id"),
+                        F.col("neighbor_id").alias("old_id"),
+                        "cos_sim",
+                    )
+                    .write.mode("overwrite")
+                    .parquet(_evidence_path(rejects_dir, "ann", batch_id))
+                )
+
+        _run_concurrently(sig_append_thunk, _ann_probe)
     ann_hits = _read_evidence(
         spark, rejects_dir, "ann", batch_id, _ANN_EVIDENCE_SCHEMA
     )
