@@ -399,6 +399,87 @@ def test_torn_state_refuses_even_for_empty_batch_appends(spark, tmp_path):
     assert istore.read_ivf_watermark(spark, index) == iwm  # unmoved
 
 
+def test_rebuild_clears_stale_partitions_under_dynamic_overwrite(
+    spark, tmp_path
+):
+    """Round-10 review fix: the session runs with
+    partitionOverwriteMode=dynamic (the lake's append-shaped overwrites
+    need it), under which a store REBUILD only replaced partition dirs
+    present in the new corpus — dirs the shrunk corpus no longer
+    touches kept the OLD store's rows, and because rebuilds preserve
+    the watermark floor those deleted docs/vectors stayed inside the
+    probes' committed filter. Builds now force static overwrite
+    per-write. Repro for both stores: rebuild with a disjoint corpus,
+    then probe for the DELETED content — zero hits required."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+        probe_signature_store,
+    )
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    # --- signature store: old text's band/code shards are untouched by
+    # the new corpus, but a probe for the old text hashes straight into
+    # them
+    store = str(tmp_path / "sig")
+    old_text = "alpha beta gamma delta epsilon zeta"
+    build_signature_store(
+        spark,
+        spark.createDataFrame([(1, old_text)], "doc_id long, text string"),
+        store,
+    )
+    build_signature_store(  # compaction rebuild: doc 1 was deleted
+        spark,
+        spark.createDataFrame(
+            [(10, "completely different words live here now today")],
+            "doc_id long, text string",
+        ),
+        store,
+    )
+    hits = probe_signature_store(
+        spark,
+        spark.createDataFrame([(99, old_text)], "doc_id long, text string"),
+        store,
+    ).collect()
+    assert hits == [], f"deleted doc resurfaced from stale shards: {hits}"
+
+    # --- IVF: the rebuild's k-means leaves cell 1 effectively untouched
+    # (two identical vectors -> duplicate seeds -> everything assigns to
+    # cell 0), so under dynamic overwrite the old cell-1 rows survived
+    # and a nprobe=k probe returned the deleted vector
+    index = str(tmp_path / "ivf")
+    build_ivf_index(
+        spark,
+        spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, e array<double>"
+        ),
+        index,
+        k=2,
+    )
+    build_ivf_index(  # rebuild: vectors 1 and 2 deleted
+        spark,
+        spark.createDataFrame(
+            [(10, [1.0, 0.0]), (11, [1.0, 0.0])], "vec_id long, e array<double>"
+        ),
+        index,
+        k=2,
+    )
+    got = probe_ivf_index(
+        spark,
+        spark.createDataFrame(
+            [(99, [0.0, 1.0])], "query_id long, qe array<double>"
+        ),
+        index,
+        topk=5,
+        nprobe=2,
+    ).collect()
+    assert all(
+        r["neighbor_id"] in (10, 11) for r in got
+    ), f"deleted vector resurfaced from a stale cell: {got}"
+
+
 def test_pending_journal_without_orphans_recovers_and_proceeds(spark, tmp_path):
     """The journal's OTHER recovery leg: a crash after the intent write
     but before any data write leaves pending set with zero orphan rows

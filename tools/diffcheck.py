@@ -101,24 +101,39 @@ def rows_to_multiset(cols: list[str], rows: list[tuple]) -> list[str]:
 def _oracle_exec(con, sql: str, timeout: float):
     """con.execute with an interrupt watchdog (module doc). DuckDB has
     no statement timeout; interrupt() from a sibling thread raises
-    InterruptException in the executing call."""
+    InterruptException in the executing call. Race guard: the watchdog
+    can fire just as the query finishes, leaving a stale interrupt flag
+    on the shared connection that would spuriously fail the NEXT
+    query — when the watchdog fired but this query did not die of it,
+    a throwaway statement absorbs the flag."""
     if not timeout:
         return con.execute(sql)
     import threading
 
     done = threading.Event()
+    fired = threading.Event()
 
     def watchdog():
-        if not done.wait(timeout):
+        if not done.wait(timeout) and not done.is_set():
+            fired.set()
             con.interrupt()
 
     t = threading.Thread(target=watchdog, daemon=True)
     t.start()
     try:
-        return con.execute(sql)
-    finally:
+        result = con.execute(sql)
+    except Exception:
         done.set()
         t.join()
+        raise  # interrupt (or real error) consumed by this query
+    done.set()
+    t.join()
+    if fired.is_set():
+        try:
+            con.execute("SELECT 1")
+        except Exception:
+            pass  # stale interrupt absorbed
+    return result
 
 
 def _big_compare(sdf, scount, scols, stypes, con, oracle, timeout=0.0) -> list[str]:
@@ -216,11 +231,19 @@ def main() -> int:
             spark.catalog.clearCache()  # no cross-query cache reuse or pinning
             sdf = q.fn(spark, sf_dir)
             scols = sdf.columns
+            srows = None
             if big_rows and q.oracle is not None:
-                scount = sdf.count()
-                if scount > big_rows:
+                # ONE execution classifies AND collects: take(N+1)
+                # returning <= N rows IS the complete result (a
+                # separate count() pre-pass re-ran every under-threshold
+                # query's full plan — doubling sweep wall time)
+                head = sdf.take(big_rows + 1)
+                if len(head) <= big_rows:
+                    srows = head
+                else:
                     # engine-side compare (module doc): collect is not
                     # an option at this output size on either engine
+                    scount = sdf.count()
                     stypes = dict(
                         zip(
                             sdf.columns,
@@ -267,7 +290,8 @@ def main() -> int:
                         )
                         n_big += 1
                     continue
-            srows = sdf.collect()
+            if srows is None:
+                srows = sdf.collect()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}", flush=True)
             n_fail += 1

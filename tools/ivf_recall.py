@@ -116,7 +116,7 @@ def main() -> None:
         F.col("vec_id").isin([int(ids[i]) for i in qidx])
     ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
 
-    for nprobe in (1, 2, 4, 8, 16, k_eff):
+    for nprobe in sorted({min(p, k_eff) for p in (1, 2, 4, 8, 16, k_eff)}):
         t0 = time.perf_counter()
         got = probe_ivf_index(
             spark, queries, index, topk=args.topk, nprobe=nprobe

@@ -179,6 +179,27 @@ _FAMILIES: dict[str, dict] = {
 }
 
 
+def shard_keys_of(banded: DataFrame) -> list[int]:
+    """The bounded (band, sig_shard) work-list of a banded batch table
+    (needs band + band_sig columns), as flat composite keys
+    ``band * N_SIG_SHARDS + sig_shard`` — THE shared encoding for
+    partition-pruning the bands layout. Probe, append, and the unified
+    loop all collect through here: the encoding must stay bit-identical
+    across them for pruning to stay correct, so it lives in exactly one
+    place. One driver round-trip, ≤ n_bands × N_SIG_SHARDS rows."""
+    return [
+        r["key"]
+        for r in banded.select(
+            (
+                F.col("band") * N_SIG_SHARDS
+                + F.pmod("band_sig", F.lit(N_SIG_SHARDS))
+            ).alias("key")
+        )
+        .distinct()
+        .collect()
+    ]
+
+
 def _bands_path(store_path: str) -> str:
     return os.path.join(store_path, "bands")
 
@@ -270,11 +291,19 @@ def build_signature_store(
     # latency file-open-bound (first cut measured 6.5s probe at sf0.1,
     # ~all of it footer overhead). Very large corpora re-file via
     # sources/maintenance.py::compact_zone on the usual cadence.
+    # partitionOverwriteMode=static PER-WRITE on both partitioned build
+    # writes: the session default is dynamic, under which a rebuild
+    # only replaces dirs present in the NEW corpus — a (band, sig_shard)
+    # or id_shard dir the shrunk corpus no longer touches would keep the
+    # old store's rows, and rebuilds preserve the watermark floor, so
+    # those deleted docs would stay probe-visible (same hazard as the
+    # IVF cells rebuild; see build_ivf_index).
     (
         bands.withColumn("rn", F.row_number().over(w))
         .withColumn("sig_shard", F.pmod("band_sig", F.lit(N_SIG_SHARDS)))
         .repartition(fam["n_bands"] * N_SIG_SHARDS, "band", "sig_shard")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("band", "sig_shard")
         .parquet(_bands_path(store_path))
     )
@@ -282,6 +311,7 @@ def build_signature_store(
         sh.withColumn("id_shard", F.pmod("doc_id", F.lit(N_ID_SHARDS)))
         .repartition(N_ID_SHARDS, "id_shard")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("id_shard")
         .parquet(_codes_path(store_path))
     )
@@ -498,11 +528,16 @@ def append_signature_batch(
                 )
     if lo_hi["lo"] is None:
         # nothing to append (e.g. an all-duplicates ingest batch) — but
-        # still advance the watermark so the batch reads as committed
-        # (the write also clears a recovery-cleared journal / upgrades
-        # legacy meta, both vetted clean just above)
+        # still advance the watermark so the batch reads as committed.
+        # The write also clears a recovery-vetted journal / upgrades
+        # legacy meta (both proven clean just above) — without that, a
+        # no-advance empty append would leave pending set and every
+        # later append would re-pay the recovery scans.
+        new_wm = stored_max
         if watermark_hi is not None and watermark_hi > stored_max:
-            _write_meta(spark, store_path, int(watermark_hi), has_data=has_data)
+            new_wm = int(watermark_hi)
+        if new_wm != stored_max or pending is not None or legacy:
+            _write_meta(spark, store_path, new_wm, has_data=has_data)
         return
     if lo_hi["lo"] <= stored_max:
         raise ValueError(
@@ -545,16 +580,7 @@ def append_signature_batch(
         # pruning stays correct, just possibly wider); standalone
         # appends collect their own
         if shard_keys is None:
-            shard_keys = [
-                r["key"]
-                for r in bandsb.select(
-                    (F.col("band") * N_SIG_SHARDS + F.col("sig_shard")).alias(
-                        "key"
-                    )
-                )
-                .distinct()
-                .collect()
-            ]
+            shard_keys = shard_keys_of(bandsb)
         # rank bases must be BATCH-bounded, not store-bounded: shard
         # pruning alone stops pruning once a batch touches most shards
         # (200 docs × 8 bands ≈ 379/512 shards — measured a store-wide
@@ -667,7 +693,12 @@ def probe_signature_store(
     ``tables``: optional precomputed ``(sidecar, banded)`` for the
     batch — callers that consume the signatures more than once (the
     unified loop probes, then appends the survivors) derive them once,
-    persist, and pass them here; lifetime stays with the caller."""
+    persist, and pass them here; lifetime stays with the caller. The
+    same superset contract as append_signature_batch: rows are
+    filtered to the batch's doc_ids here, so tables derived from a
+    superset of the batch probe exactly (without the filter, a
+    superset's extra docs would emit phantom evidence rows for ids not
+    in the batch)."""
     fam = _FAMILIES[family]
     watermark, has_data, _, _ = _read_sig_meta(spark, store_path)
     if not has_data:
@@ -677,9 +708,12 @@ def probe_signature_store(
         # schema-readable), so short-circuit on the meta flag, never
         # the watermark (a floored empty store has watermark >= 0)
         return empty_df(spark, fam["empty_schema"])
-    shb, bandsb = (
-        tables if tables is not None else fam["tables"](batch, cache=False)
-    )
+    if tables is not None:
+        ids = F.broadcast(batch.select("doc_id"))
+        shb = tables[0].join(ids, "doc_id", "leftsemi")
+        bandsb = tables[1].join(ids, "doc_id", "leftsemi")
+    else:
+        shb, bandsb = fam["tables"](batch, cache=False)
 
     # bounded work-list collect #1: the batch's (band, sig_shard) set —
     # ≤ 8×64 rows — prunes the store scan to matching partitions. One
@@ -690,17 +724,7 @@ def probe_signature_store(
     # ``shard_keys``: the loop collects this set once per batch and
     # shares it with the append (one driver round-trip instead of two).
     if shard_keys is None:
-        shard_keys = [
-            r["key"]
-            for r in bandsb.select(
-                (
-                    F.col("band") * N_SIG_SHARDS
-                    + F.pmod("band_sig", F.lit(N_SIG_SHARDS))
-                ).alias("key")
-            )
-            .distinct()
-            .collect()
-        ]
+        shard_keys = shard_keys_of(bandsb)
     store_bands = (
         spark.read.parquet(_bands_path(store_path))
         .filter(

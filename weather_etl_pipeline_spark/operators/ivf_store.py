@@ -376,10 +376,18 @@ def build_ivf_index(
                 else _assign_m_hof(emb, cent, m_eff)
             )
         # one task per cell dir → one file per dir (k files total), the
-        # same tiny-file guard as the signature store's shard layout
+        # same tiny-file guard as the signature store's shard layout.
+        # partitionOverwriteMode=static PER-WRITE: the session default
+        # is dynamic (the lake's append-shaped overwrites need it), but
+        # a REBUILD must clear the whole layout — under dynamic mode a
+        # cell that receives no rows in the new build (empty cluster,
+        # auto-k drift across compactions) would keep the OLD index's
+        # rows, which pass the probe's committed filter because rebuilds
+        # preserve the watermark floor: deleted vectors stay searchable.
         (
             cells.repartition(k, "cell")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
             .partitionBy("cell")
             .parquet(_cells_path(index_path))
         )
@@ -500,16 +508,16 @@ def append_ivf_batch(
                 "mid-write; rebuild the index"
             )
     if lo_hi["lo"] is None:
-        # all-duplicates ingest batch: advance the commit marker only
-        # (vetted clean just above)
+        # all-duplicates ingest batch: advance the commit marker only.
+        # The write also clears a recovery-vetted journal / upgrades
+        # legacy meta (proven clean just above) — mirrors
+        # append_signature_batch's empty path.
+        new_wm = stored_max
         if watermark_hi is not None and watermark_hi > stored_max:
+            new_wm = int(watermark_hi)
+        if new_wm != stored_max or pending is not None or legacy:
             _write_meta(
-                spark,
-                index_path,
-                int(watermark_hi),
-                assign_m,
-                trained,
-                n_cells=n_cells,
+                spark, index_path, new_wm, assign_m, trained, n_cells=n_cells
             )
         return
     if lo_hi["lo"] <= stored_max:

@@ -146,169 +146,166 @@ def process_curation_batch(
     # batch-max collect below doubles as its materialization, so the
     # gate expression and the batch source are evaluated exactly once
     scored = batch_df.withColumn("_q", F.round(quality_expr(), 6)).persist()
-    hi_row = scored.agg(F.max("doc_id").alias("hi")).collect()[0]
-    if hi_row["hi"] is None:
-        scored.unpersist()
-        return
-    hi = int(hi_row["hi"])
-    # NOTE there is deliberately NO whole-batch short-circuit: a crash
-    # can land between the last store commit and the lake write, so a
-    # fully-committed batch still falls through — every stage below
-    # then reads its persisted evidence (never re-probing a store that
-    # contains the batch's own docs) and the lake write re-runs as an
-    # idempotent batch_id-keyed overwrite.
-    from pyspark.errors import AnalysisException
-
-    try:
-        sig_wm = read_store_watermark(spark, sig_store)
-        ivf_wm, ivf_m, ivf_trained = _read_meta(spark, ivf_index)
-    except AnalysisException as e:
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-            raise ValueError(
-                "curation loop requires both stores pre-built before the "
-                "first micro-batch: run build_signature_store and "
-                "build_ivf_index (empty input is fine — they write the "
-                f"meta the loop keys on). Missing: {msg}"
-            ) from e
-        raise
-
-    # --- stage 1: quality gate (pure function — replay recomputes
-    # identically; evidence persisted for audit parity with the probes;
-    # scored was persisted and materialized above).
-    q_rejects = scored.filter(
-        (F.col("_q") < min_quality) | F.col("text").isNull()
-    ).select("doc_id", F.col("_q").alias("quality"))
-    qpass = scored.filter(
-        (F.col("_q") >= min_quality) & F.col("text").isNotNull()
-    ).drop("_q")
-
-    # --- stage 1.5: batch-INTERNAL exact-dup collapse (pure function of
-    # the batch, so replay recomputes it identically — no store state
-    # involved). Both probes below compare batch-vs-STORE only, so
-    # without this a crawler double-fetch (two identical texts in one
-    # micro-batch) would put both copies in the curated lake forever —
-    # the store append even collapses them into rep+star-edge, i.e. the
-    # loop knew they were twins and kept both. Members quarantine with
-    # (member, rep) evidence; the min-doc_id rep carries on.
-    _, intra_edges = _collapse_exact(qpass.select("doc_id", "text"))
-    intra = intra_edges.select(
-        F.col("doc_b").alias("new_id"), F.col("doc_a").alias("old_id")
-    )
-    # the two stage-1 evidence writes are order-free (both pure
-    # functions of the cached batch, different dirs) — run concurrently
-    _run_concurrently(
-        lambda: q_rejects.write.mode("overwrite").parquet(
-            _evidence_path(rejects_dir, "quality", batch_id)
-        ),
-        lambda: intra.write.mode("overwrite").parquet(
-            _evidence_path(rejects_dir, "intra", batch_id)
-        ),
-    )
-    # anti-join against the PERSISTED evidence, not the live window
-    # lineage — every downstream action would otherwise re-run the
-    # collapse window per consumption (same read-back discipline as
-    # the probe stages, and replay-identical by construction)
-    intra_ids = _read_evidence(
-        spark, rejects_dir, "intra", batch_id, "new_id long, old_id long"
-    ).select(F.col("new_id").alias("doc_id"))
-    qpass = qpass.join(F.broadcast(intra_ids), "doc_id", "left_anti")
-
-    # the batch's signature tables, derived ONCE and shared by the
-    # probe AND the append (fam["tables"] caches the sidecar; the loop
-    # owns the lifetime). Round 9 derived them independently in each —
-    # a measured ~1.4s/batch of pure recompute per extra consumer. The
-    # shard-key work-list is likewise collected once and shared (this
-    # collect doubles as the signature cache's materialization). Both
-    # are gated on the text stage actually running: a replayed batch
-    # whose text stage committed reads evidence back and never touches
-    # the signatures.
-    fam = _FAMILIES[family]
+    # cache-handle discipline: ONE owner. Any exception anywhere in
+    # the stages below (the pre-build ValueError, a transient
+    # evidence-write failure, a probe error) unwinds through the
+    # outer finally — pre-round-10-review, a failure before the
+    # text_pass block leaked the pinned scored/sidecar caches into
+    # the long-lived streaming driver, once per foreachBatch retry.
     shb = bandsb = None
     shard_keys: list[int] | None = None
-    if hi > sig_wm:
-        from ..operators.dedup_store import N_SIG_SHARDS
-
-        shb, bandsb = fam["tables"](qpass.select("doc_id", "text"))
-        shard_keys = [
-            r["key"]
-            for r in bandsb.select(
-                (
-                    F.col("band") * N_SIG_SHARDS
-                    + F.pmod("band_sig", F.lit(N_SIG_SHARDS))
-                ).alias("key")
-            )
-            .distinct()
-            .collect()
-        ]
-
-    # --- stage 2: text near-dup vs the signature store.
-    # Downstream ALWAYS consumes the persisted evidence file, never the
-    # live probe lineage: the append below MUTATES the store, so a lazy
-    # recompute of the probe in a later stage would re-probe a store
-    # containing this batch's own signatures and self-dup everything.
-    # (The same reasoning gives replay safety for free: a redelivered
-    # batch whose stage already committed reads the identical file.)
-    if hi > sig_wm:
-        probe_signature_store(
-            spark,
-            qpass.select("doc_id", "text"),
-            sig_store,
-            family=family,
-            tables=(shb, bandsb),
-            shard_keys=shard_keys,
-        ).write.mode("overwrite").parquet(
-            _evidence_path(rejects_dir, "text", batch_id)
-        )
-    text_hits = _read_evidence(
-        spark, rejects_dir, "text", batch_id, _FAMILIES[family]["empty_schema"]
-    )
-    text_dup_ids = text_hits.select(
-        F.col("new_id").alias("doc_id")
-    ).distinct()
-    # persisted for the batch's lifetime: text_pass feeds the sig
-    # append, the IVF probe/build, the IVF append (via accepted), and
-    # the lake write — unpersisted, every one of those actions would
-    # re-read the micro-batch source and recompute the quality gate +
-    # both anti-joins (the per-batch hot path, several scans over)
-    text_pass = qpass.join(text_dup_ids, "doc_id", "left_anti").persist()
     try:
+        hi_row = scored.agg(F.max("doc_id").alias("hi")).collect()[0]
+        if hi_row["hi"] is None:
+            return
+        hi = int(hi_row["hi"])
+        # NOTE there is deliberately NO whole-batch short-circuit: a crash
+        # can land between the last store commit and the lake write, so a
+        # fully-committed batch still falls through — every stage below
+        # then reads its persisted evidence (never re-probing a store that
+        # contains the batch's own docs) and the lake write re-runs as an
+        # idempotent batch_id-keyed overwrite.
+        from pyspark.errors import AnalysisException
 
-        def _sig_append() -> None:
-            if hi > sig_wm:
-                # accept step: watermark_hi = FULL batch max (quality-
-                # and dup-rejected docs included) marks the stage
-                # committed. tables= reuses the probe's cached
-                # signatures (append filters them to the surviving
-                # doc_ids; the batch is exact-collapsed by stage 1.5,
-                # as the hook requires).
-                append_signature_batch(
-                    spark,
-                    text_pass.select("doc_id", "text"),
-                    sig_store,
-                    watermark_hi=hi,
-                    family=family,
-                    tables=(shb, bandsb),
-                    shard_keys=shard_keys,
-                )
+        try:
+            sig_wm = read_store_watermark(spark, sig_store)
+            ivf_wm, ivf_m, ivf_trained = _read_meta(spark, ivf_index)
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                raise ValueError(
+                    "curation loop requires both stores pre-built before the "
+                    "first micro-batch: run build_signature_store and "
+                    "build_ivf_index (empty input is fine — they write the "
+                    f"meta the loop keys on). Missing: {msg}"
+                ) from e
+            raise
 
-        _finish_ann_and_lake(
-            spark,
-            text_pass,
-            batch_id,
-            ivf_index,
-            lake_dir,
-            rejects_dir,
-            hi,
-            ivf_wm,
-            ivf_m,
-            ivf_trained,
-            nprobe,
-            dup_cos,
-            _sig_append,
+        # --- stage 1: quality gate (pure function — replay recomputes
+        # identically; evidence persisted for audit parity with the probes;
+        # scored was persisted and materialized above).
+        q_rejects = scored.filter(
+            (F.col("_q") < min_quality) | F.col("text").isNull()
+        ).select("doc_id", F.col("_q").alias("quality"))
+        qpass = scored.filter(
+            (F.col("_q") >= min_quality) & F.col("text").isNotNull()
+        ).drop("_q")
+
+        # --- stage 1.5: batch-INTERNAL exact-dup collapse (pure function of
+        # the batch, so replay recomputes it identically — no store state
+        # involved). Both probes below compare batch-vs-STORE only, so
+        # without this a crawler double-fetch (two identical texts in one
+        # micro-batch) would put both copies in the curated lake forever —
+        # the store append even collapses them into rep+star-edge, i.e. the
+        # loop knew they were twins and kept both. Members quarantine with
+        # (member, rep) evidence; the min-doc_id rep carries on.
+        _, intra_edges = _collapse_exact(qpass.select("doc_id", "text"))
+        intra = intra_edges.select(
+            F.col("doc_b").alias("new_id"), F.col("doc_a").alias("old_id")
         )
+        # the two stage-1 evidence writes are order-free (both pure
+        # functions of the cached batch, different dirs) — run concurrently
+        _run_concurrently(
+            lambda: q_rejects.write.mode("overwrite").parquet(
+                _evidence_path(rejects_dir, "quality", batch_id)
+            ),
+            lambda: intra.write.mode("overwrite").parquet(
+                _evidence_path(rejects_dir, "intra", batch_id)
+            ),
+        )
+        # anti-join against the PERSISTED evidence, not the live window
+        # lineage — every downstream action would otherwise re-run the
+        # collapse window per consumption (same read-back discipline as
+        # the probe stages, and replay-identical by construction)
+        intra_ids = _read_evidence(
+            spark, rejects_dir, "intra", batch_id, "new_id long, old_id long"
+        ).select(F.col("new_id").alias("doc_id"))
+        qpass = qpass.join(F.broadcast(intra_ids), "doc_id", "left_anti")
+
+        # the batch's signature tables, derived ONCE and shared by the
+        # probe AND the append (fam["tables"] caches the sidecar; the loop
+        # owns the lifetime). Round 9 derived them independently in each —
+        # a measured ~1.4s/batch of pure recompute per extra consumer. The
+        # shard-key work-list is likewise collected once and shared (this
+        # collect doubles as the signature cache's materialization). Both
+        # are gated on the text stage actually running: a replayed batch
+        # whose text stage committed reads evidence back and never touches
+        # the signatures.
+        fam = _FAMILIES[family]
+        if hi > sig_wm:
+            from ..operators.dedup_store import shard_keys_of
+
+            shb, bandsb = fam["tables"](qpass.select("doc_id", "text"))
+            shard_keys = shard_keys_of(bandsb)
+
+        # --- stage 2: text near-dup vs the signature store.
+        # Downstream ALWAYS consumes the persisted evidence file, never the
+        # live probe lineage: the append below MUTATES the store, so a lazy
+        # recompute of the probe in a later stage would re-probe a store
+        # containing this batch's own signatures and self-dup everything.
+        # (The same reasoning gives replay safety for free: a redelivered
+        # batch whose stage already committed reads the identical file.)
+        if hi > sig_wm:
+            probe_signature_store(
+                spark,
+                qpass.select("doc_id", "text"),
+                sig_store,
+                family=family,
+                tables=(shb, bandsb),
+                shard_keys=shard_keys,
+            ).write.mode("overwrite").parquet(
+                _evidence_path(rejects_dir, "text", batch_id)
+            )
+        text_hits = _read_evidence(
+            spark, rejects_dir, "text", batch_id, _FAMILIES[family]["empty_schema"]
+        )
+        text_dup_ids = text_hits.select(
+            F.col("new_id").alias("doc_id")
+        ).distinct()
+        # persisted for the batch's lifetime: text_pass feeds the sig
+        # append, the IVF probe/build, the IVF append (via accepted), and
+        # the lake write — unpersisted, every one of those actions would
+        # re-read the micro-batch source and recompute the quality gate +
+        # both anti-joins (the per-batch hot path, several scans over)
+        text_pass = qpass.join(text_dup_ids, "doc_id", "left_anti").persist()
+        try:
+
+            def _sig_append() -> None:
+                if hi > sig_wm:
+                    # accept step: watermark_hi = FULL batch max (quality-
+                    # and dup-rejected docs included) marks the stage
+                    # committed. tables= reuses the probe's cached
+                    # signatures (append filters them to the surviving
+                    # doc_ids; the batch is exact-collapsed by stage 1.5,
+                    # as the hook requires).
+                    append_signature_batch(
+                        spark,
+                        text_pass.select("doc_id", "text"),
+                        sig_store,
+                        watermark_hi=hi,
+                        family=family,
+                        tables=(shb, bandsb),
+                        shard_keys=shard_keys,
+                    )
+
+            _finish_ann_and_lake(
+                spark,
+                text_pass,
+                batch_id,
+                ivf_index,
+                lake_dir,
+                rejects_dir,
+                hi,
+                ivf_wm,
+                ivf_m,
+                ivf_trained,
+                nprobe,
+                dup_cos,
+                _sig_append,
+            )
+        finally:
+            text_pass.unpersist()
     finally:
-        text_pass.unpersist()
         if shb is not None:
             shb.unpersist()
         scored.unpersist()
