@@ -34,7 +34,14 @@ def one_row_df(spark: SparkSession, values: tuple, schema: str) -> DataFrame:
     ``schema`` — JVM-only plan (range + literals), no Python
     partitions, safe to write without a coalesce."""
     st = StructType.fromDDL(schema)
-    assert len(values) == len(st.fields), (values, schema)
+    if len(values) != len(st.fields):
+        # explicit raise, not assert: under ``python -O`` an assert is
+        # stripped and a mismatched tuple would zip-truncate silently,
+        # writing a meta row with missing/misaligned fields
+        raise ValueError(
+            f"one_row_df: {len(values)} values for {len(st.fields)} "
+            f"schema fields ({values!r} vs {schema!r})"
+        )
     return spark.range(0, 1, 1, 1).select(
         *[
             F.lit(v).cast(f.dataType).alias(f.name)

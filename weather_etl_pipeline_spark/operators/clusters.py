@@ -115,29 +115,56 @@ def connected_components(
     )
 
 
-# Oracle: the same fixpoint as SQL — recursive reachability over the
-# symmetric jaccard edge set, cluster = MIN(reachable doc_id). UNION
-# (set) semantics bound the recursion; near-dup components are
-# near-cliques, so the pair enumeration stays tiny.
+# Oracle: the same fixpoint as SQL — recursive reachability, cluster =
+# MIN(reachable doc_id) — made CLIQUE-SAFE (round 11): the closure runs
+# over the REP-LEVEL near-dup edges only, and exact-dup members inherit
+# their rep's label through one star-edge join afterwards. The round-10
+# formulation closed over the full edge set (near-dup pairs UNION star
+# edges), whose reach table is O(Σ|component|²) — at sf0.1@x100 every
+# distinct text is a 100-wide exact clique, ≈10^8 reach rows, and the
+# oracle (not the engine) timed out. Collapse-first is exactly what the
+# Spark side already does (_collapse_exact / dedup.py): `pairs` is
+# computed over jdocs (one row per distinct text), so rep components
+# keep their @x1 size at ANY replica multiplicity, and the member
+# extension is linear in corpus size.
+#
+# Label equivalence: members are leaves attached only to their rep
+# (near-dup pairs join reps only), and rep = MIN(doc_id) of its exact
+# clique ≤ every member, so a component's global MIN(doc_id) is always
+# attained at a rep — member.cluster = rep_label(rep) exactly.
 def _clusters_oracle() -> str:
-    from .dedup import _JACCARD_ORACLE
+    from .dedup import _JACCARD_CTE_PREFIX, _JACCARD_T
 
     return f"""
-WITH RECURSIVE edges AS (
-  SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE}) j
+WITH RECURSIVE {_JACCARD_CTE_PREFIX},
+rep_edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {_JACCARD_T}
 ),
 sym AS (
-  SELECT doc_a AS src, doc_b AS dst FROM edges
+  SELECT doc_a AS src, doc_b AS dst FROM rep_edges
   UNION ALL
-  SELECT doc_b AS src, doc_a AS dst FROM edges
+  SELECT doc_b AS src, doc_a AS dst FROM rep_edges
 ),
 reach(doc_id, nbr) AS (
-  SELECT doc_id, doc_id AS nbr FROM documents
+  SELECT doc_id, doc_id AS nbr FROM jdocs
   UNION
   SELECT r.doc_id, s.dst AS nbr FROM reach r JOIN sym s ON s.src = r.nbr
-)
-SELECT doc_id, MIN(nbr) AS cluster, doc_id = MIN(nbr) AS is_canonical
-FROM reach GROUP BY doc_id
+),
+rep_labels AS (
+  SELECT doc_id, MIN(nbr) AS cluster FROM reach GROUP BY doc_id
+),
+all_labels AS (
+  SELECT doc_id, cluster FROM rep_labels
+  UNION ALL
+  SELECT js.doc_b AS doc_id, rl.cluster
+  FROM jstar js JOIN rep_labels rl ON rl.doc_id = js.doc_a
+),
+verts AS (SELECT DISTINCT doc_id FROM documents)
+SELECT v.doc_id,
+       COALESCE(al.cluster, v.doc_id) AS cluster,
+       v.doc_id = COALESCE(al.cluster, v.doc_id) AS is_canonical
+FROM verts v LEFT JOIN all_labels al ON al.doc_id = v.doc_id
 """
 
 

@@ -400,9 +400,13 @@ def build_ivf_index(
         cent.repartition(1).write.mode("overwrite").parquet(
             _centroids_path(index_path)
         )
-        # n_cells = k exactly: the centroids table always holds k rows
-        # (empty clusters keep their old centroid), so probes can skip
-        # their own cent.count() job
+        # INVARIANT: n_cells = k = row count of the centroids table
+        # just written (empty clusters keep their old centroid, so
+        # kmeans_centroids always emits exactly k rows). Probes key the
+        # _VEC_ASSIGN_MIN_K branch and the min(assign_m, k) dedupe gate
+        # on this meta value and skip their own cent.count() job; the
+        # large-k probe re-verifies len(centroids) == n_cells at
+        # collect time and refuses a torn index (see probe_ivf_index).
         _write_meta(spark, index_path, max(int(hi), floor), assign_m, n_cells=k)
     finally:
         emb.unpersist()
@@ -482,26 +486,12 @@ def append_ivf_batch(
     # orphan rows would legitimize them silently. Mirrors
     # append_signature_batch.
     if pending is not None or legacy:
-        from pyspark.errors import AnalysisException
+        # shared scan with the signature store (one copy of the
+        # version-brittle missing-path message matching — file-less or
+        # missing cells dir reads as no orphans)
+        from .dedup_store import _orphans_above
 
-        try:
-            orphans = (
-                spark.read.parquet(_cells_path(index_path))
-                .filter(F.col("vec_id") > stored_max)
-                .limit(1)
-                .count()
-            )
-        except AnalysisException as e:
-            msg = str(e)
-            if not (
-                "PATH_NOT_FOUND" in msg
-                or "Path does not exist" in msg
-                or "UNABLE_TO_INFER_SCHEMA" in msg
-                or "Unable to infer schema" in msg
-            ):
-                raise
-            orphans = 0  # file-less cells dir: zero rows, nothing torn
-        if orphans:
+        if _orphans_above(spark, _cells_path(index_path), "vec_id", stored_max):
             raise ValueError(
                 f"torn append detected: cells hold vec_ids above the meta "
                 f"watermark {stored_max} — a previous append crashed "
@@ -610,6 +600,17 @@ def probe_ivf_index(
             (int(r["cell"]), [float(x) for x in r["centroid"]])
             for r in cent.collect()
         )
+        if len(cent_rows) != k:
+            # meta n_cells and the centroids table are written by two
+            # separate overwrites; a crash between them (or a future
+            # build path emitting fewer rows) would silently skew the
+            # _VEC_ASSIGN_MIN_K branch choice and the min(assign_m, k)
+            # dedupe gate — fail loudly instead (rebuild recovers)
+            raise ValueError(
+                f"IVF index torn: meta records n_cells={k} but the "
+                f"centroids table holds {len(cent_rows)} rows — "
+                "meta and centroids are out of sync; rebuild the index"
+            )
         qcells = _rank_cells_np(q, cent_rows, nprobe)
     else:
         # centroids ride along as ONE broadcast array column (k x dim

@@ -42,8 +42,15 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus or default_parallelism()
     shuffle_partitions = shuffle_partitions or cpus
+    # SPARK_GRAFT_MASTER overrides the default in-process local[N]
+    # master — e.g. "local-cluster[2,16,4096]" runs 2 separate worker
+    # JVMs (multi-PROCESS execution: real serialization across the
+    # driver/executor boundary, per-executor Python workers, broadcast
+    # over the wire) for deployment-shaped validation of assumptions
+    # local mode hides. See tools/local_cluster_check.py.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

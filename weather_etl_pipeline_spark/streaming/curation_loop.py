@@ -89,7 +89,11 @@ def _run_concurrently(*thunks) -> None:
     ordering contract between them (the two stage-1 evidence writes;
     the ANN append and the lake write). Spark job submission is
     thread-safe; the shared 32-core pool schedules both. The first
-    exception propagates after all thunks settle."""
+    exception propagates after all thunks settle, with any sibling
+    failures chained as its ``__cause__`` — a torn ANN-append
+    ValueError must not be masked by a concurrent transient lake-write
+    error (or vice versa): the operator needs every failure to decide
+    whether a rebuild is required."""
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
@@ -101,7 +105,39 @@ def _run_concurrently(*thunks) -> None:
             except Exception as e:  # noqa: BLE001 — re-raised below
                 errs.append(e)
         if errs:
-            raise errs[0]
+            primary = errs[0]
+            for sibling in errs[1:]:
+                # chain depth-first so str/traceback render every leg
+                deepest = primary
+                while deepest.__cause__ is not None:
+                    deepest = deepest.__cause__
+                deepest.__cause__ = sibling
+            raise primary
+
+
+def _meta_lost_with_data(store_path: str, data_subdirs: tuple[str, ...]) -> bool:
+    """True when ``<store>/meta`` holds no parquet but at least one of
+    the store's data subdirs does — the signature of a crash mid
+    meta-overwrite (meta is rewritten twice per append via
+    mode("overwrite"): intent, then commit; the delete-then-write
+    inside an overwrite is not atomic). In that state the store still
+    holds every accepted document; an "empty rebuild" would reset the
+    watermark to -1 and shadow the data, silently re-admitting
+    duplicates of the whole lake. Local-filesystem walk — the stores
+    are written with os.path layouts throughout this package."""
+    import os
+
+    def _has_parquet(d: str) -> bool:
+        if not os.path.isdir(d):
+            return False
+        for _root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    if _has_parquet(os.path.join(store_path, "meta")):
+        return False
+    return any(_has_parquet(os.path.join(store_path, s)) for s in data_subdirs)
 
 
 def _read_evidence(
@@ -173,6 +209,34 @@ def process_curation_batch(
         except AnalysisException as e:
             msg = str(e)
             if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                # Distinguish "never built" from "meta lost on a store
+                # that still holds data" BEFORE advising an empty
+                # rebuild — following that advice on an orphaned store
+                # resets the watermark and shadows the corpus,
+                # admitting duplicates of everything already curated.
+                orphaned = [
+                    label
+                    for label, path, subdirs in (
+                        ("signature store", sig_store, ("bands", "codes")),
+                        ("IVF index", ivf_index, ("cells", "centroids")),
+                    )
+                    if _meta_lost_with_data(path, subdirs)
+                ]
+                if orphaned:
+                    raise ValueError(
+                        "meta lost on a store that still holds data ("
+                        + " and ".join(
+                            f"{label} at "
+                            + (sig_store if label == "signature store" else ivf_index)
+                            for label in orphaned
+                        )
+                        + "): a crash mid meta-overwrite deleted the watermark. "
+                        "Do NOT rebuild empty — that would reset the watermark "
+                        "and re-admit duplicates of the whole lake. Rebuild "
+                        "from the accepted corpus instead "
+                        "(build_signature_store / build_ivf_index over the "
+                        f"curated lake). Original: {msg}"
+                    ) from e
                 raise ValueError(
                     "curation loop requires both stores pre-built before the "
                     "first micro-batch: run build_signature_store and "
