@@ -31,17 +31,17 @@ def _text(i: int) -> str:
 
 
 def _batch(spark, ids, dup_of=None):
+    # one-hot embeddings (i % 16; all test ids are distinct mod 16):
+    # non-dup cosine is exactly 0, dup cosine exactly 1 — [i, 1, 0]-style
+    # vectors are all near-parallel (cos ~0.999 between ANY two ids),
+    # which the ANN probe correctly quarantines as duplicates
     rows = []
     for i in ids:
         src = dup_of.get(i) if dup_of else None
-        rows.append(
-            (
-                i,
-                _text(src if src is not None else i),
-                [float(src if src is not None else i), 1.0, 0.0],
-                "crawl",
-            )
-        )
+        base = src if src is not None else i
+        e = [0.0] * 16
+        e[base % 16] = 1.0
+        rows.append((i, _text(base), e, "crawl"))
     return spark.createDataFrame(rows, SCHEMA)
 
 

@@ -122,4 +122,48 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local["):
+        _ship_package(spark)
     return spark
+
+
+# sessions that already shipped the package zip (getOrCreate can hand
+# back a live session; re-adding the same pyFile every call would stack
+# duplicate archives on the executors' python path)
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package's source to executor Python workers.
+
+    Found by the round-11 local-cluster validation: under ``local[N]``
+    Python workers fork from the driver process and inherit its
+    ``sys.path``, so pickled UDFs that reference module-level helpers
+    (cloudpickle serializes them BY REFERENCE to the module) import
+    cleanly by accident. Any multi-PROCESS master — local-cluster,
+    standalone, YARN, k8s — spawns executor-side Python workers with a
+    fresh interpreter, and the first module-referencing UDF dies with
+    ``ModuleNotFoundError: weather_etl_pipeline_spark`` (observed:
+    ``multimodal_featurize``'s mapInPandas). The deployment answer is
+    the same one spark-submit users reach for: zip the package once per
+    session and ``addPyFile`` it — executors unpack it onto every
+    Python worker's path. ~18k LoC zips in well under 100 ms; skipped
+    entirely for in-process local[N] masters."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg_dir)
+    zdir = tempfile.mkdtemp(prefix="wepl_pkg_")
+    zpath = os.path.join(zdir, "weather_etl_pipeline_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, dirnames, files in os.walk(pkg_dir):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, repo_root))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(app_id)
