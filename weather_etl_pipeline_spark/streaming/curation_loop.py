@@ -50,6 +50,13 @@ broadcast of the batch; appends' rank bases come from the batch's own
 shard set), the quality gate is a map-only expression, and the lake
 write is one partitioned append-shaped overwrite. Nothing in the loop
 scans or shuffles the accepted corpus.
+
+Retention (round 11): per-batch evidence expires for replay purposes
+once a batch is fully committed — the whole-batch short-circuit in
+process_curation_batch returns off (watermarks + lake _SUCCESS)
+without opening evidence, so ``prune_replay_evidence`` can delete
+committed batches' rejects dirs past an audit window. Run it on the
+same maintenance cadence as compact/optimize.
 """
 
 from __future__ import annotations
