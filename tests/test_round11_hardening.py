@@ -146,3 +146,43 @@ def test_ivf_probe_refuses_torn_ncells(spark, tmp_path):
     _write_meta(spark, ivf, 12, 1, n_cells=_VEC_ASSIGN_MIN_K)
     with pytest.raises(ValueError, match="torn"):
         probe_ivf_index(spark, q, ivf, topk=3).count()
+
+
+def test_store_meta_write_is_atomic_swap(spark, tmp_path, monkeypatch):
+    """Round-11 hardening: store meta goes through the write-then-rename
+    swap (plans/metadata._atomic_overwrite), so a failed PUBLISH leaves
+    the previous meta intact — pre-swap, mode("overwrite") deleted meta
+    before rebuilding it, and a crash there orphaned a store full of
+    data (the advisor's round-10 hazard). Failure injection: the swap's
+    rename returns False once; the write must raise AND the old
+    watermark must still be readable."""
+    from weather_etl_pipeline_spark.operators import dedup_store as ds
+    from weather_etl_pipeline_spark.plans import metadata as md
+
+    store = str(tmp_path / "sig")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    ds.build_signature_store(spark, docs, store)
+    assert ds.read_store_watermark(spark, store) == 1
+
+    real_rename = md.rename
+    state = {"armed": True}
+
+    def flaky_rename(spark_, src, dst):
+        # fail only the PUBLISH step (tmp -> meta), once
+        if state["armed"] and "__tmp_" in src:
+            state["armed"] = False
+            return False
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(md, "rename", flaky_rename)
+    with pytest.raises(IOError, match="could not publish"):
+        ds._write_meta(spark, store, 99)
+    # old meta survived the failed swap — watermark unchanged, store
+    # not orphaned
+    assert ds.read_store_watermark(spark, store) == 1
+    # next write (rename healthy again) succeeds
+    ds._write_meta(spark, store, 2)
+    assert ds.read_store_watermark(spark, store) == 2

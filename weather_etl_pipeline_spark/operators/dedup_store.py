@@ -401,15 +401,27 @@ def _write_meta(
     # coalesce(1) meta write cost a flat ~4.5s of serialized
     # Python-partition round-trips, × intent+commit × both stores per
     # ingest micro-batch — the loop's dominant fixed cost in round 9
-    one_row_df(
-        spark,
-        (
-            int(max_doc_id),
-            bool(has_data),
-            None if pending_hi is None else int(pending_hi),
+    # atomic swap (round 11), not a bare overwrite: mode("overwrite")
+    # deletes meta and rebuilds it over a whole Spark job, so every
+    # intent/commit write opened a crash window where meta was GONE on
+    # a store full of data (the advisor's orphaned-store hazard). The
+    # write-then-rename swap shrinks that window to two driver-side
+    # renames; the curation loop's orphan refusal remains as defense
+    # for object stores where rename is not atomic.
+    from ..plans.metadata import _atomic_overwrite
+
+    _atomic_overwrite(
+        one_row_df(
+            spark,
+            (
+                int(max_doc_id),
+                bool(has_data),
+                None if pending_hi is None else int(pending_hi),
+            ),
+            "max_doc_id long, has_data boolean, pending_hi long",
         ),
-        "max_doc_id long, has_data boolean, pending_hi long",
-    ).write.mode("overwrite").parquet(_meta_path(store_path))
+        _meta_path(store_path),
+    )
 
 
 def _orphans_above(

@@ -422,19 +422,27 @@ def _write_meta(
     n_cells: int | None = None,
 ) -> None:
     # JVM-side 1-row build — see functions/jvmrows.py (a Python-local
-    # 1-row coalesce(1) write cost ~4.5s flat, paid twice per append)
-    one_row_df(
-        spark,
-        (
-            int(max_vec_id),
-            int(assign_m),
-            bool(trained),
-            None if pending_hi is None else int(pending_hi),
-            None if n_cells is None else int(n_cells),
+    # 1-row coalesce(1) write cost ~4.5s flat, paid twice per append).
+    # Atomic swap, not a bare overwrite — same rationale as
+    # dedup_store._write_sig_meta (round 11): no crash window where
+    # meta is gone on an index that still holds cells.
+    from ..plans.metadata import _atomic_overwrite
+
+    _atomic_overwrite(
+        one_row_df(
+            spark,
+            (
+                int(max_vec_id),
+                int(assign_m),
+                bool(trained),
+                None if pending_hi is None else int(pending_hi),
+                None if n_cells is None else int(n_cells),
+            ),
+            "max_vec_id long, assign_m int, trained boolean, pending_hi long,"
+            " n_cells int",
         ),
-        "max_vec_id long, assign_m int, trained boolean, pending_hi long,"
-        " n_cells int",
-    ).write.mode("overwrite").parquet(_meta_path(index_path))
+        _meta_path(index_path),
+    )
 
 
 def append_ivf_batch(
