@@ -108,15 +108,18 @@ def test_prune_then_replay_short_circuits_without_evidence(spark, tmp_path):
     assert report2["pruned"] == [4]
 
 
-def test_prune_refuses_batch_without_lake_marker(spark, tmp_path):
-    """A committed-looking batch whose lake ``_SUCCESS`` is missing
-    (torn stage-4 lake leg) keeps its evidence — replay needs it to
-    fall through and rebuild the lake dir."""
+def test_prune_refuses_batch_without_commit_marker(spark, tmp_path):
+    """A committed-looking batch whose commit markers are missing
+    (torn stage-4 lake leg: the explicit marker is touched only after
+    both legs join) keeps its evidence — replay needs it to fall
+    through and rebuild the lake dir, after which it re-touches the
+    marker and becomes prunable."""
     from weather_etl_pipeline_spark.operators.dedup_store import (
         build_signature_store,
     )
     from weather_etl_pipeline_spark.operators.ivf_store import build_ivf_index
     from weather_etl_pipeline_spark.streaming.curation_loop import (
+        _commit_marker_path,
         process_curation_batch,
         prune_replay_evidence,
     )
@@ -138,13 +141,111 @@ def test_prune_refuses_batch_without_lake_marker(spark, tmp_path):
     for b in range(1, 5):
         run(b, [b * 10 + 1, b * 10 + 2])
 
-    # tear batch 2's lake commit marker
+    # tear batch 2's commit markers (explicit + legacy per-dir _SUCCESS
+    # — a stage-4 lake-write crash leaves neither)
+    os.remove(_commit_marker_path(lake, 2))
     os.remove(os.path.join(lake, "batch_id=2", "_SUCCESS"))
     report = prune_replay_evidence(rej, lake, keep_last=0)
     assert 2 not in report["pruned"]
     assert _evidence_dirs(rej, 2)
     # torn batch replays off its evidence and restores the marker
     run(2, [21, 22])
-    assert os.path.isfile(os.path.join(lake, "batch_id=2", "_SUCCESS"))
+    assert os.path.isfile(_commit_marker_path(lake, 2))
     report2 = prune_replay_evidence(rej, lake, keep_last=0)
     assert 2 in report2["pruned"]
+
+
+def test_redelivery_after_prune_and_compaction(spark, tmp_path):
+    """The sequence that broke the _SUCCESS-keyed design (round-11
+    self-review): prune evidence, THEN compact the lake (dynamic
+    partition overwrite replaces the batch_id=N dirs, removing their
+    per-dir _SUCCESS), THEN redeliver a pruned batch. The explicit
+    commit marker lives outside the partition dirs, so the redelivery
+    still short-circuits — pre-marker, it fell through to a
+    PATH_NOT_FOUND on the pruned evidence."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+    )
+    from weather_etl_pipeline_spark.operators.ivf_store import build_ivf_index
+    from weather_etl_pipeline_spark.sources.maintenance import optimize_table
+    from weather_etl_pipeline_spark.streaming.curation_loop import (
+        _commit_marker_path,
+        process_curation_batch,
+        prune_replay_evidence,
+    )
+
+    sig, ivf = str(tmp_path / "sig"), str(tmp_path / "ivf")
+    lake, rej = str(tmp_path / "lake"), str(tmp_path / "rej")
+    build_signature_store(
+        spark, spark.createDataFrame([], "doc_id long, text string"), sig
+    )
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"), ivf
+    )
+
+    def run(bid, ids):
+        process_curation_batch(
+            spark, _batch(spark, ids), bid, sig, ivf, lake, rej
+        )
+
+    for b in range(1, 6):
+        run(b, [b * 10 + 1, b * 10 + 2])
+
+    report = prune_replay_evidence(rej, lake, keep_last=0)
+    assert report["pruned"] == [1, 2, 3, 4]
+    optimize_table(spark, lake, partition_cols=("batch_id",))
+    # compaction replaced the partition dirs... but the markers survive
+    for b in range(1, 6):
+        assert os.path.isfile(_commit_marker_path(lake, b)), b
+
+    lake_before = sorted(tuple(r) for r in spark.read.parquet(lake).collect())
+    run(2, [21, 22])  # redelivery of a pruned, compacted batch
+    lake_after = sorted(tuple(r) for r in spark.read.parquet(lake).collect())
+    assert lake_after == lake_before
+    assert not _evidence_dirs(rej, 2)
+
+
+def test_zorder_rewrite_preserves_commit_markers(spark, tmp_path):
+    """optimize_table's z-order path swaps the WHOLE table dir;
+    spark.read ignores _-prefixed entries, so without the sidecar
+    carry-over the rewrite silently dropped _batch_commits — and with
+    it the pruned batches' redelivery short-circuit."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+    )
+    from weather_etl_pipeline_spark.operators.ivf_store import build_ivf_index
+    from weather_etl_pipeline_spark.sources.maintenance import optimize_table
+    from weather_etl_pipeline_spark.streaming.curation_loop import (
+        _commit_marker_path,
+        process_curation_batch,
+    )
+
+    sig, ivf = str(tmp_path / "sig"), str(tmp_path / "ivf")
+    lake, rej = str(tmp_path / "lake"), str(tmp_path / "rej")
+    build_signature_store(
+        spark, spark.createDataFrame([], "doc_id long, text string"), sig
+    )
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"), ivf
+    )
+    for b in (1, 2):
+        process_curation_batch(
+            spark,
+            _batch(spark, [b * 10 + 1, b * 10 + 2]),
+            b,
+            sig,
+            ivf,
+            lake,
+            rej,
+        )
+    rows_before = sorted(
+        tuple(r) for r in spark.read.parquet(lake).collect()
+    )
+    report = optimize_table(
+        spark, lake, zorder_by=["doc_id"], partition_cols=("batch_id",)
+    )
+    assert report["mode"] == "zorder"
+    for b in (1, 2):
+        assert os.path.isfile(_commit_marker_path(lake, b)), b
+    rows_after = sorted(tuple(r) for r in spark.read.parquet(lake).collect())
+    assert rows_after == rows_before

@@ -89,3 +89,20 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
 def delete(spark: SparkSession, path: str) -> bool:
     fs, hpath = _fs_and_path(spark, path)
     return bool(fs.delete(hpath, True))
+
+
+def touch(spark: SparkSession, path: str) -> None:
+    """Create an empty file at ``path`` (parents included), overwriting
+    any existing one — the commit-marker primitive (idempotent: a
+    replay re-touching an existing marker is a no-op result-wise)."""
+    fs, hpath = _fs_and_path(spark, path)
+    fs.create(hpath, True).close()
+
+
+def list_dir(spark: SparkSession, path: str) -> list[str]:
+    """Names (not full paths) of the immediate children of ``path``;
+    empty list if the dir is missing."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]

@@ -147,16 +147,29 @@ def _meta_lost_with_data(store_path: str, data_subdirs: tuple[str, ...]) -> bool
     return any(_has_parquet(os.path.join(store_path, s)) for s in data_subdirs)
 
 
-def _lake_committed(lake_dir: str, batch_id: int) -> bool:
-    """True when the batch's lake dir carries Spark's job-commit marker
-    (``_SUCCESS`` is written at job COMMIT, after every task file is
-    moved into place — a crashed overwrite never leaves one). Keyed on
-    the marker, not dir existence: an interrupted overwrite can leave a
-    partial dir."""
-    import os
+def _commit_marker_path(lake_dir: str, batch_id: int) -> str:
+    # an underscore-prefixed TOP-LEVEL dir: invisible to Spark's
+    # partition discovery (like _SUCCESS/_temporary), and — unlike the
+    # per-partition-dir _SUCCESS the lake write leaves — OUTSIDE the
+    # batch_id=N dirs, so compaction's dynamic partition overwrite
+    # (which replaces those dirs wholesale) cannot remove it
+    return f"{lake_dir}/_batch_commits/batch_id={int(batch_id)}"
 
-    return os.path.isfile(
-        os.path.join(lake_dir, f"batch_id={int(batch_id)}", "_SUCCESS")
+
+def _lake_committed(spark: SparkSession, lake_dir: str, batch_id: int) -> bool:
+    """True when the batch's lake write provably committed: the loop's
+    explicit commit marker (touched after BOTH stage-4 legs join —
+    compaction-proof, see _commit_marker_path), or, for lakes written
+    before the marker existed, the per-dir ``_SUCCESS`` Spark leaves at
+    job commit. Keyed on markers, not dir existence: an interrupted
+    overwrite can leave a partial dir. Hadoop-FS checks, so the
+    contract is identical on file:// and object stores."""
+    from ..sources.fs import path_exists
+
+    if path_exists(spark, _commit_marker_path(lake_dir, batch_id)):
+        return True
+    return path_exists(
+        spark, f"{lake_dir}/batch_id={int(batch_id)}/_SUCCESS"
     )
 
 
@@ -174,10 +187,15 @@ def prune_replay_evidence(
     A batch is provably committed when (a) a LATER batch's evidence or
     lake dir exists — foreachBatch is strictly sequential, so batch
     N+1 starting means batch N returned, i.e. committed every stage —
-    and (b) its own lake ``_SUCCESS`` marker is present (defense in
-    depth: (a) already implies it; refuse to prune if the two
-    disagree rather than guess). The newest ``keep_last`` committed
-    batches are kept regardless, as the audit window.
+    and (b) its own EXPLICIT commit marker is present (defense in
+    depth: (a) already implies it; refuse to prune if the two disagree
+    rather than guess). The explicit marker — NOT the per-dir
+    ``_SUCCESS`` — is required here because pruning must guarantee the
+    redelivery short-circuit forever: compaction replaces the
+    ``batch_id=N`` dirs (removing their ``_SUCCESS``), while the
+    marker lives outside them and survives every lake rewrite. The
+    newest ``keep_last`` committed batches are kept regardless, as the
+    audit window.
 
     Driver-side os walk + rmtree — evidence dirs are per-batch small;
     no Spark job needed. Returns ``{"pruned": [...], "kept": [...]}``
@@ -208,7 +226,10 @@ def prune_replay_evidence(
     committed = sorted(
         b
         for b in evidence_batches
-        if b < frontier and _lake_committed(lake_dir, b)
+        if b < frontier
+        and os.path.isfile(
+            os.path.join(lake_dir, "_batch_commits", f"batch_id={b}")
+        )
     )
     prunable = committed[: max(0, len(committed) - keep_last)]
     for b in prunable:
@@ -338,7 +359,7 @@ def process_curation_batch(
         # committed while the lake write crashed — that batch falls
         # through and replays off its (still present) evidence.
         if hi <= sig_wm and hi <= ivf_wm and _lake_committed(
-            lake_dir, batch_id
+            spark, lake_dir, batch_id
         ):
             return
 
@@ -566,6 +587,15 @@ def _finish_ann_and_lake(
             .write.mode("overwrite")
             .parquet(f"{lake_dir}/batch_id={int(batch_id)}"),
         )
+        # explicit batch-commit marker, AFTER both stage-4 legs join:
+        # the whole-batch short-circuit and evidence pruning key on it.
+        # It must be compaction-proof — compact_zone's dynamic
+        # partition overwrite replaces the batch_id=N dirs (removing
+        # their per-dir _SUCCESS), so keying on _SUCCESS alone made the
+        # prune→compact→redeliver sequence crash on pruned evidence.
+        from ..sources.fs import touch
+
+        touch(spark, _commit_marker_path(lake_dir, batch_id))
     finally:
         accepted.unpersist()
 
