@@ -4,10 +4,11 @@
 forever; ``prune_replay_evidence`` removes evidence for committed
 batches past an audit window. Safety hinges on the whole-batch
 short-circuit: a replayed PRUNED batch must return off the store
-watermarks + the lake's ``_SUCCESS`` marker without ever opening its
-evidence files (pre-fix, replay of any committed batch re-read the
-intra/text/ann evidence unconditionally and pruning would have broken
-redelivery with PATH_NOT_FOUND).
+watermarks + the explicit commit marker (compaction-proof — see
+_commit_marker_path) without ever opening its evidence files (pre-fix,
+replay of any committed batch re-read the intra/text/ann evidence
+unconditionally and pruning would have broken redelivery with
+PATH_NOT_FOUND).
 """
 
 from __future__ import annotations
