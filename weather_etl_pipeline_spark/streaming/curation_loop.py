@@ -53,10 +53,11 @@ scans or shuffles the accepted corpus.
 
 Retention (round 11): per-batch evidence expires for replay purposes
 once a batch is fully committed — the whole-batch short-circuit in
-process_curation_batch returns off (watermarks + lake _SUCCESS)
-without opening evidence, so ``prune_replay_evidence`` can delete
-committed batches' rejects dirs past an audit window. Run it on the
-same maintenance cadence as compact/optimize.
+process_curation_batch returns off (watermarks + the explicit
+_batch_commits marker) without opening evidence, so
+``prune_replay_evidence`` can delete committed batches' rejects dirs
+past an audit window. Run it on the same maintenance cadence as
+compact/optimize; both lake rewrites preserve the markers.
 """
 
 from __future__ import annotations
@@ -125,13 +126,15 @@ def _run_concurrently(*thunks) -> None:
 def _meta_lost_with_data(store_path: str, data_subdirs: tuple[str, ...]) -> bool:
     """True when ``<store>/meta`` holds no parquet but at least one of
     the store's data subdirs does — the signature of a crash mid
-    meta-overwrite (meta is rewritten twice per append via
-    mode("overwrite"): intent, then commit; the delete-then-write
-    inside an overwrite is not atomic). In that state the store still
-    holds every accepted document; an "empty rebuild" would reset the
-    watermark to -1 and shadow the data, silently re-admitting
-    duplicates of the whole lake. Local-filesystem walk — the stores
-    are written with os.path layouts throughout this package."""
+    meta-write. Since round 11 meta goes through the atomic
+    write-then-rename swap, which shrinks the window to the instants
+    between two driver-side renames (and to object stores, where
+    rename is copy+delete) — small, but not zero, so the refusal
+    stays. In that state the store still holds every accepted
+    document; an "empty rebuild" would reset the watermark to -1 and
+    shadow the data, silently re-admitting duplicates of the whole
+    lake. Local-filesystem walk — the stores are written with os.path
+    layouts throughout this package."""
     import os
 
     def _has_parquet(d: str) -> bool:
