@@ -184,6 +184,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     reg = load_all()
+    unknown = only - set(reg)
+    if unknown:
+        # refuse, don't skip: a typo'd name otherwise yields "0 ok,
+        # 0 fail", which reads like a clean run
+        raise SystemExit(
+            f"unknown query name(s): {sorted(unknown)} — "
+            "see registry.load_all() for valid names"
+        )
     spark = get_spark("diffcheck")
 
     # `<dir>@xN` amplifies the fact tables N-fold on BOTH engines,
