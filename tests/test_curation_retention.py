@@ -76,7 +76,7 @@ def test_prune_then_replay_short_circuits_without_evidence(spark, tmp_path):
         run(b, [b * 10 + 1, b * 10 + 2])
     assert _evidence_dirs(rej, 1), "fixture wrote no evidence — vacuous"
 
-    report = prune_replay_evidence(rej, lake, keep_last=2)
+    report = prune_replay_evidence(spark, rej, lake, keep_last=2)
     # frontier = 6 (possibly in flight, never pruned); committed = 1-5;
     # audit window keeps the newest 2 of those
     assert report["pruned"] == [1, 2, 3]
@@ -105,7 +105,7 @@ def test_prune_then_replay_short_circuits_without_evidence(spark, tmp_path):
 
     # idempotent second sweep: frontier moved to 7, so 4 becomes
     # prunable (newest-2 window = {5, 6})
-    report2 = prune_replay_evidence(rej, lake, keep_last=2)
+    report2 = prune_replay_evidence(spark, rej, lake, keep_last=2)
     assert report2["pruned"] == [4]
 
 
@@ -146,13 +146,13 @@ def test_prune_refuses_batch_without_commit_marker(spark, tmp_path):
     # — a stage-4 lake-write crash leaves neither)
     os.remove(_commit_marker_path(lake, 2))
     os.remove(os.path.join(lake, "batch_id=2", "_SUCCESS"))
-    report = prune_replay_evidence(rej, lake, keep_last=0)
+    report = prune_replay_evidence(spark, rej, lake, keep_last=0)
     assert 2 not in report["pruned"]
     assert _evidence_dirs(rej, 2)
     # torn batch replays off its evidence and restores the marker
     run(2, [21, 22])
     assert os.path.isfile(_commit_marker_path(lake, 2))
-    report2 = prune_replay_evidence(rej, lake, keep_last=0)
+    report2 = prune_replay_evidence(spark, rej, lake, keep_last=0)
     assert 2 in report2["pruned"]
 
 
@@ -192,7 +192,7 @@ def test_redelivery_after_prune_and_compaction(spark, tmp_path):
     for b in range(1, 6):
         run(b, [b * 10 + 1, b * 10 + 2])
 
-    report = prune_replay_evidence(rej, lake, keep_last=0)
+    report = prune_replay_evidence(spark, rej, lake, keep_last=0)
     assert report["pruned"] == [1, 2, 3, 4]
     optimize_table(spark, lake, partition_cols=("batch_id",))
     # compaction replaced the partition dirs... but the markers survive

@@ -43,19 +43,20 @@ def test_run_concurrently_chains_sibling_errors():
 
     with pytest.raises((IOError, ValueError)) as exc_info:
         _run_concurrently(boom_io, boom_torn)
-    # walk the __cause__ chain: both messages must be reachable
-    seen = []
+    # the primary propagates; every sibling failure rides along as a
+    # PEP 678 note (NOT __cause__ — that would fabricate causality
+    # between merely-concurrent failures in the rendered traceback)
     e = exc_info.value
-    while e is not None:
-        seen.append(str(e))
-        e = e.__cause__
-    assert any("transient lake write" in s for s in seen), seen
-    assert any("rebuild required" in s for s in seen), seen
+    notes = list(getattr(e, "__notes__", []))
+    rendered = [str(e)] + notes
+    assert any("transient lake write" in s for s in rendered), rendered
+    assert any("rebuild required" in s for s in rendered), rendered
+    assert e.__cause__ is None
 
-    # single failure: raised as-is, no spurious chain
+    # single failure: raised as-is, no spurious notes
     with pytest.raises(ValueError) as one:
         _run_concurrently(lambda: None, boom_torn)
-    assert one.value.__cause__ is None
+    assert not getattr(one.value, "__notes__", [])
 
 
 def _tiny_batch(spark, doc_id: int):
@@ -186,3 +187,33 @@ def test_store_meta_write_is_atomic_swap(spark, tmp_path, monkeypatch):
     # next write (rename healthy again) succeeds
     ds._write_meta(spark, store, 2)
     assert ds.read_store_watermark(spark, store) == 2
+
+
+def test_ivf_probe_refuses_torn_ncells_small_k(spark, tmp_path):
+    """Round-11 review follow-up: the torn-index guard must cover the
+    SMALL-k (broadcast) probe branch too — a rebuild crash can leave
+    meta recording a small stale n_cells over a different centroids
+    table, and the branch choice + dedupe gate would silently use the
+    wrong arithmetic. The guard is plan-embedded (zero extra jobs) and
+    surfaces as Spark's USER_RAISED_EXCEPTION at execution."""
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        _write_meta,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    ivf = str(tmp_path / "ivf")
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(1, 13)],
+        "vec_id long, e array<double>",
+    )
+    build_ivf_index(spark, emb, ivf, k=4)
+    q = spark.createDataFrame(
+        [(100, [1.0, 1.0, 1.0])], "query_id long, qe array<double>"
+    )
+    assert probe_ivf_index(spark, q, ivf, topk=3).count() == 3
+
+    # tear: meta claims 3 cells, centroids hold 4 — still small-k
+    _write_meta(spark, ivf, 12, 1, n_cells=3)
+    with pytest.raises(Exception, match="IVF index torn"):
+        probe_ivf_index(spark, q, ivf, topk=3).count()

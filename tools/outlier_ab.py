@@ -32,12 +32,25 @@ from weather_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
-    names = args[1:] if args and os.path.isdir(args[0]) else args
+
+    def _is_sf_dir(a: str) -> bool:
+        # honor the repo's <dir>@xN amplification convention: the @xN
+        # suffix is not a literal directory, so test the BASE dir
+        return os.path.isdir(a.rpartition("@x")[0] if "@x" in a else a)
+
+    take_first = bool(args) and _is_sf_dir(args[0])
+    sf_dir = args[0] if take_first else "/root/testdata/sf0.1"
+    names = args[1:] if take_first else args
     if not names:
         raise SystemExit("usage: outlier_ab.py [sf_dir] query [query ...]")
-    passes = int(os.environ.get("SPARK_GRAFT_AB_PASSES", "8"))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_AB_PASSES", "8")))
     reg = load_all()
+    unknown = [n for n in names if n not in reg]
+    if unknown:
+        # refuse BEFORE the ~15s session spin-up + warmup/floor/ref
+        # jobs, and before a late bare KeyError — same posture as
+        # diffcheck's unknown-name guard
+        raise SystemExit(f"unknown query name(s): {unknown}")
 
     spark = get_spark("outlier-ab")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(

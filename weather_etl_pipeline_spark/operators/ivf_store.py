@@ -629,6 +629,33 @@ def probe_ivf_index(
                 F.collect_list(F.struct("cell", "centroid"))
             ).alias("_cs")
         )
+        if n_cells is not None:
+            # torn-index guard for THIS branch too (round-11 review):
+            # the large-k path verifies len(collected centroids) ==
+            # meta n_cells driver-side; without a twin here, a rebuild
+            # crash that left meta recording a small stale n_cells over
+            # a larger fresh centroids table would probe with the wrong
+            # branch arithmetic and return silently wrong neighbors.
+            # Plan-embedded (when/otherwise is lazy; raise_error fires
+            # only on mismatch) so the steady state still pays ZERO
+            # extra jobs — the n_cells meta field exists precisely to
+            # skip a per-probe cent.count(). Surfaces as
+            # SparkRuntimeException[USER_RAISED_EXCEPTION] at execution.
+            dt = cs.schema["_cs"].dataType.simpleString()
+            cs = cs.select(
+                F.when(F.size("_cs") == F.lit(int(k)), F.col("_cs"))
+                .otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"IVF index torn: meta records n_cells={k} "
+                            "but the centroids table holds a different "
+                            "row count — meta and centroids are out of "
+                            "sync; rebuild the index"
+                        )
+                    ).cast(dt)
+                )
+                .alias("_cs")
+            )
         near = F.slice(
             F.array_sort(
                 F.transform(

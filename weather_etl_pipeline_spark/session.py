@@ -122,7 +122,13 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if not master.startswith("local["):
+    # key the shipping decision on the SESSION's actual master, not the
+    # env-derived string this call computed: getOrCreate can hand back a
+    # pre-existing session whose master differs (e.g. created while
+    # SPARK_GRAFT_MASTER pointed at local-cluster, returned after the
+    # env var was unset) — skipping the ship there would reintroduce
+    # the executor ModuleNotFoundError this exists to fix
+    if not spark.sparkContext.master.startswith("local["):
         _ship_package(spark)
     return spark
 
@@ -157,6 +163,12 @@ def _ship_package(spark: SparkSession) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     repo_root = os.path.dirname(pkg_dir)
     zdir = tempfile.mkdtemp(prefix="wepl_pkg_")
+    # the zip must outlive the session (executors re-fetch registered
+    # pyFiles for the app's lifetime) — clean up at interpreter exit
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, zdir, ignore_errors=True)
     zpath = os.path.join(zdir, "weather_etl_pipeline_spark.zip")
     with zipfile.ZipFile(zpath, "w") as z:
         for dirpath, dirnames, files in os.walk(pkg_dir):

@@ -99,6 +99,21 @@ def touch(spark: SparkSession, path: str) -> None:
     fs.create(hpath, True).close()
 
 
+def copy_tree(spark: SparkSession, src: str, dst: str) -> None:
+    """Recursive copy (file or dir) via Hadoop's FileUtil — used to
+    carry sidecar markers into a staged table rewrite. Raises on
+    failure (FileUtil.copy returns false / throws)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs_src, hsrc = _fs_and_path(spark, src)
+    fs_dst, hdst = _fs_and_path(spark, dst)
+    ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+        fs_src, hsrc, fs_dst, hdst, False, conf
+    )
+    if not ok:
+        raise IOError(f"copy_tree: could not copy {src} -> {dst}")
+
+
 def list_dir(spark: SparkSession, path: str) -> list[str]:
     """Names (not full paths) of the immediate children of ``path``;
     empty list if the dir is missing."""

@@ -206,31 +206,27 @@ def optimize_table(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
+    # COPY top-level underscore sidecars (commit markers like the
+    # curation lake's _batch_commits) into the new layout BEFORE the
+    # swap: spark.read ignores _-prefixed entries, so the rewrite
+    # itself never carries them, but replay/pruning contracts key on
+    # them surviving every lake rewrite. Copying pre-publish (not
+    # renaming post-publish) keeps the recovery states exactly the two
+    # the docstring documents — a crash anywhere leaves EITHER the old
+    # layout fully intact (sidecars included) or the new layout live
+    # WITH its sidecars already inside; there is no committed-but-
+    # sidecar-less window. _SUCCESS is skipped (the fresh write has
+    # its own); copy failure aborts before anything was staged aside.
+    from .fs import copy_tree, list_dir
+
+    for name in list_dir(spark, table_path):
+        if name.startswith("_") and name not in ("_SUCCESS", "_temporary"):
+            copy_tree(spark, f"{table_path}/{name}", f"{tmp}/{name}")
     if not rename(spark, table_path, old):
         raise IOError(f"optimize_table: could not stage {table_path} aside")
     if not rename(spark, tmp, table_path):
         rename(spark, old, table_path)  # roll back to the intact layout
         raise IOError(f"optimize_table: could not commit {tmp}")
-    # carry top-level underscore sidecars (commit markers like the
-    # curation lake's _batch_commits) into the new layout BEFORE
-    # deleting the old one: spark.read ignores _-prefixed entries, so
-    # the rewrite itself never copies them, but replay/pruning
-    # contracts key on them surviving every lake rewrite. _SUCCESS is
-    # skipped — the fresh write has its own job-commit marker.
-    from .fs import list_dir
-
-    for name in list_dir(spark, old):
-        if name.startswith("_") and name not in ("_SUCCESS", "_temporary"):
-            if not rename(spark, f"{old}/{name}", f"{table_path}/{name}"):
-                # refuse rather than silently lose a commit marker: the
-                # new layout is already live, and the leftover __old__
-                # dir makes the next optimize run stop at the recovery
-                # guard until the operator moves the sidecar by hand
-                raise IOError(
-                    f"optimize_table: committed {table_path} but could "
-                    f"not carry sidecar {name} over from {old} — move it "
-                    "manually, then delete the old dir"
-                )
     delete(spark, old)
     return {
         "mode": "zorder",

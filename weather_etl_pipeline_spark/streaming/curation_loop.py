@@ -97,11 +97,15 @@ def _run_concurrently(*thunks) -> None:
     ordering contract between them (the two stage-1 evidence writes;
     the ANN append and the lake write). Spark job submission is
     thread-safe; the shared 32-core pool schedules both. The first
-    exception propagates after all thunks settle, with any sibling
-    failures chained as its ``__cause__`` — a torn ANN-append
+    exception propagates after all thunks settle, carrying every
+    sibling failure as an exception NOTE (PEP 678) — a torn ANN-append
     ValueError must not be masked by a concurrent transient lake-write
     error (or vice versa): the operator needs every failure to decide
-    whether a rebuild is required."""
+    whether a rebuild is required. Notes, not ``__cause__`` splicing:
+    chaining a sibling under the primary's existing cause chain would
+    render "the above exception was the direct cause of" for two
+    failures that are merely CONCURRENT, fabricating causality in the
+    traceback."""
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
@@ -115,15 +119,31 @@ def _run_concurrently(*thunks) -> None:
         if errs:
             primary = errs[0]
             for sibling in errs[1:]:
-                # chain depth-first so str/traceback render every leg
-                deepest = primary
-                while deepest.__cause__ is not None:
-                    deepest = deepest.__cause__
-                deepest.__cause__ = sibling
+                primary.add_note(
+                    "concurrent sibling leg ALSO failed: "
+                    f"{type(sibling).__name__}: {sibling}"
+                )
             raise primary
 
 
-def _meta_lost_with_data(store_path: str, data_subdirs: tuple[str, ...]) -> bool:
+def _has_parquet(spark: SparkSession, d: str) -> bool:
+    """Any ``.parquet`` file under ``d`` (recursive) — Hadoop-FS walk,
+    so the answer is identical on file:// and object stores."""
+    from ..sources.fs import _fs_and_path, path_exists
+
+    if not path_exists(spark, d):
+        return False
+    fs, hpath = _fs_and_path(spark, d)
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
+def _meta_lost_with_data(
+    spark: SparkSession, store_path: str, data_subdirs: tuple[str, ...]
+) -> bool:
     """True when ``<store>/meta`` holds no parquet but at least one of
     the store's data subdirs does — the signature of a crash mid
     meta-write. Since round 11 meta goes through the atomic
@@ -133,21 +153,13 @@ def _meta_lost_with_data(store_path: str, data_subdirs: tuple[str, ...]) -> bool
     stays. In that state the store still holds every accepted
     document; an "empty rebuild" would reset the watermark to -1 and
     shadow the data, silently re-admitting duplicates of the whole
-    lake. Local-filesystem walk — the stores are written with os.path
-    layouts throughout this package."""
-    import os
-
-    def _has_parquet(d: str) -> bool:
-        if not os.path.isdir(d):
-            return False
-        for _root, _dirs, files in os.walk(d):
-            if any(f.endswith(".parquet") for f in files):
-                return True
+    lake. Hadoop-FS walk, NOT os.path: a scheme-qualified store
+    (file:/, hdfs://, s3a://) would read as "no data" under os.path
+    and silently re-enable the destructive advice this guard exists
+    to block."""
+    if _has_parquet(spark, f"{store_path}/meta"):
         return False
-
-    if _has_parquet(os.path.join(store_path, "meta")):
-        return False
-    return any(_has_parquet(os.path.join(store_path, s)) for s in data_subdirs)
+    return any(_has_parquet(spark, f"{store_path}/{s}") for s in data_subdirs)
 
 
 def _commit_marker_path(lake_dir: str, batch_id: int) -> str:
@@ -163,85 +175,92 @@ def _lake_committed(spark: SparkSession, lake_dir: str, batch_id: int) -> bool:
     """True when the batch's lake write provably committed: the loop's
     explicit commit marker (touched after BOTH stage-4 legs join —
     compaction-proof, see _commit_marker_path), or, for lakes written
-    before the marker existed, the per-dir ``_SUCCESS`` Spark leaves at
-    job commit. Keyed on markers, not dir existence: an interrupted
-    overwrite can leave a partial dir. Hadoop-FS checks, so the
-    contract is identical on file:// and object stores."""
-    from ..sources.fs import path_exists
+    before the marker existed (or a crash between the stage-4 join and
+    the touch), the per-dir ``_SUCCESS`` Spark leaves at job commit.
+    When only the fallback fires, the marker is SELF-HEALED on the
+    spot: without it, that batch's evidence is never prunable, and a
+    later compaction (which removes per-dir _SUCCESS) would strand the
+    batch permanently marker-less. Keyed on markers, not dir
+    existence: an interrupted overwrite can leave a partial dir.
+    Hadoop-FS checks, so the contract is identical on file:// and
+    object stores."""
+    from ..sources.fs import path_exists, touch
 
-    if path_exists(spark, _commit_marker_path(lake_dir, batch_id)):
+    marker = _commit_marker_path(lake_dir, batch_id)
+    if path_exists(spark, marker):
         return True
-    return path_exists(
-        spark, f"{lake_dir}/batch_id={int(batch_id)}/_SUCCESS"
-    )
+    if path_exists(spark, f"{lake_dir}/batch_id={int(batch_id)}/_SUCCESS"):
+        touch(spark, marker)
+        return True
+    return False
 
 
 def prune_replay_evidence(
-    rejects_dir: str, lake_dir: str, keep_last: int = 8
+    spark: SparkSession, rejects_dir: str, lake_dir: str, keep_last: int = 8
 ) -> dict:
     """Retention sweep for per-batch replay evidence (round-11 judge
     item): ``rejects_dir/{stage}/batch_id=N`` grows one dir per stage
     per micro-batch forever. Evidence exists for two reasons — replay
     anti-joins and quarantine audit — and the replay reason EXPIRES
     once a batch is fully committed: the whole-batch short-circuit in
-    ``process_curation_batch`` returns on watermarks + the lake's
-    ``_SUCCESS`` marker without touching evidence.
+    ``process_curation_batch`` returns on watermarks + the explicit
+    commit marker without touching evidence.
 
-    A batch is provably committed when (a) a LATER batch's evidence or
-    lake dir exists — foreachBatch is strictly sequential, so batch
-    N+1 starting means batch N returned, i.e. committed every stage —
-    and (b) its own EXPLICIT commit marker is present (defense in
-    depth: (a) already implies it; refuse to prune if the two disagree
-    rather than guess). The explicit marker — NOT the per-dir
-    ``_SUCCESS`` — is required here because pruning must guarantee the
-    redelivery short-circuit forever: compaction replaces the
-    ``batch_id=N`` dirs (removing their ``_SUCCESS``), while the
-    marker lives outside them and survives every lake rewrite. The
-    newest ``keep_last`` committed batches are kept regardless, as the
-    audit window.
+    A batch prunes when (a) a LATER batch's evidence or lake dir
+    exists — foreachBatch is strictly sequential, so batch N+1
+    starting means batch N returned, i.e. committed every stage — and
+    (b) its own EXPLICIT commit marker is present. The marker — NOT
+    the per-dir ``_SUCCESS`` — is what pruning keys on, because the
+    pruned batch's redelivery short-circuit must hold forever:
+    compaction replaces the ``batch_id=N`` dirs (removing their
+    ``_SUCCESS``), while the marker lives outside them and survives
+    every lake rewrite. Batches that satisfy (a) but lack the marker
+    (pre-marker lakes; a crash between the stage-4 join and the
+    touch before any redelivery healed it) are NOT pruned and are
+    reported under ``unprunable_no_marker`` — their evidence is what
+    a redelivery would replay from. The newest ``keep_last`` committed
+    batches are kept regardless, as the audit window.
 
-    Driver-side os walk + rmtree — evidence dirs are per-batch small;
-    no Spark job needed. Returns ``{"pruned": [...], "kept": [...]}``
-    by batch id."""
-    import os
-    import shutil
+    Driver-side Hadoop-FS listing + delete (file://, hdfs://, s3a://
+    alike) — evidence dirs are per-batch small; no Spark job needed.
+    Returns ``{"pruned": [...], "kept": [...],
+    "unprunable_no_marker": [...]}`` by batch id."""
+    from ..sources.fs import delete, list_dir, path_exists
 
     def _batch_ids(root: str) -> set[int]:
-        out = set()
-        if os.path.isdir(root):
-            for d in os.listdir(root):
-                if d.startswith("batch_id="):
-                    out.add(int(d.split("=", 1)[1]))
-        return out
+        return {
+            int(d.split("=", 1)[1])
+            for d in list_dir(spark, root)
+            if d.startswith("batch_id=")
+        }
 
-    stages = (
-        [s for s in os.listdir(rejects_dir) if os.path.isdir(os.path.join(rejects_dir, s))]
-        if os.path.isdir(rejects_dir)
-        else []
-    )
+    stages = [s for s in list_dir(spark, rejects_dir) if not s.startswith("_")]
     evidence_batches = set()
     for s in stages:
-        evidence_batches |= _batch_ids(os.path.join(rejects_dir, s))
+        evidence_batches |= _batch_ids(f"{rejects_dir}/{s}")
     all_known = evidence_batches | _batch_ids(lake_dir)
     if not all_known:
-        return {"pruned": [], "kept": []}
+        return {"pruned": [], "kept": [], "unprunable_no_marker": []}
     frontier = max(all_known)  # newest batch — possibly in flight
-    committed = sorted(
+    settled = sorted(b for b in evidence_batches if b < frontier)
+    committed = [
         b
-        for b in evidence_batches
-        if b < frontier
-        and os.path.isfile(
-            os.path.join(lake_dir, "_batch_commits", f"batch_id={b}")
-        )
-    )
+        for b in settled
+        if path_exists(spark, _commit_marker_path(lake_dir, b))
+    ]
+    unprunable = sorted(set(settled) - set(committed))
     prunable = committed[: max(0, len(committed) - keep_last)]
     for b in prunable:
         for s in stages:
-            d = os.path.join(rejects_dir, s, f"batch_id={b}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+            d = f"{rejects_dir}/{s}/batch_id={b}"
+            if path_exists(spark, d):
+                delete(spark, d)
     kept = sorted(evidence_batches - set(prunable))
-    return {"pruned": prunable, "kept": kept}
+    return {
+        "pruned": prunable,
+        "kept": kept,
+        "unprunable_no_marker": unprunable,
+    }
 
 
 def _read_evidence(
@@ -299,12 +318,13 @@ def process_curation_batch(
         if hi_row["hi"] is None:
             return
         hi = int(hi_row["hi"])
-        # NOTE there is deliberately NO whole-batch short-circuit: a crash
-        # can land between the last store commit and the lake write, so a
-        # fully-committed batch still falls through — every stage below
-        # then reads its persisted evidence (never re-probing a store that
-        # contains the batch's own docs) and the lake write re-runs as an
-        # idempotent batch_id-keyed overwrite.
+        # NOTE the whole-batch short-circuit below fires ONLY for a
+        # provably fully-committed batch (both watermarks + commit
+        # marker). Any other crash point — including between the last
+        # store commit and the lake write — falls through: every stage
+        # then reads its persisted evidence (never re-probing a store
+        # that contains the batch's own docs) and the lake write
+        # re-runs as an idempotent batch_id-keyed overwrite.
         from pyspark.errors import AnalysisException
 
         try:
@@ -324,7 +344,7 @@ def process_curation_batch(
                         ("signature store", sig_store, ("bands", "codes")),
                         ("IVF index", ivf_index, ("cells", "centroids")),
                     )
-                    if _meta_lost_with_data(path, subdirs)
+                    if _meta_lost_with_data(spark, path, subdirs)
                 ]
                 if orphaned:
                     raise ValueError(
