@@ -217,3 +217,39 @@ def test_ivf_probe_refuses_torn_ncells_small_k(spark, tmp_path):
     _write_meta(spark, ivf, 12, 1, n_cells=3)
     with pytest.raises(Exception, match="IVF index torn"):
         probe_ivf_index(spark, q, ivf, topk=3).count()
+
+
+def test_meta_lost_detection_on_scheme_qualified_paths(spark, tmp_path):
+    """Round-11 review: the orphaned-store guard walked os.path, so a
+    scheme-qualified store (file:/, hdfs://, s3a://) read as "no data"
+    and the loop fell back to the DESTRUCTIVE empty-rebuild advice.
+    Pin the Hadoop-FS walk: the same orphan scenario addressed via a
+    file: URI must still refuse."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+    )
+    from weather_etl_pipeline_spark.operators.ivf_store import build_ivf_index
+    from weather_etl_pipeline_spark.streaming.curation_loop import (
+        process_curation_batch,
+    )
+
+    # scheme-qualified addresses for both stores; lake/rejects local
+    sig = f"file:{tmp_path}/sig"
+    ivf = f"file:{tmp_path}/ivf"
+    lake, rej = str(tmp_path / "lake"), str(tmp_path / "rej")
+    build_signature_store(
+        spark, spark.createDataFrame([], "doc_id long, text string"), sig
+    )
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"), ivf
+    )
+    process_curation_batch(
+        spark, _tiny_batch(spark, 1), 1, sig, ivf, lake, rej
+    )
+    assert spark.read.parquet(lake).count() == 1
+
+    shutil.rmtree(tmp_path / "sig" / "meta")
+    with pytest.raises(ValueError, match="meta lost on a store"):
+        process_curation_batch(
+            spark, _tiny_batch(spark, 2), 2, sig, ivf, lake, rej
+        )
