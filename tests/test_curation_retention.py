@@ -250,3 +250,66 @@ def test_zorder_rewrite_preserves_commit_markers(spark, tmp_path):
         assert os.path.isfile(_commit_marker_path(lake, b)), b
     rows_after = sorted(tuple(r) for r in spark.read.parquet(lake).collect())
     assert rows_after == rows_before
+
+
+def test_curation_audit_report(spark, tmp_path):
+    """The audit report is the consumer of the evidence window: stage
+    quarantine counts, lake rows, marker/evidence flags per batch, and
+    anomaly detection for the two states an operator must act on."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+    )
+    from weather_etl_pipeline_spark.operators.ivf_store import build_ivf_index
+    from weather_etl_pipeline_spark.streaming.curation_loop import (
+        _commit_marker_path,
+        curation_audit_report,
+        process_curation_batch,
+        prune_replay_evidence,
+    )
+
+    sig, ivf = str(tmp_path / "sig"), str(tmp_path / "ivf")
+    lake, rej = str(tmp_path / "lake"), str(tmp_path / "rej")
+    build_signature_store(
+        spark, spark.createDataFrame([], "doc_id long, text string"), sig
+    )
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"), ivf
+    )
+
+    def run(bid, ids, dup_of=None):
+        process_curation_batch(
+            spark, _batch(spark, ids, dup_of), bid, sig, ivf, lake, rej
+        )
+
+    run(1, [11, 12])
+    run(2, [21, 22], dup_of={21: 11})  # 21 is an exact dup of batch-1's 11
+    run(3, [31, 32])
+
+    rep = curation_audit_report(spark, rej, lake, sig, ivf)
+    assert rep["sig_watermark"] == 32 and rep["ivf_watermark"] == 32
+    assert rep["anomalies"] == []
+    b2 = rep["batches"][2]
+    # doc 21 quarantined by the TEXT probe (identical text to stored 11)
+    assert b2["text_rejects"] == 1
+    assert b2["lake_rows"] == 1 and b2["marker"] and b2["evidence"]
+    assert rep["batches"][1]["lake_rows"] == 2
+
+    # prune batch 1: counts become None, flags reflect the pruned state
+    prune_replay_evidence(spark, rej, lake, keep_last=1)
+    rep2 = curation_audit_report(spark, rej, lake, sig, ivf)
+    b1 = rep2["batches"][1]
+    assert b1["quality_rejects"] is None and not b1["evidence"]
+    assert b1["marker"] and b1["lake_rows"] == 2
+    assert rep2["anomalies"] == []
+
+    # anomaly 1: a settled batch missing its marker
+    os.remove(_commit_marker_path(lake, 2))
+    rep3 = curation_audit_report(spark, rej, lake, sig, ivf)
+    assert {"batch_id": 2, "kind": "settled_no_marker"} in rep3["anomalies"]
+
+    # anomaly 2: marker present but lake dir deleted out-of-band
+    import shutil
+
+    shutil.rmtree(os.path.join(lake, "batch_id=3"))
+    rep4 = curation_audit_report(spark, rej, lake, sig, ivf)
+    assert {"batch_id": 3, "kind": "marker_no_lake"} in rep4["anomalies"]

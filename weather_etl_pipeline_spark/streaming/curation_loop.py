@@ -263,6 +263,105 @@ def prune_replay_evidence(
     }
 
 
+def curation_audit_report(
+    spark: SparkSession,
+    rejects_dir: str,
+    lake_dir: str,
+    sig_store: str,
+    ivf_index: str,
+    family: str = "minhash",
+) -> dict:
+    """Operator-facing audit of the curation service's state — the
+    consumer of the evidence/retention window (round-11 follow-up to
+    prune_replay_evidence): one entry per known batch with its
+    per-stage quarantine counts, accepted lake rows, and
+    replay-contract flags, plus store watermarks and a list of
+    anomalies worth a human's attention.
+
+    Per-batch fields: ``{stage}_rejects`` (quality/intra/text/ann —
+    None when that stage's evidence is pruned or the batch predates
+    it), ``lake_rows``, ``marker`` (explicit commit marker present),
+    ``evidence`` (any stage dir still present). Anomalies flagged:
+    - ``settled_no_marker``: a batch older than the frontier without a
+      commit marker — either a torn stage 4 awaiting redelivery or a
+      pre-marker lake; its evidence must not be pruned.
+    - ``marker_no_lake``: a marker whose lake dir is missing — markers
+      are only touched AFTER the lake write joins, so this means
+      someone deleted lake data out-of-band.
+
+    Driver-side listings + one small Spark count per surviving
+    evidence dir and one grouped count over the lake — an audit run,
+    not a hot-path op. Returns a plain dict (JSON-ready)."""
+    from ..sources.fs import list_dir, path_exists
+
+    stage_schemas = {
+        "quality": "doc_id long, quality double",
+        "intra": "new_id long, old_id long",
+        "text": _FAMILIES[family]["empty_schema"],
+        "ann": _ANN_EVIDENCE_SCHEMA,
+    }
+
+    def _batch_ids(root: str) -> set[int]:
+        return {
+            int(d.split("=", 1)[1])
+            for d in list_dir(spark, root)
+            if d.startswith("batch_id=")
+        }
+
+    lake_batches = _batch_ids(lake_dir)
+    marker_batches = _batch_ids(f"{lake_dir}/_batch_commits")
+    batches: dict[int, dict] = {}
+    for stage, schema in stage_schemas.items():
+        for b in _batch_ids(f"{rejects_dir}/{stage}"):
+            row = batches.setdefault(b, {})
+            row[f"{stage}_rejects"] = _read_evidence(
+                spark, rejects_dir, stage, b, schema
+            ).count()
+    for b in lake_batches | marker_batches:
+        batches.setdefault(b, {})
+    lake_counts = (
+        {
+            int(r["batch_id"]): int(r["count"])
+            for r in spark.read.parquet(lake_dir)
+            .groupBy("batch_id")
+            .count()
+            .collect()
+        }
+        if lake_batches
+        else {}
+    )
+    anomalies = []
+    frontier = max(batches) if batches else None
+    for b, row in sorted(batches.items()):
+        row["lake_rows"] = lake_counts.get(b, 0)
+        row["marker"] = b in marker_batches
+        row["evidence"] = any(
+            f"{s}_rejects" in row for s in stage_schemas
+        )
+        for s in stage_schemas:
+            row.setdefault(f"{s}_rejects", None)
+        if not row["marker"] and frontier is not None and b < frontier:
+            anomalies.append({"batch_id": b, "kind": "settled_no_marker"})
+        if row["marker"] and b not in lake_batches:
+            anomalies.append({"batch_id": b, "kind": "marker_no_lake"})
+    sig_wm = (
+        read_store_watermark(spark, sig_store)
+        if path_exists(spark, f"{sig_store}/meta")
+        else None
+    )
+    ivf_wm = (
+        _read_meta(spark, ivf_index)[0]
+        if path_exists(spark, f"{ivf_index}/meta")
+        else None
+    )
+    return {
+        "batches": batches,
+        "sig_watermark": sig_wm,
+        "ivf_watermark": ivf_wm,
+        "anomalies": anomalies,
+    }
+
+
 def _read_evidence(
     spark: SparkSession, rejects_dir: str, stage: str, batch_id: int, schema: str
 ) -> DataFrame:
