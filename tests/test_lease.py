@@ -1,0 +1,217 @@
+"""Single-writer lease (sources/lease.py) — the prevention half of
+the swap-family concurrency story (the detection half lives in
+test_metadata_crash_consistency / test_curation_chaos).
+
+Covers both implementations: the O_EXCL local path every real run in
+this container takes, and the Hadoop create-if-absent path (forced
+via _impl="hadoop" on file: URIs) a cluster deployment takes. The
+thread-contention tests are the ones that killed the first
+(sideline-rename) design of this module: a breaker holding a stale
+read could rename away a lease a faster breaker had just re-created
+(ABA). The generation design arbitrates only via atomic creates of
+never-reused names, so those tests must show exactly one winner.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import pytest
+
+from weather_etl_pipeline_spark.sources.lease import (
+    LeaseHeldError,
+    acquire_lease,
+    lease_path_for,
+    release_lease,
+    writer_lease,
+)
+
+IMPLS = ["auto", "hadoop"]
+
+
+def _resource(tmp_path, impl):
+    # hadoop impl gets an explicit file: URI so the FS resolution is
+    # exercised the way a cluster path would be
+    p = str(tmp_path / "store")
+    return f"file://{p}" if impl == "hadoop" else p
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_acquire_excludes_second_writer(spark, tmp_path, impl):
+    res = _resource(tmp_path, impl)
+    token = acquire_lease(spark, res, owner="w1", ttl_s=60, _impl=impl)
+    with pytest.raises(LeaseHeldError) as ei:
+        acquire_lease(spark, res, owner="w2", ttl_s=60, _impl=impl)
+    assert "w1" in str(ei.value)
+    assert release_lease(spark, res, token, _impl=impl) is True
+    # released → a new writer acquires cleanly
+    t2 = acquire_lease(spark, res, owner="w2", ttl_s=60, _impl=impl)
+    assert release_lease(spark, res, t2, _impl=impl) is True
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_expired_lease_is_broken(spark, tmp_path, impl):
+    res = _resource(tmp_path, impl)
+    acquire_lease(spark, res, owner="dead", ttl_s=0.05, _impl=impl)
+    time.sleep(0.1)  # intentionally never released — simulated crash
+    t2 = acquire_lease(spark, res, owner="next", ttl_s=60, _impl=impl)
+    assert release_lease(spark, res, t2, _impl=impl) is True
+
+
+def test_torn_lease_file_is_breakable(spark, tmp_path):
+    # a present-but-empty lease proves the create crashed before the
+    # payload write — the would-be holder never proceeded, so it must
+    # not fence out the next writer for a full TTL
+    res = str(tmp_path / "store")
+    open(lease_path_for(res, 7), "wb").close()
+    token = acquire_lease(spark, res, ttl_s=60)
+    gen, my_uuid = token.split(":", 1)
+    assert int(gen) == 8  # supersedes, never reuses, the torn gen
+    payload = json.loads(open(lease_path_for(res, 8), "rb").read())
+    assert payload["token"] == my_uuid
+    release_lease(spark, res, token)
+
+
+def test_release_wrong_token_is_noop(spark, tmp_path):
+    res = str(tmp_path / "store")
+    token = acquire_lease(spark, res, owner="w1", ttl_s=60)
+    gen = token.split(":", 1)[0]
+    assert release_lease(spark, res, f"{gen}:not-the-uuid") is False
+    assert release_lease(spark, res, "garbage-token") is False
+    # lease intact: second writer still fenced out
+    with pytest.raises(LeaseHeldError):
+        acquire_lease(spark, res, ttl_s=60)
+    assert release_lease(spark, res, token) is True
+
+
+def test_overstaying_holder_must_not_release(spark, tmp_path):
+    # the hold guarantee ends at expires: a holder that outlived its
+    # TTL may be racing a successor's takeover and must touch nothing
+    res = str(tmp_path / "store")
+    t1 = acquire_lease(spark, res, owner="slow", ttl_s=0.05)
+    time.sleep(0.1)
+    assert release_lease(spark, res, t1) is False
+    # the stale file is still swept by the next acquirer's break path
+    t2 = acquire_lease(spark, res, owner="next", ttl_s=60)
+    assert release_lease(spark, res, t2) is True
+
+
+def test_stale_holder_release_cannot_evict_new_holder(spark, tmp_path):
+    # crash → TTL expiry → superseded by w2 → the ORIGINAL holder's
+    # deferred release must not delete w2's live lease
+    res = str(tmp_path / "store")
+    t1 = acquire_lease(spark, res, owner="w1", ttl_s=0.05)
+    time.sleep(0.1)
+    t2 = acquire_lease(spark, res, owner="w2", ttl_s=60)
+    assert release_lease(spark, res, t1) is False
+    with pytest.raises(LeaseHeldError):  # w2 still holds
+        acquire_lease(spark, res, ttl_s=60)
+    assert release_lease(spark, res, t2) is True
+
+
+def _race(spark, res, n=16):
+    results: list[str | None] = [None] * n
+    barrier = threading.Barrier(n)
+
+    def worker(i: int) -> None:
+        barrier.wait()
+        try:
+            results[i] = acquire_lease(spark, res, owner=f"t{i}", ttl_s=60)
+        except LeaseHeldError:
+            results[i] = None
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return [r for r in results if r is not None]
+
+
+def test_thread_contention_exactly_one_winner(spark, tmp_path):
+    res = str(tmp_path / "store")
+    winners = _race(spark, res)
+    assert len(winners) == 1
+    assert release_lease(spark, res, winners[0]) is True
+
+
+def test_break_contention_exactly_one_winner(spark, tmp_path):
+    # N threads all find the SAME expired lease: generation
+    # arbitration (atomic create of gen max+1) admits exactly one
+    res = str(tmp_path / "store")
+    acquire_lease(spark, res, owner="dead", ttl_s=0.05)
+    time.sleep(0.1)
+    winners = _race(spark, res)
+    assert len(winners) == 1
+    release_lease(spark, res, winners[0])
+
+
+def test_repeated_break_contention_never_two_winners(spark, tmp_path):
+    # hammer the ABA shape that broke the sideline design: rounds of
+    # (expire → 16-way break race), asserting one winner per round
+    res = str(tmp_path / "store")
+    for _ in range(5):
+        acquire_lease(spark, res, owner="dead", ttl_s=0.05)
+        time.sleep(0.1)
+        winners = _race(spark, res)
+        assert len(winners) == 1
+        release_lease(spark, res, winners[0])
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_context_manager_releases_on_exception(spark, tmp_path, impl):
+    res = _resource(tmp_path, impl)
+    with pytest.raises(RuntimeError, match="mid-write"):
+        with writer_lease(spark, res, ttl_s=60, _impl=impl):
+            raise RuntimeError("mid-write failure")
+    # released on the exception path → immediately re-acquirable
+    with writer_lease(spark, res, ttl_s=60, _impl=impl):
+        pass
+
+
+def test_superseded_generations_are_swept(spark, tmp_path):
+    res = str(tmp_path / "store")
+    acquire_lease(spark, res, owner="dead", ttl_s=0.05)
+    time.sleep(0.1)
+    token = acquire_lease(spark, res, owner="next", ttl_s=60)
+    gen = int(token.split(":", 1)[0])
+    assert gen == 2
+    import os
+
+    names = [n for n in os.listdir(tmp_path) if ".__lease" in n]
+    assert names == [os.path.basename(lease_path_for(res, 2))]
+    release_lease(spark, res, token)
+    assert [n for n in os.listdir(tmp_path) if ".__lease" in n] == []
+
+
+def test_crash_orphaned_temps_are_swept_by_age(spark, tmp_path):
+    import os
+
+    res = str(tmp_path / "store")
+    stale = tmp_path / ".store.__lease.g00000000000000000009.tmp_deadbeef"
+    fresh = tmp_path / ".store.__lease.g00000000000000000009.tmp_cafecafe"
+    stale.write_bytes(b"{}")
+    fresh.write_bytes(b"{}")
+    past = time.time() - 120
+    os.utime(stale, (past, past))  # crashed creator from two TTLs ago
+    token = acquire_lease(spark, res, ttl_s=60)
+    names = set(os.listdir(tmp_path))
+    assert stale.name not in names  # swept: older than the TTL
+    assert fresh.name in names  # kept: could be an in-flight create
+    release_lease(spark, res, token)
+
+
+def test_lease_file_is_a_sibling_not_a_child(tmp_path):
+    # the swap family renames/copies the resource DIR; the lease must
+    # live beside it so a mid-hold swap can't move or delete it
+    assert lease_path_for("/a/b/store", 1) == (
+        "/a/b/store.__lease.g" + "1".zfill(20)
+    )
+    assert lease_path_for("/a/b/store/", 1) == lease_path_for("/a/b/store", 1)
+
+
+def test_ttl_must_be_positive(spark, tmp_path):
+    with pytest.raises(ValueError, match="ttl_s"):
+        acquire_lease(spark, str(tmp_path / "s"), ttl_s=0)

@@ -1,0 +1,444 @@
+"""Single-writer lease for the store / metadata swap family.
+
+The swap-family writers (``plans/metadata._atomic_overwrite``, the
+signature/IVF store appends, ``optimize_table``'s directory swap) are
+crash-safe and DETECT concurrent-writer interference loudly — checked
+renames, orphan-refusal scans — but they do not PREVENT it. On
+rename-atomic filesystems (local, HDFS) a lost race surfaces as a
+clean IOError; on object stores (S3A), where rename is copy+delete,
+two interleaved writers can tear state that only the next append's
+orphan scan notices. This module is the prevention half: a TTL lease
+that makes "two writers mutate the same store" impossible to start,
+instead of merely guaranteed-to-be-caught.
+
+Reference parity: the reference pipeline (ingestion.py:7-45 →
+gold.py:13-125) is a single cron-sequenced writer and needs no lock;
+this engine's streaming curation service admits concurrent deploys,
+so the single-writer assumption the reference gets from cron must be
+enforced by the engine itself.
+
+Design: monotonic lease GENERATIONS
+-----------------------------------
+A lease is a file ``<resource>.__lease.g<N>`` — a SIBLING of the
+resource (deliberately outside the resource directory, so the
+metadata swap's dir-rename-aside and ``optimize_table``'s sidecar
+copy never move, copy, or delete it mid-hold). The live lease is the
+one with the HIGHEST generation; acquiring means atomically creating
+generation ``max+1`` with create-if-absent:
+
+- current max generation live (not past its ``expires``) →
+  :class:`LeaseHeldError`;
+- current max stale, torn, or absent → try to create gen ``max+1``.
+  Exactly one contender's create succeeds; losers re-read the fresh
+  lease and fail with LeaseHeldError.
+
+The crucial property: arbitration is ONLY ever an atomic
+create-if-absent of a fresh, never-reclaimed name. There is no
+delete-then-recreate of a contended name and no rename of a file
+whose content may have changed since it was read — the ABA interleave
+that breaks naive sideline/replace lock-file protocols (a breaker
+holding a stale read renames away the lease a faster breaker just
+re-created) cannot be expressed here at all. Superseded generations
+are garbage, deleted best-effort by the new holder; they are never
+consulted once a higher generation exists, so their deletion races
+nothing.
+
+- The payload is one JSON object ``{token, owner, acquired,
+  expires}``; wall-clock epoch seconds. The TTL therefore assumes
+  writer clocks agree to well within ``ttl_s`` — pick (longest
+  expected write) + (max plausible clock skew), not a tight bound. A
+  skewed clock can at worst break a live-but-expired-looking lease,
+  the standard TTL-lease failure mode; the swap family's checked
+  renames and orphan refusals remain the backstop for that case.
+- An EMPTY or unparseable lease file is stale immediately: the holder
+  only proceeds after its write+close succeeded, so a torn payload
+  proves the would-be holder never started writing.
+- ``release_lease`` deletes only the caller's own generation after
+  verifying the on-disk token — after a crash, TTL expiry, and a
+  takeover, the original holder's deferred release is a no-op on the
+  new holder's higher generation.
+
+Atomic create-if-absent: local paths (scheme "" or ``file:``) use
+``os.open(O_CREAT|O_EXCL)`` — kernel-atomic, covering every
+environment this repo actually runs in. Other schemes go through
+Hadoop's ``FileSystem.create(path, overwrite=false)``: atomic on
+HDFS/ABFS; on S3A best-effort (a HEAD-then-PUT emulation), so there
+the lease narrows the unguarded window from "the whole write" to one
+create call rather than closing it — on S3 with a real conditional
+PUT (If-None-Match) or any DFS, it is closed. The orphan-refusal
+scans stay on regardless, exactly as before.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from contextlib import contextmanager
+from urllib.parse import urlparse
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TTL_S = 900.0
+_GEN_SEP = ".__lease.g"
+
+
+class LeaseHeldError(RuntimeError):
+    """Another writer holds a live lease on the resource."""
+
+    def __init__(self, resource: str, owner: str, expires: float):
+        self.resource = resource
+        self.owner = owner
+        self.expires = expires
+        super().__init__(
+            f"lease on {resource} held by {owner!r} "
+            f"(expires in {max(0.0, expires - time.time()):.1f}s); "
+            "a second writer must wait for release or TTL expiry"
+        )
+
+
+def lease_path_for(resource: str, gen: int) -> str:
+    """Sibling lease-file path for ``resource`` at generation ``gen``."""
+    return f"{resource.rstrip('/')}{_GEN_SEP}{gen:020d}"
+
+
+def _local_path(path: str) -> str | None:
+    """OS path if ``path`` is local (scheme '' or file:), else None."""
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return parsed.path or path
+    return None
+
+
+def _split_parent(resource: str) -> tuple[str, str]:
+    r = resource.rstrip("/")
+    i = r.rfind("/")
+    return (r[:i] if i > 0 else "/", r[i + 1 :])
+
+
+# ---------------------------------------------------------------- local impl
+
+
+def _local_try_create(path: str, payload: bytes) -> bool:
+    """Atomic create-if-absent WITH CONTENT: write a private temp,
+    ``os.link`` it into place (fails if the target exists), unlink the
+    temp. A bare O_CREAT|O_EXCL + write is NOT enough — a reader can
+    observe the empty file between the two syscalls, parse it as a
+    torn (stale) lease, and supersede a live holder; the contention
+    test caught exactly that. link() publishes name and payload in
+    one atomic step. Filesystems without hardlinks (FAT, some network
+    mounts) fall back to O_EXCL with a single write — a microscopic
+    residual window, flagged here rather than hidden."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{os.path.dirname(path)}/.{os.path.basename(path)}.tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    except OSError:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+    finally:
+        _local_delete(tmp)
+
+
+def _local_read(path: str) -> bytes | None:
+    try:
+        with open(path, "rb") as f:
+            return f.read()
+    except FileNotFoundError:
+        return None
+
+
+def _local_list(parent: str, prefix: str) -> list[str]:
+    try:
+        return [n for n in os.listdir(parent) if n.startswith(prefix)]
+    except FileNotFoundError:
+        return []
+
+
+def _local_delete(path: str) -> None:
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
+
+
+# --------------------------------------------------------------- hadoop impl
+
+
+def _hadoop_try_create(spark: SparkSession, path: str, payload: bytes) -> bool:
+    """Atomic create-if-absent WITH CONTENT for Hadoop schemes: write
+    the payload to a private temp sibling, then rename it to the
+    target. On HDFS rename refuses (returns false) when the
+    destination exists, so name and payload publish in one atomic
+    step — the same no-torn-window property the local impl gets from
+    os.link. A direct create(path, overwrite=false) + write would
+    expose an empty target mid-create, which a concurrent reader
+    would break as a torn lease.
+
+    Two schemes need extra care: RawLocalFileSystem's rename maps to
+    POSIX rename(2), which silently OVERWRITES an existing target,
+    and S3A's rename is copy+delete. For both, the exists pre-check
+    plus a post-rename read-back (did OUR payload survive?) shrink
+    the race to a near-simultaneous double-rename; on HDFS/ABFS the
+    rename itself is the arbiter and the read-back merely confirms."""
+    from .fs import _fs_and_path, delete, path_exists, rename
+
+    parent, base = _split_parent(path)
+    tmp = f"{parent}/.{base}.tmp_{uuid.uuid4().hex[:8]}"
+    fs, htmp = _fs_and_path(spark, tmp)
+    out = fs.create(htmp, False)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    if path_exists(spark, path) or not rename(spark, tmp, path):
+        delete(spark, tmp)
+        return False
+    return _hadoop_read(spark, path) == payload
+
+
+def _hadoop_read(spark: SparkSession, path: str) -> bytes | None:
+    from py4j.protocol import Py4JJavaError
+
+    from .fs import _fs_and_path
+
+    fs, hpath = _fs_and_path(spark, path)
+    try:
+        stream = fs.open(hpath)
+    except Py4JJavaError as e:
+        if "FileNotFoundException" in str(e.java_exception.getClass().getName()):
+            return None
+        raise
+    try:
+        # commons-io ships on Spark's classpath; byte-at-a-time
+        # fallback keeps this working if a distro ever strips it
+        try:
+            jvm = spark._jvm
+            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(data)
+        except Exception:
+            buf = bytearray()
+            b = stream.read()
+            while b != -1:
+                buf.append(b)
+                b = stream.read()
+            return bytes(buf)
+    finally:
+        stream.close()
+
+
+# ------------------------------------------------------------------- the API
+
+
+def _impl_local(lease_like_path: str, _impl: str) -> str | None:
+    return _local_path(lease_like_path) if _impl != "hadoop" else None
+
+
+def _list_gens(
+    spark: SparkSession, resource: str, _impl: str
+) -> list[int]:
+    parent, base = _split_parent(resource)
+    prefix = base + _GEN_SEP
+    local_parent = _impl_local(parent, _impl)
+    if local_parent is not None:
+        names = _local_list(local_parent, prefix)
+    else:
+        from .fs import list_dir
+
+        names = [n for n in list_dir(spark, parent) if n.startswith(prefix)]
+    gens = []
+    for n in names:
+        try:
+            gens.append(int(n[len(prefix) :]))
+        except ValueError:
+            continue  # foreign file that happens to share the prefix
+    return sorted(gens)
+
+
+def _read_payload(
+    spark: SparkSession, resource: str, gen: int, _impl: str
+) -> dict | None:
+    """Parsed payload of generation ``gen``, or None if the file is
+    gone. A present but empty/corrupt file parses as immediately
+    stale, per the torn-create argument in the module docstring."""
+    path = lease_path_for(resource, gen)
+    local = _impl_local(path, _impl)
+    raw = _local_read(local) if local is not None else _hadoop_read(spark, path)
+    if raw is None:
+        return None
+    try:
+        d = json.loads(raw.decode("utf-8"))
+        if not isinstance(d, dict) or "expires" not in d:
+            raise ValueError
+        return d
+    except (ValueError, UnicodeDecodeError):
+        return {"token": None, "owner": "<torn>", "expires": 0.0}
+
+
+def _sweep_stale_temps(
+    spark: SparkSession, resource: str, older_than_s: float, _impl: str
+) -> None:
+    """Best-effort removal of crash-orphaned payload temps
+    (``.{base}.__lease.g*.tmp_*``). Only temps older than the TTL are
+    touched: an in-flight contender's temp is at most seconds old, so
+    the mtime guard means the sweep can never yank a file out from
+    under a live create."""
+    parent, base = _split_parent(resource)
+    prefix = f".{base}{_GEN_SEP}"
+    cutoff = time.time() - older_than_s
+    local_parent = _impl_local(parent, _impl)
+    try:
+        if local_parent is not None:
+            for n in _local_list(local_parent, prefix):
+                if ".tmp_" not in n:
+                    continue
+                p = f"{local_parent}/{n}"
+                try:
+                    if os.stat(p).st_mtime < cutoff:
+                        _local_delete(p)
+                except FileNotFoundError:
+                    pass
+        else:
+            from .fs import _fs_and_path, delete
+
+            fs, hparent = _fs_and_path(spark, parent)
+            if not fs.exists(hparent):
+                return
+            for st in fs.listStatus(hparent):
+                n = st.getPath().getName()
+                if n.startswith(prefix) and ".tmp_" in n:
+                    if st.getModificationTime() / 1000.0 < cutoff:
+                        delete(spark, f"{parent}/{n}")
+    except OSError:
+        pass  # hygiene only — never let a sweep fault fail an acquire
+
+
+def _delete_gen(spark: SparkSession, resource: str, gen: int, _impl: str) -> None:
+    path = lease_path_for(resource, gen)
+    local = _impl_local(path, _impl)
+    if local is not None:
+        _local_delete(local)
+    else:
+        from .fs import delete
+
+        delete(spark, path)
+
+
+def acquire_lease(
+    spark: SparkSession,
+    resource: str,
+    owner: str | None = None,
+    ttl_s: float = DEFAULT_TTL_S,
+    _impl: str = "auto",
+) -> str:
+    """Acquire the single-writer lease on ``resource``; returns the
+    lease token to pass to :func:`release_lease`. Raises
+    :class:`LeaseHeldError` (fail-fast, no blocking — Structured
+    Streaming's retry IS the wait loop) if a live lease exists.
+
+    Bounded retries: a create that loses means another contender just
+    acquired the very generation we targeted, so the next iteration
+    reads a fresh live lease and raises LeaseHeldError; repeated
+    looping beyond that requires a sustained release storm and ends
+    in a loud error, never a silent spin.
+    """
+    if ttl_s <= 0:
+        raise ValueError(f"ttl_s must be positive, got {ttl_s}")
+    my_uuid = uuid.uuid4().hex
+
+    for _ in range(8):
+        gens = _list_gens(spark, resource, _impl)
+        target = 1
+        if gens:
+            cur = _read_payload(spark, resource, gens[-1], _impl)
+            if cur is not None and time.time() < float(cur["expires"]):
+                raise LeaseHeldError(
+                    resource, str(cur.get("owner")), float(cur["expires"])
+                )
+            # stale, torn, or vanished-since-listing → supersede it.
+            # vanished (released) still bumps the generation: gen
+            # numbers are never reused, which is what keeps every
+            # arbitration a create of a fresh name.
+            target = gens[-1] + 1
+        payload = json.dumps(
+            {
+                "token": my_uuid,
+                "owner": owner or f"pid-{os.getpid()}",
+                "acquired": time.time(),
+                "expires": time.time() + float(ttl_s),
+            }
+        ).encode("utf-8")
+        path = lease_path_for(resource, target)
+        local = _impl_local(path, _impl)
+        created = (
+            _local_try_create(local, payload)
+            if local is not None
+            else _hadoop_try_create(spark, path, payload)
+        )
+        if created:
+            # superseded generations are garbage from the moment a
+            # higher one exists; best-effort cleanup, races nothing
+            for g in gens:
+                _delete_gen(spark, resource, g, _impl)
+            _sweep_stale_temps(spark, resource, float(ttl_s), _impl)
+            return f"{target}:{my_uuid}"
+    raise LeaseHeldError(resource, "<unresolved contention>", time.time())
+
+
+def release_lease(
+    spark: SparkSession, resource: str, token: str, _impl: str = "auto"
+) -> bool:
+    """Release iff our generation's file still carries our token AND
+    the lease is still live. False (and no deletion) when the lease
+    was superseded after TTL expiry — the new holder's generation must
+    survive — and ALSO when our own lease has expired but not yet been
+    superseded: past the TTL a successor may be mid-takeover, and the
+    hold guarantee (like every TTL lease's) ends at ``expires``, so an
+    overstaying holder must touch nothing and let the breaker sweep
+    the stale file."""
+    try:
+        gen_s, my_uuid = token.split(":", 1)
+        gen = int(gen_s)
+    except ValueError:
+        return False
+    cur = _read_payload(spark, resource, gen, _impl)
+    if cur is None or cur.get("token") != my_uuid:
+        return False
+    if time.time() >= float(cur["expires"]):
+        return False
+    _delete_gen(spark, resource, gen, _impl)
+    return True
+
+
+@contextmanager
+def writer_lease(
+    spark: SparkSession,
+    resource: str,
+    owner: str | None = None,
+    ttl_s: float = DEFAULT_TTL_S,
+    _impl: str = "auto",
+):
+    """``with writer_lease(spark, store): <mutate>`` — acquire around
+    the mutation, release on every exit path (a crash that skips the
+    finally leaves the lease to TTL expiry, which is the design)."""
+    token = acquire_lease(spark, resource, owner=owner, ttl_s=ttl_s, _impl=_impl)
+    try:
+        yield token
+    finally:
+        release_lease(spark, resource, token, _impl=_impl)
