@@ -112,6 +112,47 @@ def main() -> None:
             }
         )
     )
+    # append-only variance ledger (round-11 builder note #4): every
+    # run's per-query bests PLUS the floor/ref context land in one
+    # file, so adjudicating "is this +20% a regression or a host
+    # window" stops requiring archaeology across BENCH_r*.json — the
+    # fixed ref_job_sec column is the host-speed normalizer. Disable
+    # with SPARK_GRAFT_NO_LEDGER=1 (e.g. throwaway experiments).
+    if not os.environ.get("SPARK_GRAFT_NO_LEDGER"):
+        head = "unknown"
+        try:
+            import subprocess
+
+            head = (
+                subprocess.run(
+                    ["git", "-C", _REPO, "rev-parse", "--short", "HEAD"],
+                    capture_output=True,
+                    text=True,
+                    timeout=10,
+                )
+                .stdout.strip()
+                or "unknown"
+            )
+        except Exception:
+            pass
+        with open(os.path.join(_REPO, "BENCH_LEDGER.jsonl"), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "ts": round(time.time(), 1),
+                        "head": head,
+                        "sf": sf,
+                        "passes": passes,
+                        "total_best": total,
+                        "floor_sec": round(floor, 3),
+                        "ref_job_sec": context.get("ref_job_sec"),
+                        "scan_sec": context.get("scan_sec"),
+                        "queries": per_query,
+                    }
+                )
+                + "\n"
+            )
+
     print(
         json.dumps(
             {

@@ -293,6 +293,16 @@ def test_curation_audit_report(spark, tmp_path):
     assert b2["text_rejects"] == 1
     assert b2["lake_rows"] == 1 and b2["marker"] and b2["evidence"]
     assert rep["batches"][1]["lake_rows"] == 2
+    # reasons: the text stage names stored doc 11 as the attractor,
+    # with the family score column aggregated (exact dup ⇒ jaccard 1.0)
+    text_reasons = rep["reasons"]["text"]
+    assert text_reasons["rejects"] == 1
+    assert text_reasons["top_attractors"] == [{"old_id": 11, "n": 1}]
+    assert text_reasons["score"]["col"] == "jaccard_shingles"
+    assert text_reasons["score"]["min"] == 1.0
+    # stages that rejected nothing still aggregate (zero-row evidence)
+    assert rep["reasons"]["quality"]["rejects"] == 0
+    assert "score" not in rep["reasons"]["quality"]
 
     # prune batch 1: counts become None, flags reflect the pruned state
     prune_replay_evidence(spark, rej, lake, keep_last=1)
@@ -301,6 +311,10 @@ def test_curation_audit_report(spark, tmp_path):
     assert b1["quality_rejects"] is None and not b1["evidence"]
     assert b1["marker"] and b1["lake_rows"] == 2
     assert rep2["anomalies"] == []
+    # reasons run over the SURVIVING window only: batch 1's evidence is
+    # gone, but batch 2 (last kept committed) still names attractor 11
+    assert rep2["reasons"]["text"]["rejects"] == 1
+    assert rep2["reasons"]["text"]["top_attractors"] == [{"old_id": 11, "n": 1}]
 
     # anomaly 1: a settled batch missing its marker
     os.remove(_commit_marker_path(lake, 2))

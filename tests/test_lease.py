@@ -186,6 +186,83 @@ def test_superseded_generations_are_swept(spark, tmp_path):
     assert [n for n in os.listdir(tmp_path) if ".__lease" in n] == []
 
 
+# --------------------------------------------------- writer-entry-point wiring
+
+
+def test_signature_store_mutators_respect_foreign_lease(spark, tmp_path):
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        append_signature_batch,
+        build_signature_store,
+    )
+
+    sig = str(tmp_path / "sig")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    build_signature_store(spark, docs, sig)
+    token = acquire_lease(spark, sig, owner="other-writer", ttl_s=60)
+    batch = spark.createDataFrame(
+        [(3, "iota kappa lambda mu")], "doc_id long, text string"
+    )
+    with pytest.raises(LeaseHeldError):
+        append_signature_batch(spark, batch, sig, watermark_hi=3)
+    with pytest.raises(LeaseHeldError):
+        build_signature_store(spark, docs, sig)
+    release_lease(spark, sig, token)
+    append_signature_batch(spark, batch, sig, watermark_hi=3)  # now clean
+    # opt-out still works under a held lease (externally serialized)
+    t2 = acquire_lease(spark, sig, owner="other-writer", ttl_s=60)
+    batch2 = spark.createDataFrame(
+        [(4, "nu xi omicron pi")], "doc_id long, text string"
+    )
+    append_signature_batch(
+        spark, batch2, sig, watermark_hi=4, lease_ttl_s=None
+    )
+    release_lease(spark, sig, t2)
+
+
+def test_ivf_mutators_respect_foreign_lease(spark, tmp_path):
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        append_ivf_batch,
+        build_ivf_index,
+    )
+
+    ivf = str(tmp_path / "ivf")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, e array<double>"
+    )
+    build_ivf_index(spark, emb, ivf)
+    token = acquire_lease(spark, ivf, owner="other-writer", ttl_s=60)
+    batch = spark.createDataFrame([(3, [1.0, 1.0])], "vec_id long, e array<double>")
+    with pytest.raises(LeaseHeldError):
+        append_ivf_batch(spark, batch, ivf, watermark_hi=3)
+    with pytest.raises(LeaseHeldError):
+        build_ivf_index(spark, emb, ivf)
+    release_lease(spark, ivf, token)
+    append_ivf_batch(spark, batch, ivf, watermark_hi=3)
+
+
+def test_optimize_table_respects_foreign_lease(spark, tmp_path):
+    from weather_etl_pipeline_spark.sources.maintenance import optimize_table
+
+    table = str(tmp_path / "tbl")
+    spark.range(100).write.parquet(table)
+    token = acquire_lease(spark, table, owner="ingest", ttl_s=60)
+    with pytest.raises(LeaseHeldError):
+        optimize_table(spark, table, zorder_by=["id"])
+    release_lease(spark, table, token)
+    report = optimize_table(spark, table, zorder_by=["id"])
+    assert report["mode"] == "zorder"
+    # the dir swap must not have disturbed lease bookkeeping: a fresh
+    # acquire/release cycle works and leaves no lease files behind
+    import os
+
+    t2 = acquire_lease(spark, table, ttl_s=60)
+    release_lease(spark, table, t2)
+    assert [n for n in os.listdir(tmp_path) if ".__lease" in n] == []
+
+
 def test_crash_orphaned_temps_are_swept_by_age(spark, tmp_path):
     import os
 

@@ -107,9 +107,44 @@ def test_publish_rename_failure_rolls_back(spark, tmp_path, monkeypatch):
     assert meta.count() == 1
 
 
+def test_overlapping_writer_fenced_out_by_lease(spark, tmp_path):
+    """Default mode (single-writer lease ON): a second upsert that
+    overlaps a live one fails UP FRONT with LeaseHeldError — the
+    prevention upgrade over the legacy detect-at-swap IOError — and
+    proceeds cleanly once the first writer releases."""
+    from weather_etl_pipeline_spark.sources.lease import (
+        LeaseHeldError,
+        acquire_lease,
+        release_lease,
+    )
+
+    path = str(tmp_path / "meta")
+    M.upsert_metadata(spark, path, _rows(spark, "base", "2026-01-01", "2026-01-01 09:00:00"))
+
+    # writer A mid-upsert (holds the lease); writer B must not touch
+    token = acquire_lease(spark, path, owner="writer-A", ttl_s=60)
+    with pytest.raises(LeaseHeldError):
+        M.upsert_metadata(
+            spark, path, _rows(spark, "oslo", "2026-01-02", "2026-01-02 10:00:00")
+        )
+    # fenced-out writer changed NOTHING
+    _assert_well_formed(spark, path, {("silver", "base", "2026-01-01")})
+    release_lease(spark, path, token)
+    M.upsert_metadata(
+        spark, path, _rows(spark, "oslo", "2026-01-02", "2026-01-02 10:00:00")
+    )
+    _assert_well_formed(
+        spark,
+        path,
+        {("silver", "base", "2026-01-01"), ("silver", "oslo", "2026-01-02")},
+    )
+
+
 def test_interleaved_writers_never_tear(spark, tmp_path, monkeypatch):
-    """Two genuinely overlapping upserts: both land or one errors loudly,
-    and the published table is always well-formed.
+    """Two genuinely overlapping upserts in LEGACY mode (lease opted
+    out): both land or one errors loudly, and the published table is
+    always well-formed — the detection guarantee that remains the
+    backstop on filesystems where the lease is best-effort.
 
     A barrier inside rename() forces both writers into the swap window
     at once — the adversarial schedule, not a lucky one.
@@ -138,7 +173,10 @@ def test_interleaved_writers_never_tear(spark, tmp_path, monkeypatch):
     def writer(city: str, day: str):
         try:
             M.upsert_metadata(
-                spark, path, _rows(spark, city, day, f"{day} 10:00:00")
+                spark,
+                path,
+                _rows(spark, city, day, f"{day} 10:00:00"),
+                lease_ttl_s=None,  # legacy detect-only mode under test
             )
         except Exception as e:  # noqa: BLE001 — collected and asserted below
             errs.append(e)

@@ -236,8 +236,15 @@ def build_signature_store(
     store_path: str,
     family: str = "minhash",
     watermark_hi: int | None = None,
+    lease_ttl_s: float | None = 900.0,
 ) -> None:
     """One corpus pass → three partitioned lake tables (see module doc).
+
+    Mutates under the store's single-writer lease by default
+    (sources/lease.py) — two concurrent builders, or a builder racing
+    an appender, now fail up front with LeaseHeldError instead of
+    relying on the orphan scan to detect the tear afterwards.
+    ``lease_ttl_s=None`` restores the unguarded legacy behavior.
 
     ``docs`` needs (doc_id, text). Overwrites any prior store — rebuild
     runs on the compaction cadence, not per ingest. ``family`` picks
@@ -263,6 +270,15 @@ def build_signature_store(
     store watermark by default: meta = max(corpus max, existing
     watermark, watermark_hi).
     """
+    if lease_ttl_s is not None:
+        from ..sources.lease import writer_lease
+
+        with writer_lease(
+            spark, store_path, owner="build_signature_store", ttl_s=lease_ttl_s
+        ):
+            return build_signature_store(
+                spark, docs, store_path, family, watermark_hi, lease_ttl_s=None
+            )
     from pyspark.sql import Window
 
     fam = _FAMILIES[family]
@@ -460,6 +476,7 @@ def append_signature_batch(
     family: str = "minhash",
     tables: tuple[DataFrame, DataFrame] | None = None,
     shard_keys: list[int] | None = None,
+    lease_ttl_s: float | None = 900.0,
 ) -> None:
     """Append an ingested batch's signatures to an existing store —
     the accept step of the ingest loop (probe → filter dups → append)
@@ -504,7 +521,28 @@ def append_signature_batch(
     orphan rows above the watermark ⇒ refuse loudly (rebuild is the
     recovery, as before); none ⇒ the crash landed before any data
     write, and the append proceeds.
+
+    Runs under the store's single-writer lease by default (same
+    contract as build_signature_store; ``lease_ttl_s=None`` opts out),
+    turning the "single-writer maintenance op" assumption above from a
+    convention into an enforced invariant.
     """
+    if lease_ttl_s is not None:
+        from ..sources.lease import writer_lease
+
+        with writer_lease(
+            spark, store_path, owner="append_signature_batch", ttl_s=lease_ttl_s
+        ):
+            return append_signature_batch(
+                spark,
+                batch,
+                store_path,
+                watermark_hi,
+                family,
+                tables,
+                shard_keys,
+                lease_ttl_s=None,
+            )
     from pyspark.sql import Window
 
     fam = _FAMILIES[family]

@@ -268,6 +268,7 @@ def build_ivf_index(
     iters: int = _ITERS,
     assign_m: int = 1,
     watermark_hi: int | None = None,
+    lease_ttl_s: float | None = 900.0,
 ) -> None:
     """One corpus pass → the persisted IVF index (see module doc).
 
@@ -305,7 +306,26 @@ def build_ivf_index(
     find), while m=2 lifts recall@5 at nprobe=4 from 0.74 to ≥0.95.
     Probes dedupe candidates, so output semantics are unchanged;
     nprobe=k remains exactly brute force. Appends inherit m from meta.
+
+    Mutates under the index's single-writer lease by default (same
+    contract as build_signature_store; ``lease_ttl_s=None`` opts out).
     """
+    if lease_ttl_s is not None:
+        from ..sources.lease import writer_lease
+
+        with writer_lease(
+            spark, index_path, owner="build_ivf_index", ttl_s=lease_ttl_s
+        ):
+            return build_ivf_index(
+                spark,
+                emb,
+                index_path,
+                k,
+                iters,
+                assign_m,
+                watermark_hi,
+                lease_ttl_s=None,
+            )
     # watermark floor, read BEFORE the overwrite clobbers meta. Only a
     # MISSING meta (fresh build) may skip the floor; a present-but-
     # unreadable meta fails loudly — same replay-window rationale as
@@ -450,6 +470,7 @@ def append_ivf_batch(
     batch: DataFrame,
     index_path: str,
     watermark_hi: int | None = None,
+    lease_ttl_s: float | None = 900.0,
 ) -> None:
     """The ingest loop's accept step for ANN — append a batch's vectors
     to the existing cells WITHOUT re-clustering (centroids are the
@@ -476,7 +497,20 @@ def append_ivf_batch(
     whose tail vectors were all quarantined must still read as fully
     committed, in ONE meta write, or a replay lands in the
     self-duplicate window).
+
+    Runs under the index's single-writer lease by default
+    (``lease_ttl_s=None`` opts out) — the single-writer contract above
+    is enforced, not assumed.
     """
+    if lease_ttl_s is not None:
+        from ..sources.lease import writer_lease
+
+        with writer_lease(
+            spark, index_path, owner="append_ivf_batch", ttl_s=lease_ttl_s
+        ):
+            return append_ivf_batch(
+                spark, batch, index_path, watermark_hi, lease_ttl_s=None
+            )
     lo_hi = batch.agg(
         F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
     ).collect()[0]

@@ -41,22 +41,47 @@ def read_metadata(spark: SparkSession, meta_path: str) -> DataFrame | None:
 
 
 def upsert_metadata_cols(
-    spark: SparkSession, meta_path: str, new_rows: DataFrame, key_cols: list[str]
+    spark: SparkSession,
+    meta_path: str,
+    new_rows: DataFrame,
+    key_cols: list[str],
+    lease_ttl_s: float | None = 900.0,
 ) -> None:
-    """INSERT OR REPLACE by (layer, *key_cols); latest processed_at wins."""
-    current = read_metadata(spark, meta_path)
-    merged = (
-        current.unionByName(new_rows.select(*current.columns))
-        if current is not None
-        else new_rows
-    )
-    w = Window.partitionBy("layer", *key_cols).orderBy(F.col("processed_at").desc())
-    deduped = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    _atomic_overwrite(deduped, meta_path)
+    """INSERT OR REPLACE by (layer, *key_cols); latest processed_at wins.
+
+    Holds the single-writer lease (sources/lease.py) across the
+    read-merge-swap by default, which removes BOTH concurrent-writer
+    hazards this table had: the lost update (B read before A
+    published — previously the documented non-transactional
+    limitation) and the lost-swap-race IOError. A second writer now
+    fails up front with LeaseHeldError instead. ``lease_ttl_s=None``
+    restores the unguarded detect-only behavior (the crash-consistency
+    suite pins both modes)."""
+
+    def _merge_and_swap() -> None:
+        current = read_metadata(spark, meta_path)
+        merged = (
+            current.unionByName(new_rows.select(*current.columns))
+            if current is not None
+            else new_rows
+        )
+        w = Window.partitionBy("layer", *key_cols).orderBy(
+            F.col("processed_at").desc()
+        )
+        deduped = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        _atomic_overwrite(deduped, meta_path)
+
+    if lease_ttl_s is None:
+        _merge_and_swap()
+        return
+    from ..sources.lease import writer_lease
+
+    with writer_lease(spark, meta_path, ttl_s=lease_ttl_s):
+        _merge_and_swap()
 
 
 def mark_processed_cols(
@@ -89,12 +114,18 @@ def processed_partitions_cols(
 # --- weather-shaped wrappers (the reference's fixed schema) ------------------
 
 
-def upsert_metadata(spark: SparkSession, meta_path: str, new_rows: DataFrame) -> None:
+def upsert_metadata(
+    spark: SparkSession,
+    meta_path: str,
+    new_rows: DataFrame,
+    lease_ttl_s: float | None = 900.0,
+) -> None:
     upsert_metadata_cols(
         spark,
         meta_path,
         new_rows.select(*PIPELINE_METADATA.fieldNames()),
         METADATA_KEY[1:],  # (city, date); "layer" is always part of the key
+        lease_ttl_s=lease_ttl_s,
     )
 
 

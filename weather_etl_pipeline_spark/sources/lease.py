@@ -426,6 +426,22 @@ def release_lease(
     return True
 
 
+def run_exclusively(
+    spark: SparkSession,
+    resource: str,
+    ttl_s: float | None,
+    owner: str,
+    thunk,
+):
+    """Run ``thunk`` under the resource's writer lease; ``ttl_s=None``
+    runs it unguarded (the detect-only legacy mode every mutator keeps
+    available for callers that serialize writers externally)."""
+    if ttl_s is None:
+        return thunk()
+    with writer_lease(spark, resource, owner=owner, ttl_s=ttl_s):
+        return thunk()
+
+
 @contextmanager
 def writer_lease(
     spark: SparkSession,

@@ -78,8 +78,27 @@ def compact_zone(
     zone_path: str,
     partition_cols: tuple[str, ...],
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    lease_ttl_s: float | None = 900.0,
 ) -> int:
-    """Rewrite fragmented partitions in one job; returns #compacted."""
+    """Rewrite fragmented partitions in one job; returns #compacted.
+
+    Holds the zone's single-writer lease by default (sources/lease.py)
+    — a compactor racing another compactor or an ingest writer on the
+    same zone fails up front. ``lease_ttl_s=None`` opts out (used by
+    optimize_table, which already holds the lease)."""
+    if lease_ttl_s is not None:
+        from .lease import writer_lease
+
+        with writer_lease(
+            spark, zone_path, owner="compact_zone", ttl_s=lease_ttl_s
+        ):
+            return compact_zone(
+                spark,
+                zone_path,
+                partition_cols,
+                target_file_bytes,
+                lease_ttl_s=None,
+            )
     stats = partition_file_stats(spark, zone_path)
     targets = {
         rel: max(1, math.ceil(total / target_file_bytes))
@@ -133,6 +152,7 @@ def optimize_table(
     partition_cols: tuple[str, ...] = (),
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     zorder_bits: int = 8,
+    lease_ttl_s: float | None = 900.0,
 ) -> dict:
     """The ONE lake-maintenance entry point — the hand-rolled form of
     Delta's ``OPTIMIZE [table] [ZORDER BY (cols)]`` (with Delta jars
@@ -166,11 +186,35 @@ def optimize_table(
     """
     from ..catalog import temp_col
     from .fs import delete, path_exists, rename
+    from .lease import run_exclusively
     from .zorder import zvalue_column
+
+    if lease_ttl_s is not None:
+        # ONE lease across whichever mode runs; the inner compact_zone
+        # call opts out (same resource — the lease is not reentrant)
+        return run_exclusively(
+            spark,
+            table_path,
+            lease_ttl_s,
+            "optimize_table",
+            lambda: optimize_table(
+                spark,
+                table_path,
+                zorder_by=zorder_by,
+                partition_cols=partition_cols,
+                target_file_bytes=target_file_bytes,
+                zorder_bits=zorder_bits,
+                lease_ttl_s=None,
+            ),
+        )
 
     if not zorder_by:
         n = compact_zone(
-            spark, table_path, tuple(partition_cols), target_file_bytes
+            spark,
+            table_path,
+            tuple(partition_cols),
+            target_file_bytes,
+            lease_ttl_s=None,
         )
         return {"mode": "compact", "compacted_partitions": n}
 

@@ -85,6 +85,13 @@ from .ingest_ann import _ANN_DUP_COS
 
 _ANN_EVIDENCE_SCHEMA = "new_id long, old_id long, cos_sim double"
 _QUALITY_EVIDENCE_SCHEMA = "doc_id long, quality double"
+# store-mutation lease TTL for the streaming loop: must exceed the
+# worst-case append/build (measured single-digit seconds per batch at
+# @x100, so 120s is 20-30× headroom) while bounding how long a crashed
+# service's leftover lease can stall the restarted loop — the
+# maintenance-shaped 900s default would turn a crash into a 15-minute
+# ingest outage
+_STREAM_LEASE_TTL_S = 120.0
 
 
 def _evidence_path(rejects_dir: str, stage: str, batch_id: int) -> str:
@@ -270,6 +277,7 @@ def curation_audit_report(
     sig_store: str,
     ivf_index: str,
     family: str = "minhash",
+    top_attractors: int = 5,
 ) -> dict:
     """Operator-facing audit of the curation service's state — the
     consumer of the evidence/retention window (round-11 follow-up to
@@ -288,6 +296,13 @@ def curation_audit_report(
     - ``marker_no_lake``: a marker whose lake dir is missing — markers
       are only touched AFTER the lake write joins, so this means
       someone deleted lake data out-of-band.
+
+    ``reasons``: per-stage aggregation over the whole surviving
+    evidence window — reject counts, the ``top_attractors`` stored
+    docs pulling in the most duplicates (skew = one viral/boilerplate
+    doc dominating quarantines), and the stage score's min/max/mean
+    (quality for the quality gate, jaccard/hamming for text,
+    cos_sim for ann). None for a stage with no surviving evidence.
 
     Driver-side listings + one small Spark count per surviving
     evidence dir and one grouped count over the lake — an audit run,
@@ -311,12 +326,13 @@ def curation_audit_report(
     lake_batches = _batch_ids(lake_dir)
     marker_batches = _batch_ids(f"{lake_dir}/_batch_commits")
     batches: dict[int, dict] = {}
+    stage_frames: dict[str, list[DataFrame]] = {s: [] for s in stage_schemas}
     for stage, schema in stage_schemas.items():
         for b in _batch_ids(f"{rejects_dir}/{stage}"):
             row = batches.setdefault(b, {})
-            row[f"{stage}_rejects"] = _read_evidence(
-                spark, rejects_dir, stage, b, schema
-            ).count()
+            ev = _read_evidence(spark, rejects_dir, stage, b, schema)
+            row[f"{stage}_rejects"] = ev.count()
+            stage_frames[stage].append(ev)
     for b in lake_batches | marker_batches:
         batches.setdefault(b, {})
     lake_counts = (
@@ -354,11 +370,55 @@ def curation_audit_report(
         if path_exists(spark, f"{ivf_index}/meta")
         else None
     )
+    # top rejection reasons over the surviving evidence window (the
+    # round-12 slice of the audit): per stage, WHICH stored documents
+    # attract the duplicates (a skewed attractor = one viral/boilerplate
+    # doc knocking out whole batches — the thing an operator tunes
+    # caps/thresholds around) and the score distribution of the
+    # rejects. Bounded by retention: unions run over at most the kept
+    # evidence window, one small agg per stage.
+    from functools import reduce
+
+    reasons: dict[str, dict | None] = {}
+    for stage, frames in stage_frames.items():
+        if not frames:
+            reasons[stage] = None
+            continue
+        ev = reduce(lambda a, b: a.unionByName(b), frames)
+        cols = ev.columns
+        agg: dict = {"rejects": ev.count()}
+        if "old_id" in cols:
+            agg["top_attractors"] = [
+                {"old_id": int(r["old_id"]), "n": int(r["n"])}
+                for r in ev.groupBy("old_id")
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), "old_id")
+                .limit(top_attractors)
+                .collect()
+            ]
+        score_col = next(
+            (c for c in cols if c not in ("doc_id", "new_id", "old_id")), None
+        )
+        if score_col is not None and agg["rejects"]:
+            st = ev.agg(
+                F.min(score_col).alias("mn"),
+                F.max(score_col).alias("mx"),
+                F.avg(score_col).alias("avg"),
+            ).collect()[0]
+            agg["score"] = {
+                "col": score_col,
+                "min": float(st["mn"]),
+                "max": float(st["mx"]),
+                "mean": round(float(st["avg"]), 6),
+            }
+        reasons[stage] = agg
+
     return {
         "batches": batches,
         "sig_watermark": sig_wm,
         "ivf_watermark": ivf_wm,
         "anomalies": anomalies,
+        "reasons": reasons,
     }
 
 
@@ -590,6 +650,10 @@ def process_curation_batch(
                         family=family,
                         tables=(shb, bandsb),
                         shard_keys=shard_keys,
+                        # streaming TTL: a crashed service's leftover
+                        # lease must not stall the restarted loop for
+                        # the maintenance-shaped 900s default
+                        lease_ttl_s=_STREAM_LEASE_TTL_S,
                     )
 
             _finish_ann_and_lake(
@@ -655,7 +719,14 @@ def _finish_ann_and_lake(
         )
         # assign_m carried from the pre-built (possibly empty) index's
         # meta — a stream configured at m=2 must not bootstrap to m=1
-        build_ivf_index(spark, vecs, ivf_index, assign_m=ivf_m, watermark_hi=hi)
+        build_ivf_index(
+            spark,
+            vecs,
+            ivf_index,
+            assign_m=ivf_m,
+            watermark_hi=hi,
+            lease_ttl_s=_STREAM_LEASE_TTL_S,
+        )
     else:
 
         def _ann_probe() -> None:
@@ -701,6 +772,7 @@ def _finish_ann_and_lake(
                     accepted.select(F.col("doc_id").alias("vec_id"), "e"),
                     ivf_index,
                     watermark_hi=hi,
+                    lease_ttl_s=_STREAM_LEASE_TTL_S,
                 )
 
         _run_concurrently(

@@ -84,7 +84,14 @@ def process_ann_batch(
         # assign_m carried from the (possibly empty) pre-built index's
         # meta — a stream configured at m=2 must not bootstrap to m=1
         build_ivf_index(
-            spark, batch, index_path, assign_m=assign_m, watermark_hi=int(hi)
+            spark,
+            batch,
+            index_path,
+            assign_m=assign_m,
+            watermark_hi=int(hi),
+            # streaming TTL — bound a crashed service's lease stall
+            # (see curation_loop._STREAM_LEASE_TTL_S rationale)
+            lease_ttl_s=120.0,
         )
         return
     queries = batch.select(
@@ -118,6 +125,7 @@ def process_ann_batch(
             accepted.select("vec_id", "e"),
             index_path,
             watermark_hi=int(hi),
+            lease_ttl_s=120.0,
         )
     finally:
         hits.unpersist()

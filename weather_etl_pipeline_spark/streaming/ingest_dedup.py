@@ -114,6 +114,9 @@ def process_ingest_batch(
             store_path,
             watermark_hi=int(hi),
             family=family,
+            # streaming TTL — bound a crashed service's lease stall
+            # (see curation_loop._STREAM_LEASE_TTL_S rationale)
+            lease_ttl_s=120.0,
         )
     finally:
         hits.unpersist()
