@@ -93,7 +93,24 @@ def _run_universe(spark, base, inject=None):
 
     run(1, [11, 12, 13])
 
-    if inject is not None:
+    if inject == "foreign_lease":
+        # not a crash but a FENCE: another writer (a second curation
+        # service, a compactor) holds the sig store's lease when batch
+        # 2 arrives. The batch must fail loudly BEFORE mutating the
+        # store, and the replay after release must converge like any
+        # other mid-batch failure — the lease refusal composes with
+        # replay safety.
+        from weather_etl_pipeline_spark.sources.lease import (
+            LeaseHeldError,
+            acquire_lease,
+            release_lease,
+        )
+
+        token = acquire_lease(spark, sig, owner="second-service", ttl_s=60)
+        with pytest.raises(LeaseHeldError):
+            run(2, [21, 22, 23])
+        release_lease(spark, sig, token)
+    elif inject is not None:
         _poison_one_attempt(cl, inject, lake)
         with pytest.raises(Exception, match="injected"):
             run(2, [21, 22, 23])
@@ -152,7 +169,8 @@ def _poison_one_attempt(cl, leg, lake):
 
 
 @pytest.mark.parametrize(
-    "leg", ["sig_append", "ann_probe", "ann_append", "lake_write"]
+    "leg",
+    ["sig_append", "ann_probe", "ann_append", "lake_write", "foreign_lease"],
 )
 def test_one_leg_killed_mid_batch_replay_converges(spark, tmp_path, leg):
     control = _run_universe(spark, tmp_path / "ctrl", inject=None)

@@ -186,6 +186,38 @@ def test_superseded_generations_are_swept(spark, tmp_path):
     assert [n for n in os.listdir(tmp_path) if ".__lease" in n] == []
 
 
+def test_cross_process_exclusion(spark, tmp_path):
+    """The deployment scenario the lease exists for: a SECOND OS
+    process (not a thread) holding the lease fences this one out —
+    O_EXCL is a kernel primitive, so in-process locks play no part."""
+    import subprocess
+    import sys
+
+    res = str(tmp_path / "store")
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from weather_etl_pipeline_spark.sources.lease import acquire_lease;"
+        f"acquire_lease(None, {res!r}, owner='other-process', ttl_s=60);"
+        "print('HELD', flush=True);"
+        "import time; time.sleep(30)"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        assert proc.stdout.readline().strip() == "HELD"
+        with pytest.raises(LeaseHeldError) as ei:
+            acquire_lease(spark, res, ttl_s=60)
+        assert "other-process" in str(ei.value)
+    finally:
+        proc.kill()
+        proc.wait()
+    # the killed process never released: the lease survives its death
+    # and fences until TTL — exactly the crash semantics documented
+    with pytest.raises(LeaseHeldError):
+        acquire_lease(spark, res, ttl_s=60)
+
+
 # --------------------------------------------------- writer-entry-point wiring
 
 
