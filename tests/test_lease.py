@@ -183,7 +183,41 @@ def test_superseded_generations_are_swept(spark, tmp_path):
     names = [n for n in os.listdir(tmp_path) if ".__lease" in n]
     assert names == [os.path.basename(lease_path_for(res, 2))]
     release_lease(spark, res, token)
-    assert [n for n in os.listdir(tmp_path) if ".__lease" in n] == []
+    # release leaves a TOMBSTONE, not nothing: the numeric trace is
+    # what stops a later acquirer from ever re-targeting gen 2
+    names = [n for n in os.listdir(tmp_path) if ".__lease" in n]
+    assert len(names) == 1 and ".__lease.r" in names[0]
+
+
+def test_generation_numbers_never_reused_after_release(spark, tmp_path):
+    # the reuse hole the tombstone closes: acquire→release→acquire must
+    # target max_ever+1, never reset to 1 and never re-create gen 1
+    res = str(tmp_path / "store")
+    t1 = acquire_lease(spark, res, ttl_s=60)
+    release_lease(spark, res, t1)
+    t2 = acquire_lease(spark, res, ttl_s=60)
+    assert int(t2.split(":", 1)[0]) == int(t1.split(":", 1)[0]) + 1
+    release_lease(spark, res, t2)
+
+
+def test_aged_tombstones_are_swept(spark, tmp_path):
+    import os
+
+    res = str(tmp_path / "store")
+    t1 = acquire_lease(spark, res, ttl_s=60)
+    release_lease(spark, res, t1)
+    tomb = [n for n in os.listdir(tmp_path) if ".__lease.r" in n]
+    assert len(tomb) == 1
+    past = time.time() - 120
+    os.utime(tmp_path / tomb[0], (past, past))
+    t2 = acquire_lease(spark, res, ttl_s=60)  # sweeps aged tombstones
+    assert tomb[0] not in os.listdir(tmp_path)
+    # a FRESH tombstone must survive the sweep (it may still be the
+    # high-water mark a stalled contender needs)
+    release_lease(spark, res, t2)
+    t3 = acquire_lease(spark, res, ttl_s=60)
+    assert any(".__lease.r" in n for n in os.listdir(tmp_path))
+    release_lease(spark, res, t3)
 
 
 def test_cross_process_exclusion(spark, tmp_path):
@@ -287,12 +321,14 @@ def test_optimize_table_respects_foreign_lease(spark, tmp_path):
     report = optimize_table(spark, table, zorder_by=["id"])
     assert report["mode"] == "zorder"
     # the dir swap must not have disturbed lease bookkeeping: a fresh
-    # acquire/release cycle works and leaves no lease files behind
+    # acquire/release cycle works and leaves only release tombstones
+    # behind (never a live generation file)
     import os
 
     t2 = acquire_lease(spark, table, ttl_s=60)
     release_lease(spark, table, t2)
-    assert [n for n in os.listdir(tmp_path) if ".__lease" in n] == []
+    live = [n for n in os.listdir(tmp_path) if ".__lease.g" in n]
+    assert live == []
 
 
 def test_crash_orphaned_temps_are_swept_by_age(spark, tmp_path):

@@ -41,7 +41,12 @@ holding a stale read renames away the lease a faster breaker just
 re-created) cannot be expressed here at all. Superseded generations
 are garbage, deleted best-effort by the new holder; they are never
 consulted once a higher generation exists, so their deletion races
-nothing.
+nothing. Release leaves a TOMBSTONE (rename to ``.__lease.r<N>_…``)
+rather than deleting, so the numeric high-water mark survives and
+generation numbers never regress — a plain delete would let numbering
+reset and a contender holding a stale read re-create a released name
+while a fresh g1 holder exists. Tombstones (and crash-orphaned
+payload temps) are swept by later acquirers once older than the TTL.
 
 - The payload is one JSON object ``{token, owner, acquired,
   expires}``; wall-clock epoch seconds. The TTL therefore assumes
@@ -82,6 +87,7 @@ from pyspark.sql import SparkSession
 
 DEFAULT_TTL_S = 900.0
 _GEN_SEP = ".__lease.g"
+_TOMB_SEP = ".__lease.r"  # released-generation tombstone (see _list_gens)
 
 
 class LeaseHeldError(RuntimeError):
@@ -252,23 +258,44 @@ def _impl_local(lease_like_path: str, _impl: str) -> str | None:
 
 def _list_gens(
     spark: SparkSession, resource: str, _impl: str
-) -> list[int]:
+) -> tuple[list[int], int]:
+    """(sorted live generations, max generation number EVER observed —
+    live or released-tombstone). The tombstone max is what makes
+    generation numbers monotonic across release: if release simply
+    deleted its file, a contender holding a stale read could create a
+    just-released generation name while a third writer holds a fresh
+    g1 after the numbering reset — two holders. Tombstones keep the
+    high-water mark visible, so a released name is never re-targeted
+    (reuse now requires a TTL-scale stall across the tombstone sweep,
+    the same exposure class as every other TTL assumption here)."""
     parent, base = _split_parent(resource)
     prefix = base + _GEN_SEP
+    tomb_prefix = base + _TOMB_SEP
     local_parent = _impl_local(parent, _impl)
     if local_parent is not None:
-        names = _local_list(local_parent, prefix)
+        names = _local_list(local_parent, prefix) + _local_list(
+            local_parent, tomb_prefix
+        )
     else:
         from .fs import list_dir
 
-        names = [n for n in list_dir(spark, parent) if n.startswith(prefix)]
-    gens = []
+        names = [
+            n
+            for n in list_dir(spark, parent)
+            if n.startswith(prefix) or n.startswith(tomb_prefix)
+        ]
+    gens, max_ever = [], 0
     for n in names:
         try:
-            gens.append(int(n[len(prefix) :]))
+            if n.startswith(tomb_prefix):
+                max_ever = max(max_ever, int(n[len(tomb_prefix) :].split("_")[0]))
+            else:
+                g = int(n[len(prefix) :])
+                gens.append(g)
+                max_ever = max(max_ever, g)
         except ValueError:
             continue  # foreign file that happens to share the prefix
-    return sorted(gens)
+    return sorted(gens), max_ever
 
 
 def _read_payload(
@@ -291,22 +318,35 @@ def _read_payload(
         return {"token": None, "owner": "<torn>", "expires": 0.0}
 
 
-def _sweep_stale_temps(
+def _sweep_stale_sidecars(
     spark: SparkSession, resource: str, older_than_s: float, _impl: str
 ) -> None:
     """Best-effort removal of crash-orphaned payload temps
-    (``.{base}.__lease.g*.tmp_*``). Only temps older than the TTL are
-    touched: an in-flight contender's temp is at most seconds old, so
-    the mtime guard means the sweep can never yank a file out from
-    under a live create."""
+    (``.{base}.__lease.g*.tmp_*``) and aged release tombstones
+    (``{base}.__lease.r*``). Only files older than the TTL are
+    touched: an in-flight contender's temp is at most seconds old, and
+    a tombstone younger than the TTL may still be the high-water mark
+    a stalled contender needs to avoid generation reuse — past one
+    TTL both are dead weight (a contender stalled across a whole TTL
+    is already outside the hold guarantee, like every other TTL
+    assumption here)."""
     parent, base = _split_parent(resource)
-    prefix = f".{base}{_GEN_SEP}"
+    tmp_prefix = f".{base}{_GEN_SEP}"
+    tomb_prefix = f"{base}{_TOMB_SEP}"
     cutoff = time.time() - older_than_s
+
+    def _is_sidecar(n: str) -> bool:
+        return (n.startswith(tmp_prefix) and ".tmp_" in n) or n.startswith(
+            tomb_prefix
+        )
+
     local_parent = _impl_local(parent, _impl)
     try:
         if local_parent is not None:
-            for n in _local_list(local_parent, prefix):
-                if ".tmp_" not in n:
+            for n in _local_list(local_parent, tmp_prefix) + _local_list(
+                local_parent, tomb_prefix
+            ):
+                if not _is_sidecar(n):
                     continue
                 p = f"{local_parent}/{n}"
                 try:
@@ -322,9 +362,8 @@ def _sweep_stale_temps(
                 return
             for st in fs.listStatus(hparent):
                 n = st.getPath().getName()
-                if n.startswith(prefix) and ".tmp_" in n:
-                    if st.getModificationTime() / 1000.0 < cutoff:
-                        delete(spark, f"{parent}/{n}")
+                if _is_sidecar(n) and st.getModificationTime() / 1000.0 < cutoff:
+                    delete(spark, f"{parent}/{n}")
     except OSError:
         pass  # hygiene only — never let a sweep fault fail an acquire
 
@@ -363,19 +402,18 @@ def acquire_lease(
     my_uuid = uuid.uuid4().hex
 
     for _ in range(8):
-        gens = _list_gens(spark, resource, _impl)
-        target = 1
+        gens, max_ever = _list_gens(spark, resource, _impl)
         if gens:
             cur = _read_payload(spark, resource, gens[-1], _impl)
             if cur is not None and time.time() < float(cur["expires"]):
                 raise LeaseHeldError(
                     resource, str(cur.get("owner")), float(cur["expires"])
                 )
-            # stale, torn, or vanished-since-listing → supersede it.
-            # vanished (released) still bumps the generation: gen
-            # numbers are never reused, which is what keeps every
-            # arbitration a create of a fresh name.
-            target = gens[-1] + 1
+        # supersede whatever came before — stale, torn, vanished-since-
+        # listing, or released. Targeting past max_ever (tombstones
+        # included) is what keeps generation numbers monotonic, so
+        # every arbitration is a create of a NEVER-used name.
+        target = max_ever + 1
         payload = json.dumps(
             {
                 "token": my_uuid,
@@ -396,7 +434,7 @@ def acquire_lease(
             # higher one exists; best-effort cleanup, races nothing
             for g in gens:
                 _delete_gen(spark, resource, g, _impl)
-            _sweep_stale_temps(spark, resource, float(ttl_s), _impl)
+            _sweep_stale_sidecars(spark, resource, float(ttl_s), _impl)
             return f"{target}:{my_uuid}"
     raise LeaseHeldError(resource, "<unresolved contention>", time.time())
 
@@ -411,7 +449,14 @@ def release_lease(
     superseded: past the TTL a successor may be mid-takeover, and the
     hold guarantee (like every TTL lease's) ends at ``expires``, so an
     overstaying holder must touch nothing and let the breaker sweep
-    the stale file."""
+    the stale file.
+
+    Release RENAMES the generation file to a tombstone
+    (``.__lease.r<N>_<uuid>``) rather than deleting it: the numeric
+    trace must survive so the next acquirer targets a HIGHER
+    generation — deletion would let numbering reset and a contender
+    holding a stale read re-create the released name (see _list_gens).
+    Tombstones are swept by the next acquirer once older than its TTL."""
     try:
         gen_s, my_uuid = token.split(":", 1)
         gen = int(gen_s)
@@ -422,7 +467,19 @@ def release_lease(
         return False
     if time.time() >= float(cur["expires"]):
         return False
-    _delete_gen(spark, resource, gen, _impl)
+    src = lease_path_for(resource, gen)
+    dst = f"{resource.rstrip('/')}{_TOMB_SEP}{gen:020d}_{uuid.uuid4().hex[:8]}"
+    local = _impl_local(src, _impl)
+    if local is not None:
+        try:
+            os.rename(local, _impl_local(dst, _impl))
+        except FileNotFoundError:
+            return False  # concurrent release/break got there first
+    else:
+        from .fs import rename
+
+        if not rename(spark, src, dst):
+            return False
     return True
 
 
