@@ -148,6 +148,33 @@ def test_break_contention_exactly_one_winner(spark, tmp_path):
     release_lease(spark, res, winners[0])
 
 
+def test_thread_contention_hadoop_impl_one_winner(spark, tmp_path):
+    # the cluster-path arbitration (write-temp → exists-check → rename
+    # → payload read-back) under a genuine thread race; fewer threads
+    # than the local race — each contender is several JVM round-trips
+    res = f"file://{tmp_path}/store"
+    results: list[str | None] = [None] * 8
+    barrier = threading.Barrier(8)
+
+    def worker(i: int) -> None:
+        barrier.wait()
+        try:
+            results[i] = acquire_lease(
+                spark, res, owner=f"t{i}", ttl_s=60, _impl="hadoop"
+            )
+        except LeaseHeldError:
+            results[i] = None
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [r for r in results if r is not None]
+    assert len(winners) == 1
+    assert release_lease(spark, res, winners[0], _impl="hadoop") is True
+
+
 def test_repeated_break_contention_never_two_winners(spark, tmp_path):
     # hammer the ABA shape that broke the sideline design: rounds of
     # (expire → 16-way break race), asserting one winner per round
