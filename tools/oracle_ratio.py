@@ -37,7 +37,11 @@ from weather_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--passes", type=int, default=5)  # match the bench's
+    # best-of-5 contract: at best-of-3 the Spark side reads 0.6-1.1s high
+    # (heavy plans get only two clean tries after JVM/codegen warmup —
+    # same finding as BENCH round 11), which skews the ratio, not just
+    # the total
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
