@@ -235,7 +235,7 @@ def test_aged_tombstones_are_swept(spark, tmp_path):
     release_lease(spark, res, t1)
     tomb = [n for n in os.listdir(tmp_path) if ".__lease.r" in n]
     assert len(tomb) == 1
-    past = time.time() - 120
+    past = time.time() - 1000  # the sweep bar is max(ttl, DEFAULT_TTL_S)
     os.utime(tmp_path / tomb[0], (past, past))
     t2 = acquire_lease(spark, res, ttl_s=60)  # sweeps aged tombstones
     assert tomb[0] not in os.listdir(tmp_path)
@@ -366,8 +366,8 @@ def test_crash_orphaned_temps_are_swept_by_age(spark, tmp_path):
     fresh = tmp_path / ".store.__lease.g00000000000000000009.tmp_cafecafe"
     stale.write_bytes(b"{}")
     fresh.write_bytes(b"{}")
-    past = time.time() - 120
-    os.utime(stale, (past, past))  # crashed creator from two TTLs ago
+    past = time.time() - 1000  # past DEFAULT_TTL_S, the sweep's age bar
+    os.utime(stale, (past, past))  # crashed creator from a TTL+ ago
     token = acquire_lease(spark, res, ttl_s=60)
     names = set(os.listdir(tmp_path))
     assert stale.name not in names  # swept: older than the TTL

@@ -434,7 +434,13 @@ def acquire_lease(
             # higher one exists; best-effort cleanup, races nothing
             for g in gens:
                 _delete_gen(spark, resource, g, _impl)
-            _sweep_stale_sidecars(spark, resource, float(ttl_s), _impl)
+            # sweep age uses the LONGEST plausible TTL, not this
+            # writer's: a short-TTL streaming appender must not sweep a
+            # tombstone that is still the high-water mark for a
+            # long-TTL maintenance writer stalled mid-acquire
+            _sweep_stale_sidecars(
+                spark, resource, max(float(ttl_s), DEFAULT_TTL_S), _impl
+            )
             return f"{target}:{my_uuid}"
     raise LeaseHeldError(resource, "<unresolved contention>", time.time())
 
