@@ -8,15 +8,22 @@ passes, any reasonable driver hash passes too.
 Usage:  python tools/diffcheck.py [sf_dir] [query ...]
         DIFFCHECK_BIG_ROWS=<N> python tools/diffcheck.py <sf_dir>
 
-DIFFCHECK_BIG_ROWS: queries whose Spark output exceeds N rows switch
-to an engine-side compare — row count plus schema plus per-column
-engine-side checksums (exact for integer/string/date columns: SUMs and
-distinct counts are order-free; float columns compare count+min/max
-only, since cross-engine float SUM depends on accumulation order) —
-instead of a full driver collect. A 100M-row differential (sf0.1@x100
-gapfill) cannot be collected into the driver on either engine; this is
-the honest scalable form, and the output marks such rows "big" so a
-reader can tell which compare ran.
+DIFFCHECK_BIG_ROWS (default 2000000): queries whose Spark output
+exceeds N rows switch to an engine-side compare — row count plus
+schema plus per-column engine-side checksums (exact for integer/
+string/date columns: SUMs and distinct counts are order-free; float
+columns compare count+min/max only, since cross-engine float SUM
+depends on accumulation order) — instead of a full driver collect. A
+100M-row differential (sf0.1@x100 gapfill) cannot be collected into
+the driver on either engine; this is the honest scalable form, and
+the output marks such rows "big" so a reader can tell which compare
+ran. ON BY DEFAULT since the round-11 continuation: an unadorned
+`diffcheck sf0.1@x100` used to spend 46 minutes driver-collecting the
+105M-row gapfill and then die on spark.driver.maxResultSize at the
+next big query — a sweep-shaped footgun. At the driver-gate scales
+every output is far below the threshold, so the default changes
+nothing there (the take(N+1) classification IS the collect). Set
+DIFFCHECK_BIG_ROWS=0 to force full driver collects regardless.
 
 DIFFCHECK_ORACLE_TIMEOUT=<seconds>: interrupt any single DuckDB oracle
 execution past the deadline (watchdog thread + con.interrupt()) and
@@ -229,7 +236,7 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet([{files}])"
             )
 
-    big_rows = int(os.environ.get("DIFFCHECK_BIG_ROWS", "0") or 0)
+    big_rows = int(os.environ.get("DIFFCHECK_BIG_ROWS", "2000000") or 0)
     n_pass = n_fail = n_rowsonly = n_big = 0
     for name, q in sorted(reg.items()):
         if only and name not in only:
