@@ -83,9 +83,14 @@ def compact_zone(
     """Rewrite fragmented partitions in one job; returns #compacted.
 
     Holds the zone's single-writer lease by default (sources/lease.py)
-    — a compactor racing another compactor or an ingest writer on the
-    same zone fails up front. ``lease_ttl_s=None`` opts out (used by
-    optimize_table, which already holds the lease)."""
+    — a compactor racing another compactor (or any writer that takes
+    the zone's lease) fails up front. Plain ingest writes do NOT take
+    the lease — concurrent dynamic-partition-overwrite appends to
+    DIFFERENT partitions are legitimate parallelism — so schedule
+    compaction off the ingest path (as the maintenance cadence already
+    does), or wrap the ingest writer in ``writer_lease`` explicitly
+    when the same zone must interleave both. ``lease_ttl_s=None`` opts
+    out (used by optimize_table, which already holds the lease)."""
     if lease_ttl_s is not None:
         from .lease import writer_lease
 

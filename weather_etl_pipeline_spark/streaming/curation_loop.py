@@ -327,11 +327,14 @@ def curation_audit_report(
     marker_batches = _batch_ids(f"{lake_dir}/_batch_commits")
     batches: dict[int, dict] = {}
     stage_frames: dict[str, list[DataFrame]] = {s: [] for s in stage_schemas}
+    stage_counts: dict[str, int] = {s: 0 for s in stage_schemas}
     for stage, schema in stage_schemas.items():
         for b in _batch_ids(f"{rejects_dir}/{stage}"):
             row = batches.setdefault(b, {})
             ev = _read_evidence(spark, rejects_dir, stage, b, schema)
-            row[f"{stage}_rejects"] = ev.count()
+            n = ev.count()
+            row[f"{stage}_rejects"] = n
+            stage_counts[stage] += n
             stage_frames[stage].append(ev)
     for b in lake_batches | marker_batches:
         batches.setdefault(b, {})
@@ -386,7 +389,8 @@ def curation_audit_report(
             continue
         ev = reduce(lambda a, b: a.unionByName(b), frames)
         cols = ev.columns
-        agg: dict = {"rejects": ev.count()}
+        # per-batch counts already ran above — sum, don't re-count
+        agg: dict = {"rejects": stage_counts[stage]}
         if "old_id" in cols:
             agg["top_attractors"] = [
                 {"old_id": int(r["old_id"]), "n": int(r["n"])}
