@@ -825,7 +825,16 @@ def stream_curated_ingest(
     bootstrap (writes the meta the loop keys on; the IVF build also
     records assign_m there, which the in-loop bootstrap rebuild reads
     back). A stream started against never-built paths fails its first
-    batch with a "build the stores first" ValueError."""
+    batch with a "build the stores first" ValueError.
+
+    SINGLE-WRITER POSTURE: every store mutation inside the loop holds
+    that store's writer lease (sources/lease.py) with a 120s TTL — a
+    second service on the same stores, or a maintenance rebuild racing
+    the stream, fails the batch up front with LeaseHeldError, and the
+    engine's checkpoint retry replays it cleanly once the other writer
+    finishes (pinned by the foreign_lease curation-chaos leg). A
+    CRASHED service's leftover lease therefore stalls the restarted
+    loop at most 120s before TTL expiry clears it."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_curation_batch(
