@@ -387,3 +387,177 @@ def test_lease_file_is_a_sibling_not_a_child(tmp_path):
 def test_ttl_must_be_positive(spark, tmp_path):
     with pytest.raises(ValueError, match="ttl_s"):
         acquire_lease(spark, str(tmp_path / "s"), ttl_s=0)
+
+
+# ---------------------------------------------------------- round 12: fencing
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_lease_is_live_tracks_hold_and_expiry(spark, tmp_path, impl):
+    from weather_etl_pipeline_spark.sources.lease import lease_is_live
+
+    res = _resource(tmp_path, impl)
+    token = acquire_lease(spark, res, ttl_s=60, _impl=impl)
+    assert lease_is_live(spark, res, token, _impl=impl) is True
+    assert lease_is_live(spark, res, "9999:deadbeef", _impl=impl) is False
+    assert lease_is_live(spark, res, "not-a-token", _impl=impl) is False
+    release_lease(spark, res, token, _impl=impl)
+    assert lease_is_live(spark, res, token, _impl=impl) is False
+
+
+def test_lease_is_live_false_after_ttl_and_after_supersede(spark, tmp_path):
+    from weather_etl_pipeline_spark.sources.lease import lease_is_live
+
+    res = str(tmp_path / "store")
+    token = acquire_lease(spark, res, ttl_s=0.05)
+    time.sleep(0.1)
+    # expired but not yet superseded: live check must already fail —
+    # the hold guarantee ends at `expires`, not at takeover
+    assert lease_is_live(spark, res, token) is False
+    t2 = acquire_lease(spark, res, ttl_s=60)  # successor breaks it
+    assert lease_is_live(spark, res, token) is False
+    assert lease_is_live(spark, res, t2) is True
+    release_lease(spark, res, t2)
+
+
+def test_fence_for_raises_lease_lost_after_lapse(spark, tmp_path):
+    from weather_etl_pipeline_spark.sources.lease import (
+        LeaseLostError,
+        fence_for,
+    )
+
+    res = str(tmp_path / "store")
+    token = acquire_lease(spark, res, ttl_s=0.05)
+    fence = fence_for(spark, res, token)
+    time.sleep(0.1)
+    with pytest.raises(LeaseLostError, match="expired or was superseded"):
+        fence()
+
+
+def test_fence_for_passes_while_held(spark, tmp_path):
+    from weather_etl_pipeline_spark.sources.lease import fence_for
+
+    res = str(tmp_path / "store")
+    token = acquire_lease(spark, res, ttl_s=60)
+    fence_for(spark, res, token)()  # no raise
+    release_lease(spark, res, token)
+
+
+def test_sweep_fault_does_not_fail_acquire(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (medium): a transient FS fault in the post-create
+    hygiene (tombstone sweep / superseded-generation delete) must not
+    escape acquire_lease AFTER the lease file exists — that would
+    fence the resource for the full TTL with no token in any caller's
+    hands. The Hadoop path raises Py4JJavaError (not OSError), so the
+    guard must be exception-broad."""
+    from weather_etl_pipeline_spark.sources import lease as lease_mod
+
+    class FakePy4JError(Exception):
+        pass
+
+    def _boom(*a, **k):
+        raise FakePy4JError("transient FS fault during hygiene")
+
+    monkeypatch.setattr(lease_mod, "_sweep_stale_sidecars", _boom)
+    res = str(tmp_path / "store")
+    token = acquire_lease(spark, res, ttl_s=60)  # must NOT raise
+    assert token
+    release_lease(spark, res, token)
+
+
+def test_delete_gen_fault_does_not_fail_acquire(spark, tmp_path, monkeypatch):
+    from weather_etl_pipeline_spark.sources import lease as lease_mod
+
+    res = str(tmp_path / "store")
+    # leave a stale generation behind so the new acquire has something
+    # to clean up (the _delete_gen loop actually runs)
+    acquire_lease(spark, res, ttl_s=0.05)
+    time.sleep(0.1)
+
+    def _boom(*a, **k):
+        raise Exception("py4j-shaped fault mid superseded-gen delete")
+
+    monkeypatch.setattr(lease_mod, "_delete_gen", _boom)
+    token = acquire_lease(spark, res, ttl_s=60)  # must NOT raise
+    assert token
+    release_lease(spark, res, token)
+
+
+def test_overrun_hold_logs_release_warning(spark, tmp_path, caplog):
+    """ADVICE r11 (low): a guarded mutation that outruns its TTL always
+    leaves a stale lease behind (release refuses past expiry). That is
+    by design, but it must be VISIBLE — the warning is how operators
+    learn their ttl_s is chronically undersized."""
+    import logging
+
+    res = str(tmp_path / "store")
+    with caplog.at_level(
+        logging.WARNING, logger="weather_etl_pipeline_spark.sources.lease"
+    ):
+        with writer_lease(spark, res, ttl_s=0.05):
+            time.sleep(0.1)  # outrun the TTL
+    assert any("not released" in r.message for r in caplog.records)
+    # clean exit within the TTL logs nothing
+    caplog.clear()
+    with caplog.at_level(
+        logging.WARNING, logger="weather_etl_pipeline_spark.sources.lease"
+    ):
+        with writer_lease(spark, res, ttl_s=60):
+            pass
+    assert not caplog.records
+
+
+def test_append_aborts_pre_commit_when_lease_lapses(spark, tmp_path):
+    """End-to-end fencing: an append whose lease lapses mid-run must
+    abort BEFORE the commit-point meta write (LeaseLostError), leaving
+    the watermark unadvanced — and the retry must then hit the
+    intent-journal recovery exactly as if the append had crashed."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        append_signature_batch,
+        build_signature_store,
+        read_store_watermark,
+    )
+    from weather_etl_pipeline_spark.sources.lease import LeaseLostError
+
+    sig = str(tmp_path / "sig")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    build_signature_store(spark, docs, sig)
+    assert read_store_watermark(spark, sig) == 2
+    batch = spark.createDataFrame(
+        [(3, "iota kappa lambda mu nu xi")], "doc_id long, text string"
+    )
+    # 50ms TTL: any real append (several Spark jobs) outruns it
+    with pytest.raises(LeaseLostError):
+        append_signature_batch(spark, batch, sig, watermark_hi=3, lease_ttl_s=0.05)
+    # commit never happened: watermark unadvanced
+    assert read_store_watermark(spark, sig) == 2
+    # the abort left the journal's intent set + orphan rows above the
+    # watermark — the retry refuses loudly (rebuild is the recovery),
+    # identical to a mid-append crash
+    with pytest.raises(ValueError, match="torn append"):
+        append_signature_batch(spark, batch, sig, watermark_hi=3)
+
+
+def test_ivf_append_aborts_pre_commit_when_lease_lapses(spark, tmp_path):
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        _read_meta,
+        append_ivf_batch,
+        build_ivf_index,
+    )
+    from weather_etl_pipeline_spark.sources.lease import LeaseLostError
+
+    ivf = str(tmp_path / "ivf")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, e array<double>"
+    )
+    build_ivf_index(spark, emb, ivf)
+    assert _read_meta(spark, ivf)[0] == 2
+    batch = spark.createDataFrame(
+        [(3, [1.0, 1.0])], "vec_id long, e array<double>"
+    )
+    with pytest.raises(LeaseLostError):
+        append_ivf_batch(spark, batch, ivf, watermark_hi=3, lease_ttl_s=0.05)
+    assert _read_meta(spark, ivf)[0] == 2  # commit never happened

@@ -237,6 +237,7 @@ def build_signature_store(
     family: str = "minhash",
     watermark_hi: int | None = None,
     lease_ttl_s: float | None = 900.0,
+    _fence=None,
 ) -> None:
     """One corpus pass → three partitioned lake tables (see module doc).
 
@@ -271,13 +272,23 @@ def build_signature_store(
     watermark, watermark_hi).
     """
     if lease_ttl_s is not None:
-        from ..sources.lease import writer_lease
+        from ..sources.lease import fence_for, writer_lease
 
         with writer_lease(
             spark, store_path, owner="build_signature_store", ttl_s=lease_ttl_s
-        ):
+        ) as token:
+            # fencing check runs immediately before the commit-point
+            # meta write: a build that outlives its TTL aborts like a
+            # pre-commit crash instead of committing unfenced against a
+            # successor's concurrent mutation
             return build_signature_store(
-                spark, docs, store_path, family, watermark_hi, lease_ttl_s=None
+                spark,
+                docs,
+                store_path,
+                family,
+                watermark_hi,
+                lease_ttl_s=None,
+                _fence=fence_for(spark, store_path, token),
             )
     from pyspark.sql import Window
 
@@ -354,6 +365,8 @@ def build_signature_store(
     # pre-rebuild watermark / explicit watermark_hi. pending_hi=null: a
     # fresh build is by definition a clean commit point.
     hi = docs.agg(F.max("doc_id").alias("hi")).collect()[0]["hi"]
+    if _fence is not None:
+        _fence()  # abort pre-commit if the lease lapsed mid-build
     _write_meta(
         spark,
         store_path,
@@ -477,6 +490,7 @@ def append_signature_batch(
     tables: tuple[DataFrame, DataFrame] | None = None,
     shard_keys: list[int] | None = None,
     lease_ttl_s: float | None = 900.0,
+    _fence=None,
 ) -> None:
     """Append an ingested batch's signatures to an existing store —
     the accept step of the ingest loop (probe → filter dups → append)
@@ -528,11 +542,11 @@ def append_signature_batch(
     convention into an enforced invariant.
     """
     if lease_ttl_s is not None:
-        from ..sources.lease import writer_lease
+        from ..sources.lease import fence_for, writer_lease
 
         with writer_lease(
             spark, store_path, owner="append_signature_batch", ttl_s=lease_ttl_s
-        ):
+        ) as token:
             return append_signature_batch(
                 spark,
                 batch,
@@ -542,6 +556,7 @@ def append_signature_batch(
                 tables,
                 shard_keys,
                 lease_ttl_s=None,
+                _fence=fence_for(spark, store_path, token),
             )
     from pyspark.sql import Window
 
@@ -587,6 +602,8 @@ def append_signature_batch(
         if watermark_hi is not None and watermark_hi > stored_max:
             new_wm = int(watermark_hi)
         if new_wm != stored_max or pending is not None or legacy:
+            if _fence is not None:
+                _fence()  # this write advances the watermark: fence it
             _write_meta(spark, store_path, new_wm, has_data=has_data)
         return
     if lo_hi["lo"] <= stored_max:
@@ -710,6 +727,12 @@ def append_signature_batch(
         has_data = shb.limit(1).count() > 0
     if owns_cache:
         shb.unpersist()
+    if _fence is not None:
+        # fencing check before commit: if the lease lapsed mid-append, a
+        # successor may already be mutating — abort here and the rows
+        # just written sit above the (unadvanced) watermark, exactly the
+        # torn state the entry-point journal recovery already handles
+        _fence()
     # commit: watermark advances, intent journal clears
     _write_meta(spark, store_path, hi, has_data=has_data)
 

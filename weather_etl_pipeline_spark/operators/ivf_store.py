@@ -269,6 +269,7 @@ def build_ivf_index(
     assign_m: int = 1,
     watermark_hi: int | None = None,
     lease_ttl_s: float | None = 900.0,
+    _fence=None,
 ) -> None:
     """One corpus pass → the persisted IVF index (see module doc).
 
@@ -311,11 +312,11 @@ def build_ivf_index(
     contract as build_signature_store; ``lease_ttl_s=None`` opts out).
     """
     if lease_ttl_s is not None:
-        from ..sources.lease import writer_lease
+        from ..sources.lease import fence_for, writer_lease
 
         with writer_lease(
             spark, index_path, owner="build_ivf_index", ttl_s=lease_ttl_s
-        ):
+        ) as token:
             return build_ivf_index(
                 spark,
                 emb,
@@ -325,6 +326,7 @@ def build_ivf_index(
                 assign_m,
                 watermark_hi,
                 lease_ttl_s=None,
+                _fence=fence_for(spark, index_path, token),
             )
     # watermark floor, read BEFORE the overwrite clobbers meta. Only a
     # MISSING meta (fresh build) may skip the floor; a present-but-
@@ -427,6 +429,8 @@ def build_ivf_index(
         # on this meta value and skip their own cent.count() job; the
         # large-k probe re-verifies len(centroids) == n_cells at
         # collect time and refuses a torn index (see probe_ivf_index).
+        if _fence is not None:
+            _fence()  # abort pre-commit if the lease lapsed mid-build
         _write_meta(spark, index_path, max(int(hi), floor), assign_m, n_cells=k)
     finally:
         emb.unpersist()
@@ -471,6 +475,7 @@ def append_ivf_batch(
     index_path: str,
     watermark_hi: int | None = None,
     lease_ttl_s: float | None = 900.0,
+    _fence=None,
 ) -> None:
     """The ingest loop's accept step for ANN — append a batch's vectors
     to the existing cells WITHOUT re-clustering (centroids are the
@@ -503,13 +508,18 @@ def append_ivf_batch(
     is enforced, not assumed.
     """
     if lease_ttl_s is not None:
-        from ..sources.lease import writer_lease
+        from ..sources.lease import fence_for, writer_lease
 
         with writer_lease(
             spark, index_path, owner="append_ivf_batch", ttl_s=lease_ttl_s
-        ):
+        ) as token:
             return append_ivf_batch(
-                spark, batch, index_path, watermark_hi, lease_ttl_s=None
+                spark,
+                batch,
+                index_path,
+                watermark_hi,
+                lease_ttl_s=None,
+                _fence=fence_for(spark, index_path, token),
             )
     lo_hi = batch.agg(
         F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
@@ -548,6 +558,8 @@ def append_ivf_batch(
         if watermark_hi is not None and watermark_hi > stored_max:
             new_wm = int(watermark_hi)
         if new_wm != stored_max or pending is not None or legacy:
+            if _fence is not None:
+                _fence()  # this write advances the watermark: fence it
             _write_meta(
                 spark, index_path, new_wm, assign_m, trained, n_cells=n_cells
             )
@@ -599,6 +611,11 @@ def append_ivf_batch(
         .partitionBy("cell")
         .parquet(_cells_path(index_path))
     )
+    if _fence is not None:
+        # fencing check before commit: a lapsed lease means a successor
+        # may already be mutating — abort, leaving rows above the
+        # unadvanced watermark (the journal recovery's torn state)
+        _fence()
     # commit: watermark advances, intent journal clears
     _write_meta(spark, index_path, hi, assign_m, n_cells=n_cells)
 

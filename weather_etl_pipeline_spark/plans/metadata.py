@@ -58,7 +58,7 @@ def upsert_metadata_cols(
     restores the unguarded detect-only behavior (the crash-consistency
     suite pins both modes)."""
 
-    def _merge_and_swap() -> None:
+    def _merge_and_swap(fence=None) -> None:
         current = read_metadata(spark, meta_path)
         merged = (
             current.unionByName(new_rows.select(*current.columns))
@@ -73,15 +73,20 @@ def upsert_metadata_cols(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if fence is not None:
+            # pre-commit fencing check (sources/lease.py::fence_for): a
+            # hold that outlived its TTL aborts before the swap instead
+            # of swapping unfenced against a successor's merge
+            fence()
         _atomic_overwrite(deduped, meta_path)
 
     if lease_ttl_s is None:
         _merge_and_swap()
         return
-    from ..sources.lease import writer_lease
+    from ..sources.lease import fence_for, writer_lease
 
-    with writer_lease(spark, meta_path, ttl_s=lease_ttl_s):
-        _merge_and_swap()
+    with writer_lease(spark, meta_path, ttl_s=lease_ttl_s) as token:
+        _merge_and_swap(fence_for(spark, meta_path, token))
 
 
 def mark_processed_cols(

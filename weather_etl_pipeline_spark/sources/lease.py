@@ -77,6 +77,7 @@ scans stay on regardless, exactly as before.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 import uuid
@@ -84,6 +85,8 @@ from contextlib import contextmanager
 from urllib.parse import urlparse
 
 from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 DEFAULT_TTL_S = 900.0
 _GEN_SEP = ".__lease.g"
@@ -101,6 +104,26 @@ class LeaseHeldError(RuntimeError):
             f"lease on {resource} held by {owner!r} "
             f"(expires in {max(0.0, expires - time.time()):.1f}s); "
             "a second writer must wait for release or TTL expiry"
+        )
+
+
+class LeaseLostError(RuntimeError):
+    """The caller's lease expired or was superseded mid-mutation.
+
+    Raised by a :func:`fence_for` check placed immediately before a
+    commit-point write: past this point the write would land unfenced
+    while a successor may already be mutating, so the mutation must
+    abort instead — its own crash-consistency story (intent journal /
+    checked rename / orphan refusal) then treats the abort exactly
+    like a crash before commit."""
+
+    def __init__(self, resource: str, token: str):
+        self.resource = resource
+        self.token = token
+        super().__init__(
+            f"lease {token!r} on {resource} expired or was superseded "
+            "mid-mutation; aborting before the commit-point write "
+            "(raise ttl_s above the worst-case guarded operation)"
         )
 
 
@@ -202,7 +225,17 @@ def _hadoop_try_create(spark: SparkSession, path: str, payload: bytes) -> bool:
     and S3A's rename is copy+delete. For both, the exists pre-check
     plus a post-rename read-back (did OUR payload survive?) shrink
     the race to a near-simultaneous double-rename; on HDFS/ABFS the
-    rename itself is the arbiter and the read-back merely confirms."""
+    rename itself is the arbiter and the read-back merely confirms.
+
+    Residual double-winner window on overwrite-rename schemes: A
+    renames and passes its read-back BEFORE B's overwriting rename
+    lands, then B's read-back also matches — both return True. The
+    jittered SECOND read-back below catches any overwrite that lands
+    within the jitter (the common near-simultaneous case); an
+    overwrite slower than the jitter remains possible on those
+    schemes only, which is why the orphan-refusal detection layer
+    stays on as the backstop and the 'exactly one holder' invariant
+    is documented as scheme-dependent (COVERAGE.md)."""
     from .fs import _fs_and_path, delete, path_exists, rename
 
     parent, base = _split_parent(path)
@@ -216,6 +249,14 @@ def _hadoop_try_create(spark: SparkSession, path: str, payload: bytes) -> bool:
     if path_exists(spark, path) or not rename(spark, tmp, path):
         delete(spark, tmp)
         return False
+    if _hadoop_read(spark, path) != payload:
+        return False
+    # second confirmation read after a short jitter: on HDFS/ABFS the
+    # rename already arbitrated and this read is a cheap no-op; on
+    # overwrite-rename schemes it demotes a near-simultaneous double
+    # winner (B's rename landing just after A's first read-back) to a
+    # loss for A, so at most one contender's create returns True.
+    time.sleep(0.05)
     return _hadoop_read(spark, path) == payload
 
 
@@ -364,8 +405,15 @@ def _sweep_stale_sidecars(
                 n = st.getPath().getName()
                 if _is_sidecar(n) and st.getModificationTime() / 1000.0 < cutoff:
                     delete(spark, f"{parent}/{n}")
-    except OSError:
-        pass  # hygiene only — never let a sweep fault fail an acquire
+    except Exception:
+        # hygiene only — never let a sweep fault fail an acquire. The
+        # guard is deliberately broad: the local path raises OSError,
+        # but the Hadoop path (exists → listStatus → delete via py4j)
+        # raises Py4JJavaError, and a transient FS fault here escaping
+        # AFTER the new lease file was created would make acquire_lease
+        # raise while a live lease exists with no token in any caller's
+        # hands — the resource would be fenced for the full TTL.
+        pass
 
 
 def _delete_gen(spark: SparkSession, resource: str, gen: int, _impl: str) -> None:
@@ -430,17 +478,24 @@ def acquire_lease(
             else _hadoop_try_create(spark, path, payload)
         )
         if created:
-            # superseded generations are garbage from the moment a
-            # higher one exists; best-effort cleanup, races nothing
-            for g in gens:
-                _delete_gen(spark, resource, g, _impl)
-            # sweep age uses the LONGEST plausible TTL, not this
-            # writer's: a short-TTL streaming appender must not sweep a
-            # tombstone that is still the high-water mark for a
-            # long-TTL maintenance writer stalled mid-acquire
-            _sweep_stale_sidecars(
-                spark, resource, max(float(ttl_s), DEFAULT_TTL_S), _impl
-            )
+            # EVERYTHING after a successful create is best-effort
+            # hygiene: once the lease file exists, nothing may prevent
+            # returning the token — a raise here would fence the
+            # resource for the full TTL with no holder able to release.
+            try:
+                # superseded generations are garbage from the moment a
+                # higher one exists; cleanup races nothing
+                for g in gens:
+                    _delete_gen(spark, resource, g, _impl)
+                # sweep age uses the LONGEST plausible TTL, not this
+                # writer's: a short-TTL streaming appender must not
+                # sweep a tombstone that is still the high-water mark
+                # for a long-TTL maintenance writer stalled mid-acquire
+                _sweep_stale_sidecars(
+                    spark, resource, max(float(ttl_s), DEFAULT_TTL_S), _impl
+                )
+            except Exception:
+                pass  # same rationale as the sweep's own guard
             return f"{target}:{my_uuid}"
     raise LeaseHeldError(resource, "<unresolved contention>", time.time())
 
@@ -489,6 +544,46 @@ def release_lease(
     return True
 
 
+def lease_is_live(
+    spark: SparkSession, resource: str, token: str, _impl: str = "auto"
+) -> bool:
+    """True iff ``token``'s generation file still carries our token
+    and has not passed its TTL — the cheap fencing check a long
+    mutation runs immediately BEFORE its commit-point write. Without
+    it, a hold that outlives its TTL (GC pause, data skew, slow object
+    store) degrades to detect-only exactly when writes are slowest: a
+    successor can acquire mid-write and the original writer's final
+    commit lands unfenced. One payload read; no listing."""
+    try:
+        gen_s, my_uuid = token.split(":", 1)
+        gen = int(gen_s)
+    except ValueError:
+        return False
+    cur = _read_payload(spark, resource, gen, _impl)
+    return (
+        cur is not None
+        and cur.get("token") == my_uuid
+        and time.time() < float(cur["expires"])
+    )
+
+
+def fence_for(spark: SparkSession, resource: str, token: str, _impl: str = "auto"):
+    """Zero-arg fencing callback for a held lease: raises
+    :class:`LeaseLostError` unless ``token`` is still the live holder.
+    Mutators call it immediately before their commit-point write (the
+    meta/watermark write or directory swap) so a hold that outlived
+    its TTL aborts like a pre-commit crash instead of committing
+    unfenced against a successor's concurrent mutation. Cost: one
+    payload read (~µs local, one py4j round-trip on Hadoop schemes) —
+    free at batch granularity."""
+
+    def _check() -> None:
+        if not lease_is_live(spark, resource, token, _impl=_impl):
+            raise LeaseLostError(resource, token)
+
+    return _check
+
+
 def run_exclusively(
     spark: SparkSession,
     resource: str,
@@ -515,9 +610,29 @@ def writer_lease(
 ):
     """``with writer_lease(spark, store): <mutate>`` — acquire around
     the mutation, release on every exit path (a crash that skips the
-    finally leaves the lease to TTL expiry, which is the design)."""
+    finally leaves the lease to TTL expiry, which is the design).
+
+    A failed release is LOGGED, not raised: release_lease refuses once
+    the TTL has lapsed (a successor may be mid-takeover), so a guarded
+    mutation that chronically outruns its TTL leaves a stale lease
+    behind every run and makes every next writer pay a break+supersede
+    round. Correctness is unaffected, but a systematically slow job
+    becomes a perpetual lease-breaking workload — the warning names
+    the overrun so operators size ttl_s above the worst-case guarded
+    operation instead of discovering tombstone churn in FS listings."""
     token = acquire_lease(spark, resource, owner=owner, ttl_s=ttl_s, _impl=_impl)
+    t0 = time.time()
     try:
         yield token
     finally:
-        release_lease(spark, resource, token, _impl=_impl)
+        if not release_lease(spark, resource, token, _impl=_impl):
+            held = time.time() - t0
+            _LOG.warning(
+                "lease on %s not released (held %.1fs, ttl %.1fs): the "
+                "hold outlived its TTL or was superseded; raise ttl_s "
+                "above the worst-case guarded operation to avoid "
+                "per-run break+supersede churn",
+                resource,
+                held,
+                ttl_s,
+            )

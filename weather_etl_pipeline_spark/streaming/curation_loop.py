@@ -169,6 +169,17 @@ def _meta_lost_with_data(
     return any(_has_parquet(spark, f"{store_path}/{s}") for s in data_subdirs)
 
 
+def _lake_lock_resource(rejects_dir: str, batch_id: int) -> str:
+    """Lease RESOURCE name for the per-batch lake write. Deliberately
+    NOT the lake batch dir itself: lease files are created as siblings
+    of the resource, and a sibling of ``{lake}/batch_id=N`` lives
+    INSIDE the lake root, where any stray non-parquet file breaks
+    partition discovery on whole-lake reads. The lock is advisory (the
+    resource path never needs to exist), so it lives under the rejects
+    dir, whose pruning sweep also clears the released tombstones."""
+    return f"{rejects_dir}/lakelock/batch_id={int(batch_id)}"
+
+
 def _commit_marker_path(lake_dir: str, batch_id: int) -> str:
     # an underscore-prefixed TOP-LEVEL dir: invisible to Spark's
     # partition discovery (like _SUCCESS/_temporary), and — unlike the
@@ -235,10 +246,13 @@ def prune_replay_evidence(
     from ..sources.fs import delete, list_dir, path_exists
 
     def _batch_ids(root: str) -> set[int]:
+        # strict batch_id=<digits> match: the lakelock stage dir holds
+        # lease FILES named batch_id=N.__lease.g<...> / .r<...> whose
+        # suffix is not an int — they are lock sidecars, not batches
         return {
             int(d.split("=", 1)[1])
             for d in list_dir(spark, root)
-            if d.startswith("batch_id=")
+            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
         }
 
     stages = [s for s in list_dir(spark, rejects_dir) if not s.startswith("_")]
@@ -257,11 +271,20 @@ def prune_replay_evidence(
     ]
     unprunable = sorted(set(settled) - set(committed))
     prunable = committed[: max(0, len(committed) - keep_last)]
+    lock_dir = f"{rejects_dir}/lakelock"
+    lock_names = list_dir(spark, lock_dir) if path_exists(spark, lock_dir) else []
     for b in prunable:
         for s in stages:
             d = f"{rejects_dir}/{s}/batch_id={b}"
             if path_exists(spark, d):
                 delete(spark, d)
+        # lake-write lock sidecars (released tombstones / superseded
+        # generations) for a pruned batch are dead weight: the batch is
+        # provably committed and its redelivery short-circuits before
+        # the lake leg, so no future acquire of this lock can happen
+        for n in lock_names:
+            if n.startswith(f"batch_id={b}.__lease."):
+                delete(spark, f"{lock_dir}/{n}")
     kept = sorted(evidence_batches - set(prunable))
     return {
         "pruned": prunable,
@@ -317,10 +340,13 @@ def curation_audit_report(
     }
 
     def _batch_ids(root: str) -> set[int]:
+        # strict batch_id=<digits> match: the lakelock stage dir holds
+        # lease FILES named batch_id=N.__lease.g<...> / .r<...> whose
+        # suffix is not an int — they are lock sidecars, not batches
         return {
             int(d.split("=", 1)[1])
             for d in list_dir(spark, root)
-            if d.startswith("batch_id=")
+            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
         }
 
     lake_batches = _batch_ids(lake_dir)
@@ -449,8 +475,17 @@ def process_curation_batch(
     nprobe: int = 1,
     dup_cos: float = _ANN_DUP_COS,
     family: str = "minhash",
+    lease_ttl_s: float = _STREAM_LEASE_TTL_S,
 ) -> None:
     """One micro-batch of the unified curation loop (module doc).
+
+    ``lease_ttl_s``: writer-lease TTL for every store/lake mutation in
+    the batch. The 120s default is 20-30× the measured worst-case
+    append at @x100; deployments whose batches legitimately run longer
+    (data skew, slow object store) MUST raise it — past the TTL the
+    mutators' pre-commit fencing check (sources/lease.py::fence_for)
+    aborts the batch rather than committing unfenced, and the
+    checkpoint retry replays it.
 
     ``batch_df`` needs (doc_id, text, e array<double>) plus payload
     columns, which ride through to the lake untouched. doc_id doubles
@@ -657,7 +692,7 @@ def process_curation_batch(
                         # streaming TTL: a crashed service's leftover
                         # lease must not stall the restarted loop for
                         # the maintenance-shaped 900s default
-                        lease_ttl_s=_STREAM_LEASE_TTL_S,
+                        lease_ttl_s=lease_ttl_s,
                     )
 
             _finish_ann_and_lake(
@@ -674,6 +709,7 @@ def process_curation_batch(
                 nprobe,
                 dup_cos,
                 _sig_append,
+                lease_ttl_s=lease_ttl_s,
             )
         finally:
             text_pass.unpersist()
@@ -697,6 +733,7 @@ def _finish_ann_and_lake(
     nprobe: int,
     dup_cos: float,
     sig_append_thunk,
+    lease_ttl_s: float = _STREAM_LEASE_TTL_S,
 ) -> None:
 
     # --- stage 2b ∥ 3: signature-store append ∥ embedding near-dup
@@ -729,7 +766,7 @@ def _finish_ann_and_lake(
             ivf_index,
             assign_m=ivf_m,
             watermark_hi=hi,
-            lease_ttl_s=_STREAM_LEASE_TTL_S,
+            lease_ttl_s=lease_ttl_s,
         )
     else:
 
@@ -776,15 +813,34 @@ def _finish_ann_and_lake(
                     accepted.select(F.col("doc_id").alias("vec_id"), "e"),
                     ivf_index,
                     watermark_hi=hi,
-                    lease_ttl_s=_STREAM_LEASE_TTL_S,
+                    lease_ttl_s=lease_ttl_s,
                 )
 
-        _run_concurrently(
-            _ann,
-            lambda: accepted.drop("e")
-            .write.mode("overwrite")
-            .parquet(f"{lake_dir}/batch_id={int(batch_id)}"),
-        )
+        def _lake() -> None:
+            # The lake write holds its OWN per-batch-dir lease: batch-id
+            # keyed overwrite makes sequential replays idempotent, but
+            # it does NOT make CONCURRENT writers safe — two services
+            # overwriting the same batch dir interleave (A's job-start
+            # delete, then both jobs commit their task files into the
+            # dir), leaving a mix of both attempts' part files: doubled
+            # rows that no replay ever cleans. Per-batch-dir scope
+            # keeps unrelated batches fully parallel; a second
+            # same-batch writer fails fast with LeaseHeldError and the
+            # checkpoint retry replays against the winner's committed
+            # marker (whole-batch short-circuit).
+            from ..sources.lease import writer_lease
+
+            with writer_lease(
+                spark,
+                _lake_lock_resource(rejects_dir, batch_id),
+                owner="curation_lake_write",
+                ttl_s=lease_ttl_s,
+            ):
+                accepted.drop("e").write.mode("overwrite").parquet(
+                    f"{lake_dir}/batch_id={int(batch_id)}"
+                )
+
+        _run_concurrently(_ann, _lake)
         # explicit batch-commit marker, AFTER both stage-4 legs join:
         # the whole-batch short-circuit and evidence pruning key on it.
         # It must be compaction-proof — compact_zone's dynamic
@@ -810,6 +866,7 @@ def stream_curated_ingest(
     nprobe: int = 1,
     dup_cos: float = _ANN_DUP_COS,
     family: str = "minhash",
+    lease_ttl_s: float = _STREAM_LEASE_TTL_S,
 ):
     """Start the unified curation stream; returns the StreamingQuery.
 
@@ -828,13 +885,17 @@ def stream_curated_ingest(
     batch with a "build the stores first" ValueError.
 
     SINGLE-WRITER POSTURE: every store mutation inside the loop holds
-    that store's writer lease (sources/lease.py) with a 120s TTL — a
+    that store's writer lease (sources/lease.py) with a configurable
+    TTL (``lease_ttl_s``, default 120s) — a
     second service on the same stores, or a maintenance rebuild racing
     the stream, fails the batch up front with LeaseHeldError, and the
     engine's checkpoint retry replays it cleanly once the other writer
     finishes (pinned by the foreign_lease curation-chaos leg). A
     CRASHED service's leftover lease therefore stalls the restarted
-    loop at most 120s before TTL expiry clears it."""
+    loop at most one TTL before expiry clears it. Size ``lease_ttl_s``
+    above the worst-case batch mutation: each mutator re-verifies its
+    lease immediately before its commit-point write and aborts the
+    batch (for checkpoint replay) if the hold lapsed."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_curation_batch(
@@ -849,6 +910,7 @@ def stream_curated_ingest(
             nprobe=nprobe,
             dup_cos=dup_cos,
             family=family,
+            lease_ttl_s=lease_ttl_s,
         )
 
     return (
