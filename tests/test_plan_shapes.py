@@ -205,7 +205,7 @@ _SF01 = "/root/testdata/sf0.1"
 _HEADLINE_MAX_SHUFFLES = {
     "asof_join_last_error": 1,  # ratcheted from 2 (round-9 window-order tie-collapse)
     "dedup_exact_canonical": 1,
-    "dedup_jaccard_pairs": 7,  # ratcheted from 9 (round-8 fused-sizes verify)
+    "dedup_jaccard_pairs": 6,  # ratcheted from 7 (round-12 arrays verify)
     "dedup_minhash_lsh": 9,
     "gold_daily_rollup": 1,
     "json_extract_agg": 1,

@@ -258,14 +258,8 @@ def _jaccard_scored_pairs(
         .withColumn("n_tok", F.size("tokens"))
         .cache()
     )
-    # n_tok rides the exploded index so the verify's groupBy can emit
-    # (n_a, n_b) via MIN — it's constant per doc — instead of two
-    # doc-size joins after the count (round-8 A/B: 3.33s vs 4.11s at
-    # sf0.1 in the same window; two fewer join stages). The oracle's
-    # pairs CTE already computes MIN(n_tok) over the verify join, so
-    # the outputs are identical by construction.
     inv = toks.select(
-        "doc_id", "lang", "source", "n_tok", F.explode("tokens").alias("token")
+        "doc_id", "lang", "source", F.explode("tokens").alias("token")
     )
     # cap via window row_number (streams/spills — a raw collect_list of
     # UNCAPPED posting lists would materialize per-group arrays bounded
@@ -290,42 +284,50 @@ def _jaccard_scored_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    # exact verify over full token sets of the candidate pairs only.
-    # Round-6 A/B against an array_intersect verify over the cached
-    # token arrays (the minhash pattern): identical output (pairwise-
-    # verified at sf0.01), roughly par at @x10/@x100 (1.95/3.73s vs
-    # 2.06/3.48s — both shapes broadcast the small candidate side, so
-    # the corpus never reshuffles either way), but +0.8s at sf0.1
-    # (3.27 vs 2.45 best; re-measured round 7: 3.03 vs 2.13) from the
-    # extra join stages' latency — kept the exploded count-join.
-    # Re-A/B'd round 8 after the one-exchange collapse shrank the rep
-    # side: count-join 2.44s vs array_intersect 3.42s best-of-3 at
-    # sf0.1 — the trade did not flip; count-join stays.
-    fa = inv.select(
-        F.col("doc_id").alias("doc_a"), "token", F.col("n_tok").alias("n_a")
+    # exact verify over full DISTINCT-token sets of the candidate pairs
+    # only — array_intersect over the cached per-doc token arrays, NO
+    # aggregation. History of this A/B (it flipped): rounds 6-8
+    # measured an exploded count-join (cand ⋈ index_a ⋈ index_b →
+    # groupBy pair) FASTER than the arrays shape (2.44s vs 3.42s at
+    # sf0.1, round 8) and kept it. Round 12, after the one-exchange
+    # collapse, the posting/cap fusion, and the toks cache shrank
+    # everything upstream, the same A/B at the new head reads arrays
+    # 0.99s vs count-join 1.52s best-of-5 — the count-join's final
+    # groupBy exchange and second join stage are now the plan's most
+    # expensive stages, while the arrays verify is two broadcast-gated
+    # joins and a map-side size(array_intersect): one fewer shuffle,
+    # no pairs×tokens intermediate. Outputs verified identical at
+    # sf0.01 and sf0.1 (exact set compare, both gate paths).
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tokens").alias("_ta"),
+        F.col("n_tok").alias("n_a"),
     )
-    fb = inv.select(
-        F.col("doc_id").alias("doc_b"), "token", F.col("n_tok").alias("n_b")
+    tb = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tokens").alias("_tb"),
+        F.col("n_tok").alias("n_b"),
     )
-    # size-gated broadcast of the verify-side index: the (doc_b, token)
-    # join otherwise shuffles BOTH the full inverted index and the
-    # pairs×tokens intermediate — the query's dominant exchange
-    # (round-7 A/B at sf0.1: 2.28s shuffled vs 1.78s broadcast). The
-    # gate is driver-side file metadata, no scan: broadcast only while
-    # the documents table is small enough that its exploded index fits
-    # an executor comfortably; past the gate (e.g. the @x100 sweep, or
-    # any real corpus) the plan falls back to the shuffle join, whose
-    # cost is bounded by the SAME posting caps as candidate generation.
+    # size-gated broadcast of the verify arrays (driver-side file
+    # metadata, no scan): while the documents table is small enough
+    # that the per-doc token arrays fit an executor, both joins are
+    # broadcast and the verify is map-only; past the gate (the @x1000
+    # sweep, any real corpus) the plan falls back to shuffle joins
+    # keyed on doc_id — bounded by the candidate count, which the
+    # posting caps bound in turn. The arrays side is STRICTLY smaller
+    # than the exploded index the pre-round-12 verify shipped (same
+    # token payload, one row per doc instead of one per token).
     if table_file_bytes(spark, sf_dir, "documents") <= _JACCARD_BC_MAX_BYTES:
-        fb = F.broadcast(fb)
+        ta, tb = F.broadcast(ta), F.broadcast(tb)
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.min("n_a").alias("n_a"),
-            F.min("n_b").alias("n_b"),
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_ta", "_tb")).alias("n_shared"),
+            "n_a",
+            "n_b",
         )
     )
 
