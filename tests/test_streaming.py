@@ -186,14 +186,18 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
     the oracle-verified batch aggregation, like the
     applyInPandasWithState kernel does.
 
-    Requires google.protobuf (the transformWithState driver worker's
-    state-serialization dependency), which this sandbox lacks — the
-    operator plumbing is real; the runtime check is gated."""
+    Requires google.protobuf in every Spark-spawned Python process. In
+    this sandbox that resolves through the test-env proxy conftest puts
+    on PYTHONPATH (tests/_protobuf_shim/README.md — the Cloud SDK's
+    pure-Python 4.23.2 served under the google.protobuf name); the
+    importorskip below only fires on hosts with neither a real
+    protobuf nor the Cloud SDK tree."""
     import pytest
 
     pytest.importorskip(
         "google.protobuf",
-        reason="transformWithStateInPandas needs protobuf at runtime",
+        reason="transformWithStateInPandas needs protobuf at runtime "
+        "(no real install and no Cloud SDK tree to proxy)",
     )
     from weather_etl_pipeline_spark.streaming.stateful import (
         stream_user_totals_tws,

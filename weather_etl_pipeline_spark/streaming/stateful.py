@@ -166,14 +166,28 @@ def stream_user_totals_tws(
     Returns the StreamingQuery; after processAllAvailable the final
     per-user state must equal ``user_totals_batch``.
 
-    NB the transformWithState driver worker needs ``google.protobuf``
-    at runtime (state-serialization wire format); environments without
-    it (this sandbox) fail at query start — the pytest gates on the
-    import. ``stream_user_totals`` (applyInPandasWithState) is the
-    dependency-free kernel with identical semantics.
+    Two runtime requirements beyond the applyInPandasWithState twin
+    (``stream_user_totals``, which needs neither):
+
+    - ``google.protobuf`` in every Python process Spark spawns (the
+      state-server wire format). In this sandbox that's satisfied by
+      the test-env proxy (tests/_protobuf_shim/README.md); deployments
+      ship a real protobuf >= the pyspark gencode version.
+    - the RocksDB state store provider: transformWithState keeps each
+      state variable in its own column family, which the default
+      HDFS-backed provider rejects (multipleColumnFamiliesNotSupported).
+      Set session-wide below — runtime-settable, read at query start;
+      existing HDFS-backed checkpoints of OTHER queries are unaffected
+      (provider is pinned per-checkpoint at first start).
     """
     from ..catalog import raw_nanos_schema
     from .staging import stage_events_dir
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
 
     src = os.path.join(sf_dir, "events.parquet")
     raw_schema = raw_nanos_schema(spark, src)
