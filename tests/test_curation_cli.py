@@ -1,0 +1,64 @@
+"""Functional drive of the `weather-etl-curate` console entry point —
+the packaging smoke pins its import; this pins its behavior: bootstrap
+builds both stores, the stream consumes a parquet drop dir, accepted
+docs land in the lake, and a duplicate drop is quarantined (the stores
+actually persist across the run)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.mark.parametrize("family", ["minhash"])
+def test_curate_cli_end_to_end(spark, tmp_path, family):
+    # NB: reuses the session fixture's JVM — the CLI calls get_spark,
+    # which returns the active session; --timeout drains then stops
+    # the query but must NOT stop the shared session, so we drive the
+    # inner main with a monkeypatch-free import and a pre-made session.
+    from weather_etl_pipeline_spark.streaming import curation_cli
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    root = tmp_path / "root"
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", [1.0, 0.0]),
+        (2, "this is a second document and it is about the engine of a spark cluster", [0.0, 1.0]),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, e array<double>"
+    ).coalesce(1).write.parquet(str(in_dir / "drop1"))
+
+    rc = curation_cli.main(
+        [
+            "--root",
+            str(root),
+            "--in",
+            str(in_dir / "drop1"),
+            "--bootstrap",
+            "--timeout",
+            "30",
+        ]
+    )
+    assert rc == 0
+    lake = spark.read.parquet(str(root / "lake"))
+    assert {r["doc_id"] for r in lake.collect()} == {1, 2}
+
+    # second run, new checkpoint-visible drop: doc 3 duplicates doc 1's
+    # text exactly — the persisted signature store must quarantine it
+    spark.createDataFrame(
+        [
+            (3, rows[0][1], [1.0, 0.0]),
+            (4, "here is one more document and it is not like any of the others at all", [0.5, 0.5]),
+        ],
+        "doc_id long, text string, e array<double>",
+    ).coalesce(1).write.parquet(str(in_dir / "drop1"), mode="append")
+    rc = curation_cli.main(
+        ["--root", str(root), "--in", str(in_dir / "drop1"), "--timeout", "30"]
+    )
+    assert rc == 0
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(root / "lake")).collect()
+    }
+    assert 4 in ids and 3 not in ids, ids

@@ -54,9 +54,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--timeout", type=float, default=0.0)
     args = ap.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from ..session import get_spark
     from .curation_loop import _STREAM_LEASE_TTL_S, stream_curated_ingest
 
+    # get_spark is getOrCreate: when an application session already
+    # exists (embedded use, tests), the CLI must not stop it on exit —
+    # only a session this invocation itself created is ours to stop
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("weather-etl-curate")
     root = args.root.rstrip("/")
     sig, ivf = f"{root}/sig_store", f"{root}/ivf_index"
@@ -104,7 +110,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             q.awaitTermination()
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     return 0
 
 
