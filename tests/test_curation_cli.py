@@ -62,3 +62,40 @@ def test_curate_cli_end_to_end(spark, tmp_path, family):
         for r in spark.read.parquet(str(root / "lake")).collect()
     }
     assert 4 in ids and 3 not in ids, ids
+
+
+def test_bootstrap_refused_over_existing_store(spark, tmp_path):
+    """Re-running the CLI with --bootstrap against a root that already
+    has store meta must REFUSE: an empty rebuild preserves the
+    watermark but erases the data and untrains the IVF index, so
+    probes would skip and every duplicate of the prior corpus would be
+    silently admitted. The stores must be untouched by the refusal."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        read_store_watermark,
+    )
+    from weather_etl_pipeline_spark.streaming import curation_cli
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    root = tmp_path / "root"
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today", [1.0, 0.0])],
+        "doc_id long, text string, e array<double>",
+    ).coalesce(1).write.parquet(str(in_dir / "d"))
+    assert (
+        curation_cli.main(
+            ["--root", str(root), "--in", str(in_dir / "d"),
+             "--bootstrap", "--timeout", "30"]
+        )
+        == 0
+    )
+    wm = read_store_watermark(spark, str(root / "sig_store"))
+    assert wm == 1
+    with pytest.raises(SystemExit, match="bootstrap refused"):
+        curation_cli.main(
+            ["--root", str(root), "--in", str(in_dir / "d"),
+             "--bootstrap", "--timeout", "30"]
+        )
+    # refusal touched nothing: watermark intact, session still alive
+    assert read_store_watermark(spark, str(root / "sig_store")) == wm
+    assert spark.range(1).count() == 1

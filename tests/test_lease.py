@@ -507,11 +507,11 @@ def test_overrun_hold_logs_release_warning(spark, tmp_path, caplog):
     assert not caplog.records
 
 
-def test_append_aborts_pre_commit_when_lease_lapses(spark, tmp_path):
-    """End-to-end fencing: an append whose lease lapses mid-run must
-    abort BEFORE the commit-point meta write (LeaseLostError), leaving
-    the watermark unadvanced — and the retry must then hit the
-    intent-journal recovery exactly as if the append had crashed."""
+def test_append_early_fence_aborts_cleanly_and_retry_succeeds(spark, tmp_path):
+    """A lease that lapses BEFORE the append's first data write aborts
+    at the EARLY fence (LeaseLostError) with nothing written — the
+    watermark is unadvanced, no journal intent is set, and a retry
+    under a fresh lease simply succeeds."""
     from weather_etl_pipeline_spark.operators.dedup_store import (
         append_signature_batch,
         build_signature_store,
@@ -529,19 +529,58 @@ def test_append_aborts_pre_commit_when_lease_lapses(spark, tmp_path):
     batch = spark.createDataFrame(
         [(3, "iota kappa lambda mu nu xi")], "doc_id long, text string"
     )
-    # 50ms TTL: any real append (several Spark jobs) outruns it
+    # 50ms TTL lapses during the entry-point meta read — the early
+    # fence fires before the intent record or any data write
     with pytest.raises(LeaseLostError):
         append_signature_batch(spark, batch, sig, watermark_hi=3, lease_ttl_s=0.05)
-    # commit never happened: watermark unadvanced
     assert read_store_watermark(spark, sig) == 2
-    # the abort left the journal's intent set + orphan rows above the
-    # watermark — the retry refuses loudly (rebuild is the recovery),
-    # identical to a mid-append crash
+    # nothing was written ⇒ the retry is clean, not a torn-state refusal
+    append_signature_batch(spark, batch, sig, watermark_hi=3)
+    assert read_store_watermark(spark, sig) == 3
+
+
+def test_append_late_fence_abort_is_a_crash_equivalent(spark, tmp_path):
+    """A lease that lapses AFTER the data writes aborts at the LATE
+    (pre-commit) fence; the torn journal then makes the retry refuse
+    loudly — identical to a mid-append crash, which is the documented
+    recovery class (rebuild). Driven deterministically by injecting a
+    fence that passes its early call and raises at the commit call."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        append_signature_batch,
+        build_signature_store,
+        read_store_watermark,
+    )
+    from weather_etl_pipeline_spark.sources.lease import LeaseLostError
+
+    sig = str(tmp_path / "sig")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    build_signature_store(spark, docs, sig)
+    batch = spark.createDataFrame(
+        [(3, "iota kappa lambda mu nu xi")], "doc_id long, text string"
+    )
+    calls = {"n": 0}
+
+    def fence():
+        calls["n"] += 1
+        if calls["n"] > 1:  # early call passes; commit call raises
+            raise LeaseLostError(sig, "test-token")
+
+    with pytest.raises(LeaseLostError):
+        append_signature_batch(
+            spark, batch, sig, watermark_hi=3, lease_ttl_s=None, _fence=fence
+        )
+    assert calls["n"] == 2
+    # commit never happened, but data was written: watermark unadvanced
+    # AND the journal intent is set with orphan rows above it
+    assert read_store_watermark(spark, sig) == 2
     with pytest.raises(ValueError, match="torn append"):
         append_signature_batch(spark, batch, sig, watermark_hi=3)
 
 
-def test_ivf_append_aborts_pre_commit_when_lease_lapses(spark, tmp_path):
+def test_ivf_append_early_fence_aborts_cleanly(spark, tmp_path):
     from weather_etl_pipeline_spark.operators.ivf_store import (
         _read_meta,
         append_ivf_batch,
@@ -561,3 +600,36 @@ def test_ivf_append_aborts_pre_commit_when_lease_lapses(spark, tmp_path):
     with pytest.raises(LeaseLostError):
         append_ivf_batch(spark, batch, ivf, watermark_hi=3, lease_ttl_s=0.05)
     assert _read_meta(spark, ivf)[0] == 2  # commit never happened
+    append_ivf_batch(spark, batch, ivf, watermark_hi=3)  # clean retry
+    assert _read_meta(spark, ivf)[0] == 3
+
+
+def test_build_fences_before_destructive_overwrite(spark, tmp_path):
+    """A rebuild whose lease lapsed must abort BEFORE erasing the
+    store's data dirs: rows missing BELOW the watermark are the one
+    torn state the orphan-above scan cannot see. Injected fence raises
+    on its first call; the store's data must be untouched after."""
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+        probe_signature_store,
+    )
+    from weather_etl_pipeline_spark.sources.lease import LeaseLostError
+
+    sig = str(tmp_path / "sig")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    build_signature_store(spark, docs, sig)
+
+    def fence():
+        raise LeaseLostError(sig, "test-token")
+
+    with pytest.raises(LeaseLostError):
+        build_signature_store(spark, docs, sig, lease_ttl_s=None, _fence=fence)
+    # the probe still finds doc 1's exact twin ⇒ bands/codes survived
+    dup = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    hits = probe_signature_store(spark, dup, sig).collect()
+    assert {(r["new_id"], r["old_id"]) for r in hits} == {(9, 1)}

@@ -204,7 +204,12 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
         user_totals_batch,
     )
 
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(provider_key, None)
     q = stream_user_totals_tws(spark, SF_SMOKE, checkpoint_dir=str(tmp_path / "ck"))
+    # the RocksDB override must not leak session-wide: the stream keeps
+    # its cloned-session snapshot, the caller's conf is restored
+    assert spark.conf.get(provider_key, None) == before
     try:
         q.processAllAvailable()
     finally:

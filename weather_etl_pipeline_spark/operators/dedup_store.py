@@ -307,6 +307,16 @@ def build_signature_store(
     except AnalysisException as e:
         if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
+    if _fence is not None:
+        # fence BEFORE the destructive static overwrites below, not
+        # only before the meta write: a rebuild that already lost its
+        # lease must not erase a successor's committed rows — rows
+        # MISSING BELOW the watermark are the one torn state no
+        # orphan-above scan can detect. A lapse DURING the overwrites
+        # remains the TTL hold-guarantee boundary (as with any TTL
+        # lease without renewal); the pre-meta fence below narrows it
+        # to the write window itself.
+        _fence()
     reps, edges = _collapse_exact(docs.select("doc_id", "text"))
     sh, bands = fam["tables"](reps)
     # per-bucket membership rank STORED so probes apply the corpus-side
@@ -614,6 +624,16 @@ def append_signature_batch(
     hi = int(lo_hi["hi"])
     if watermark_hi is not None:
         hi = max(hi, int(watermark_hi))
+    if _fence is not None:
+        # EARLY fence, before the intent record and any data write: an
+        # abort here is perfectly clean — nothing was written, the
+        # retry replays as if the append never started. The late fence
+        # before the commit write (below) still guards the slow-append
+        # case, but an abort THERE leaves the journal's torn state and
+        # the retry refuses (rebuild recovers) — identical to a
+        # mid-append crash, which is the documented semantics for any
+        # failure after the first data write.
+        _fence()
     # intent record: from here to the commit write, a crash is
     # detectable from meta alone
     _write_meta(

@@ -406,6 +406,14 @@ def build_ivf_index(
         # auto-k drift across compactions) would keep the OLD index's
         # rows, which pass the probe's committed filter because rebuilds
         # preserve the watermark floor: deleted vectors stay searchable.
+        if _fence is not None:
+            # fence BEFORE the destructive static overwrites of cells/
+            # centroids (same rationale as build_signature_store): a
+            # rebuild whose lease already lapsed must not erase a
+            # successor's committed rows — missing-below-the-watermark
+            # is undetectable by the orphan-above scan. A lapse DURING
+            # the overwrites remains the TTL hold-guarantee boundary.
+            _fence()
         (
             cells.repartition(k, "cell")
             .write.mode("overwrite")
@@ -577,6 +585,13 @@ def append_ivf_batch(
     hi = int(lo_hi["hi"])
     if watermark_hi is not None:
         hi = max(hi, int(watermark_hi))
+    if _fence is not None:
+        # EARLY fence before the intent record and any data write: an
+        # abort here is clean (nothing written, retry replays freely);
+        # an abort at the late fence below is a journal-torn state the
+        # retry refuses — identical to a mid-append crash. Mirrors
+        # append_signature_batch.
+        _fence()
     # intent record: crash anywhere below is detectable from meta alone
     _write_meta(
         spark,

@@ -61,15 +61,41 @@ def main(argv: list[str] | None = None) -> int:
 
     # get_spark is getOrCreate: when an application session already
     # exists (embedded use, tests), the CLI must not stop it on exit —
-    # only a session this invocation itself created is ours to stop
-    owns_session = SparkSession.getActiveSession() is None
+    # only a session this invocation itself created is ours to stop.
+    # getActiveSession is THREAD-local, so also check the process-wide
+    # default (a service thread invoking the CLI must not stop a
+    # session the main thread built).
+    owns_session = (
+        SparkSession.getActiveSession() is None
+        and getattr(SparkSession, "_instantiatedSession", None) is None
+    )
     spark = get_spark("weather-etl-curate")
     root = args.root.rstrip("/")
     sig, ivf = f"{root}/sig_store", f"{root}/ivf_index"
     if args.bootstrap:
         from ..operators.dedup_store import build_signature_store
         from ..operators.ivf_store import build_ivf_index
+        from ..sources.fs import path_exists
 
+        # REFUSE bootstrap over an existing store: an empty rebuild
+        # preserves the watermark but erases the data and flags the
+        # IVF untrained — probes would then skip entirely and every
+        # duplicate of the whole prior corpus would be silently
+        # admitted. Restarting the service needs no --bootstrap (the
+        # checkpoint + stores carry the state); a deliberate reset
+        # means deleting the root first.
+        existing = [
+            p for p in (f"{sig}/meta", f"{ivf}/meta") if path_exists(spark, p)
+        ]
+        if existing:
+            if owns_session:
+                spark.stop()
+            raise SystemExit(
+                f"--bootstrap refused: store meta already exists ({existing[0]}"
+                "); restart WITHOUT --bootstrap to resume, or delete the "
+                "root to deliberately reset (this would re-admit "
+                "duplicates of everything already curated)"
+            )
         build_signature_store(
             spark,
             spark.createDataFrame([], "doc_id long, text string"),

@@ -169,6 +169,22 @@ def _meta_lost_with_data(
     return any(_has_parquet(spark, f"{store_path}/{s}") for s in data_subdirs)
 
 
+def _batch_ids_in(spark: SparkSession, root: str) -> set[int]:
+    """batch ids from ``batch_id=N`` DIRS under root — strict
+    ``batch_id=<digits>`` match, because the lakelock stage dir holds
+    lease FILES named ``batch_id=N.__lease.g<...>`` / ``.r<...>`` whose
+    suffix is not an int (lock sidecars, not batches). Shared by the
+    retention pruner and the audit report so their batch universes
+    cannot drift."""
+    from ..sources.fs import list_dir
+
+    return {
+        int(d.split("=", 1)[1])
+        for d in list_dir(spark, root)
+        if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
+    }
+
+
 def _lake_lock_resource(rejects_dir: str, batch_id: int) -> str:
     """Lease RESOURCE name for the per-batch lake write. Deliberately
     NOT the lake batch dir itself: lease files are created as siblings
@@ -246,14 +262,7 @@ def prune_replay_evidence(
     from ..sources.fs import delete, list_dir, path_exists
 
     def _batch_ids(root: str) -> set[int]:
-        # strict batch_id=<digits> match: the lakelock stage dir holds
-        # lease FILES named batch_id=N.__lease.g<...> / .r<...> whose
-        # suffix is not an int — they are lock sidecars, not batches
-        return {
-            int(d.split("=", 1)[1])
-            for d in list_dir(spark, root)
-            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
-        }
+        return _batch_ids_in(spark, root)
 
     stages = [s for s in list_dir(spark, rejects_dir) if not s.startswith("_")]
     evidence_batches = set()
@@ -340,14 +349,7 @@ def curation_audit_report(
     }
 
     def _batch_ids(root: str) -> set[int]:
-        # strict batch_id=<digits> match: the lakelock stage dir holds
-        # lease FILES named batch_id=N.__lease.g<...> / .r<...> whose
-        # suffix is not an int — they are lock sidecars, not batches
-        return {
-            int(d.split("=", 1)[1])
-            for d in list_dir(spark, root)
-            if d.startswith("batch_id=") and d.split("=", 1)[1].isdigit()
-        }
+        return _batch_ids_in(spark, root)
 
     lake_batches = _batch_ids(lake_dir)
     marker_batches = _batch_ids(f"{lake_dir}/_batch_commits")
@@ -483,9 +485,15 @@ def process_curation_batch(
     the batch. The 120s default is 20-30× the measured worst-case
     append at @x100; deployments whose batches legitimately run longer
     (data skew, slow object store) MUST raise it — past the TTL the
-    mutators' pre-commit fencing check (sources/lease.py::fence_for)
-    aborts the batch rather than committing unfenced, and the
-    checkpoint retry replays it.
+    mutators' fencing checks (sources/lease.py::fence_for) abort the
+    batch rather than committing unfenced. Be precise about what the
+    retry then does: an abort at a mutator's EARLY fence (before its
+    first data write) replays cleanly; an abort at the pre-commit
+    fence (after data writes) leaves the journal's torn state and the
+    retry refuses loudly — rebuild is the recovery, exactly as for a
+    mid-append crash. That loud stop is the point: past the TTL a
+    successor may already be mutating, and committing anyway could
+    corrupt silently. Size the TTL so neither fence ever fires.
 
     ``batch_df`` needs (doc_id, text, e array<double>) plus payload
     columns, which ride through to the lake untouched. doc_id doubles
@@ -894,8 +902,11 @@ def stream_curated_ingest(
     CRASHED service's leftover lease therefore stalls the restarted
     loop at most one TTL before expiry clears it. Size ``lease_ttl_s``
     above the worst-case batch mutation: each mutator re-verifies its
-    lease immediately before its commit-point write and aborts the
-    batch (for checkpoint replay) if the hold lapsed."""
+    lease at an early fence (clean abort, free replay) and again
+    before its commit-point write — an abort at the late fence is
+    handled like a mid-append crash (the retry refuses on the torn
+    journal; rebuild recovers), which is loud by design: past the TTL
+    a successor may already be mutating."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_curation_batch(

@@ -176,15 +176,21 @@ def stream_user_totals_tws(
     - the RocksDB state store provider: transformWithState keeps each
       state variable in its own column family, which the default
       HDFS-backed provider rejects (multipleColumnFamiliesNotSupported).
-      Set session-wide below — runtime-settable, read at query start;
-      existing HDFS-backed checkpoints of OTHER queries are unaffected
-      (provider is pinned per-checkpoint at first start).
+      Set around query START and RESTORED after: Structured Streaming
+      clones the session at start (the running stream keeps the
+      provider snapshot), so restoring the caller's previous value
+      immediately after .start() is safe — and required, because a
+      leaked session-wide override would silently pin RocksDB into the
+      checkpoint of every LATER stateful query the caller starts
+      (provider is fixed per-checkpoint at first start).
     """
     from ..catalog import raw_nanos_schema
     from .staging import stage_events_dir
 
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(_PROVIDER_KEY, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
@@ -210,4 +216,10 @@ def stream_user_totals_tws(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
+    try:
+        return writer.start()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev_provider)

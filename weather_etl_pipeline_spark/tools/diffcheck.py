@@ -41,7 +41,13 @@ from __future__ import annotations
 import sys
 import time
 
-import duckdb
+try:
+    import duckdb
+except ModuleNotFoundError as _e:  # pragma: no cover — env-dependent
+    raise ModuleNotFoundError(
+        "duckdb is required as the oracle engine for this tool: "
+        "pip install 'weather-etl-pipeline-spark[oracle]'"
+    ) from _e
 
 from ..registry import load_all
 from ..schemas import TESTDATA_TABLES
