@@ -89,6 +89,10 @@ from pyspark.sql import SparkSession
 _LOG = logging.getLogger(__name__)
 
 DEFAULT_TTL_S = 900.0
+# schemes whose FileSystem.rename refuses an existing destination
+# (atomic arbitration): the double-winner confirmation read is skipped
+# there. Anything NOT listed gets the defensive jittered re-read.
+_ATOMIC_NOCLOBBER_RENAME_SCHEMES = frozenset({"hdfs", "abfs", "abfss"})
 _GEN_SEP = ".__lease.g"
 _TOMB_SEP = ".__lease.r"  # released-generation tombstone (see _list_gens)
 
@@ -125,6 +129,17 @@ class LeaseLostError(RuntimeError):
             "mid-mutation; aborting before the commit-point write "
             "(raise ttl_s above the worst-case guarded operation)"
         )
+
+
+def _parse_token(token: str) -> tuple[int, str] | None:
+    """(generation, uuid) from a ``gen:uuid`` lease token, None if
+    malformed — shared by release_lease and lease_is_live so the token
+    grammar lives in one place."""
+    try:
+        gen_s, my_uuid = token.split(":", 1)
+        return int(gen_s), my_uuid
+    except ValueError:
+        return None
 
 
 def lease_path_for(resource: str, gen: int) -> str:
@@ -251,11 +266,16 @@ def _hadoop_try_create(spark: SparkSession, path: str, payload: bytes) -> bool:
         return False
     if _hadoop_read(spark, path) != payload:
         return False
-    # second confirmation read after a short jitter: on HDFS/ABFS the
-    # rename already arbitrated and this read is a cheap no-op; on
-    # overwrite-rename schemes it demotes a near-simultaneous double
-    # winner (B's rename landing just after A's first read-back) to a
-    # loss for A, so at most one contender's create returns True.
+    # second confirmation read after a short jitter, only on schemes
+    # whose rename can OVERWRITE an existing destination (local FS,
+    # S3A's copy+delete, GCS, anything unknown): it demotes a
+    # near-simultaneous double winner (B's rename landing just after
+    # A's first read-back) to a loss for A, so at most one contender's
+    # create returns True. HDFS/ABFS rename refuses an existing
+    # destination — the rename itself arbitrated, so they skip the
+    # 50ms jitter that would otherwise tax every lease cycle.
+    if urlparse(path).scheme.lower() in _ATOMIC_NOCLOBBER_RENAME_SCHEMES:
+        return True
     time.sleep(0.05)
     return _hadoop_read(spark, path) == payload
 
@@ -518,15 +538,13 @@ def release_lease(
     generation — deletion would let numbering reset and a contender
     holding a stale read re-create the released name (see _list_gens).
     Tombstones are swept by the next acquirer once older than its TTL."""
-    try:
-        gen_s, my_uuid = token.split(":", 1)
-        gen = int(gen_s)
-    except ValueError:
+    parsed = _parse_token(token)
+    if parsed is None:
         return False
-    cur = _read_payload(spark, resource, gen, _impl)
-    if cur is None or cur.get("token") != my_uuid:
-        return False
-    if time.time() >= float(cur["expires"]):
+    gen, _ = parsed
+    # the refusal conditions (gone / foreign token / past TTL) are
+    # exactly the liveness rule — one definition, one payload read
+    if not lease_is_live(spark, resource, token, _impl=_impl):
         return False
     src = lease_path_for(resource, gen)
     dst = f"{resource.rstrip('/')}{_TOMB_SEP}{gen:020d}_{uuid.uuid4().hex[:8]}"
@@ -554,11 +572,10 @@ def lease_is_live(
     store) degrades to detect-only exactly when writes are slowest: a
     successor can acquire mid-write and the original writer's final
     commit lands unfenced. One payload read; no listing."""
-    try:
-        gen_s, my_uuid = token.split(":", 1)
-        gen = int(gen_s)
-    except ValueError:
+    parsed = _parse_token(token)
+    if parsed is None:
         return False
+    gen, my_uuid = parsed
     cur = _read_payload(spark, resource, gen, _impl)
     return (
         cur is not None
