@@ -633,3 +633,35 @@ def test_build_fences_before_destructive_overwrite(spark, tmp_path):
     )
     hits = probe_signature_store(spark, dup, sig).collect()
     assert {(r["new_id"], r["old_id"]) for r in hits} == {(9, 1)}
+
+
+def test_optimize_table_fences_before_the_swap(spark, tmp_path):
+    """An optimize whose lease lapsed must abort BEFORE staging the
+    live table aside: its rewritten layout is a snapshot of the table
+    as read, and swapping it in would erase rows a successor appended
+    after the read. Injected fence raises at the swap; the table and
+    its recovery states must be untouched (no __optimize_tmp__/__old__
+    leftovers blocking the next run — the abort pre-dates the swap, so
+    only the tmp dir exists and is the documented re-run state)."""
+    import os
+
+    from weather_etl_pipeline_spark.sources.maintenance import optimize_table
+    from weather_etl_pipeline_spark.sources.lease import LeaseLostError
+
+    table = str(tmp_path / "tbl")
+    spark.range(100).write.parquet(table)
+    before = sorted(r["id"] for r in spark.read.parquet(table).collect())
+
+    def fence():
+        raise LeaseLostError(table, "test-token")
+
+    with pytest.raises(LeaseLostError):
+        optimize_table(
+            spark, table, zorder_by=["id"], lease_ttl_s=None, _fence=fence
+        )
+    # live table untouched and fully readable
+    assert sorted(r["id"] for r in spark.read.parquet(table).collect()) == before
+    # the abort happened before the first rename: the live dir is in
+    # place and no __optimize_old__ exists (tmp may remain — that is
+    # the documented "rewrite never committed" recovery state)
+    assert not os.path.exists(table + ".__optimize_old__")

@@ -79,6 +79,7 @@ def compact_zone(
     partition_cols: tuple[str, ...],
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     lease_ttl_s: float | None = 900.0,
+    _fence=None,
 ) -> int:
     """Rewrite fragmented partitions in one job; returns #compacted.
 
@@ -92,17 +93,18 @@ def compact_zone(
     when the same zone must interleave both. ``lease_ttl_s=None`` opts
     out (used by optimize_table, which already holds the lease)."""
     if lease_ttl_s is not None:
-        from .lease import writer_lease
+        from .lease import fence_for, writer_lease
 
         with writer_lease(
             spark, zone_path, owner="compact_zone", ttl_s=lease_ttl_s
-        ):
+        ) as token:
             return compact_zone(
                 spark,
                 zone_path,
                 partition_cols,
                 target_file_bytes,
                 lease_ttl_s=None,
+                _fence=fence_for(spark, zone_path, token),
             )
     stats = partition_file_stats(spark, zone_path)
     targets = {
@@ -135,6 +137,14 @@ def compact_zone(
         .repartition(total_tasks, *partition_cols, "_salt")
         .drop("_salt")
     )
+    if _fence is not None:
+        # fence before the dynamic-overwrite rewrite: the rewrite
+        # replaces each fragmented partition with the content READ
+        # ABOVE — a compactor whose lease lapsed could otherwise erase
+        # rows a successor appended to those partitions after the read
+        # (missing rows, which no orphan scan detects). Mirrors the
+        # store builds' pre-destructive-overwrite fence.
+        _fence()
     write_partitions(compacted, zone_path, partition_cols)
     return len(frag)
 
@@ -158,6 +168,7 @@ def optimize_table(
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     zorder_bits: int = 8,
     lease_ttl_s: float | None = 900.0,
+    _fence=None,
 ) -> dict:
     """The ONE lake-maintenance entry point — the hand-rolled form of
     Delta's ``OPTIMIZE [table] [ZORDER BY (cols)]`` (with Delta jars
@@ -191,18 +202,16 @@ def optimize_table(
     """
     from ..catalog import temp_col
     from .fs import delete, path_exists, rename
-    from .lease import run_exclusively
+    from .lease import fence_for, writer_lease
     from .zorder import zvalue_column
 
     if lease_ttl_s is not None:
         # ONE lease across whichever mode runs; the inner compact_zone
         # call opts out (same resource — the lease is not reentrant)
-        return run_exclusively(
-            spark,
-            table_path,
-            lease_ttl_s,
-            "optimize_table",
-            lambda: optimize_table(
+        with writer_lease(
+            spark, table_path, owner="optimize_table", ttl_s=lease_ttl_s
+        ) as token:
+            return optimize_table(
                 spark,
                 table_path,
                 zorder_by=zorder_by,
@@ -210,8 +219,8 @@ def optimize_table(
                 target_file_bytes=target_file_bytes,
                 zorder_bits=zorder_bits,
                 lease_ttl_s=None,
-            ),
-        )
+                _fence=fence_for(spark, table_path, token),
+            )
 
     if not zorder_by:
         n = compact_zone(
@@ -220,6 +229,7 @@ def optimize_table(
             tuple(partition_cols),
             target_file_bytes,
             lease_ttl_s=None,
+            _fence=_fence,
         )
         return {"mode": "compact", "compacted_partitions": n}
 
@@ -271,6 +281,13 @@ def optimize_table(
     for name in list_dir(spark, table_path):
         if name.startswith("_") and name not in ("_SUCCESS", "_temporary"):
             copy_tree(spark, f"{table_path}/{name}", f"{tmp}/{name}")
+    if _fence is not None:
+        # fence immediately before the swap's first rename: the new
+        # layout under tmp is a snapshot of the table AS READ — an
+        # optimizer whose lease lapsed mid-rewrite must not replace
+        # the live table (a successor may have appended rows after the
+        # read; the checked rename cannot see that, only a moved path).
+        _fence()
     if not rename(spark, table_path, old):
         raise IOError(f"optimize_table: could not stage {table_path} aside")
     if not rename(spark, tmp, table_path):
