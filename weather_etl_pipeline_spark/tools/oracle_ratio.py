@@ -36,6 +36,8 @@ from ..session import get_spark
 
 
 def main() -> None:
+    import os
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=5)  # match the bench's
     # best-of-5 contract: at best-of-3 the Spark side reads 0.6-1.1s high
@@ -135,6 +137,30 @@ def main() -> None:
             }
         )
     )
+    # append-only ratio ledger (mirrors bench.py's BENCH_LEDGER): the
+    # ratio is exquisitely host-window-sensitive (same head measured
+    # 1.43-1.66 adjusted across windows), so adjudicating a drift needs
+    # the history with its ref_job host-speed normalizer, not a single
+    # snapshot. SPARK_GRAFT_NO_LEDGER=1 opts out; rows land in the cwd
+    # (the checkout) like the bench ledger.
+    if not os.environ.get("SPARK_GRAFT_NO_LEDGER"):
+        with open("RATIO_LEDGER.jsonl", "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "ts": round(time.time(), 1),
+                        "passes": args.passes,
+                        "spark_sec": round(st, 3),
+                        "duckdb_sec": round(dt, 3),
+                        "ratio_raw": round(st / dt, 3),
+                        "ratio_floor_adjusted": round(adj / dt, 3),
+                        "floor_sec": round(floor, 3),
+                        "ref_job_sec": context["ref_job_sec"],
+                        "sf": args.sf,
+                    }
+                )
+                + "\n"
+            )
     spark.stop()
 
 
