@@ -110,6 +110,16 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_T = 0.6
 _JACCARD_POSTING_CAP = 64
+# cache the derived per-doc token arrays only past this documents-table
+# size: the cache is consumed three times (posting path + both verify
+# sides), but its materialization is a serializing BARRIER the three
+# otherwise-concurrent scans don't pay. Interleaved A/B (round 12):
+# no-cache wins 0.80s vs 1.10s at sf0.1 (0.6MB) and 1.33 vs 1.46 at
+# @x10 (5.9MB); cache wins 1.81 vs 2.20 at @x30 (18MB) and 2.01 vs
+# 2.35 at @x100 — the recompute term (3× split+array_distinct) crosses
+# the barrier cost at ~10MB. Driver-side file metadata, no scan — the
+# same gate mechanism as _JACCARD_BC_MAX_BYTES below.
+_JACCARD_CACHE_MIN_BYTES = 8 * 1024 * 1024
 # verify-broadcast gate: documents.parquet bytes under which the
 # inverted index (~2-4x the raw bytes in memory) broadcasts safely
 _JACCARD_BC_MAX_BYTES = 64 * 1024 * 1024
@@ -241,23 +251,23 @@ def _jaccard_scored_pairs(
     from pyspark.sql import Window
 
     docs = reps if reps is not None else _jaccard_collapse(spark, sf_dir)[0]
-    # cache ONE ROW PER DOC with the distinct-token ARRAY (not the
-    # exploded index): candidate generation explodes from this cache,
-    # and the exact verify reads the arrays directly — the full token
-    # volume never crosses the wire a second time. Cache lifetime:
-    # released by the catalog.clearCache() the harness runs between
-    # registry entries; longer-lived callers should unpersist after
-    # materializing the result.
-    toks = (
-        docs.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.array_distinct(F.split("text", " ")).alias("tokens"),
-        )
-        .withColumn("n_tok", F.size("tokens"))
-        .cache()
-    )
+    # ONE ROW PER DOC with the distinct-token ARRAY (not the exploded
+    # index): candidate generation explodes from it, and the exact
+    # verify reads the arrays directly — the full token volume never
+    # crosses the wire a second time. Cached only past the measured
+    # size crossover (_JACCARD_CACHE_MIN_BYTES): below it the cache's
+    # materialization barrier costs more than three concurrent narrow
+    # recomputes. Cache lifetime when taken: released by the
+    # catalog.clearCache() the harness runs between registry entries;
+    # longer-lived callers should unpersist after materializing.
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens"))
+    if table_file_bytes(spark, sf_dir, "documents") >= _JACCARD_CACHE_MIN_BYTES:
+        toks = toks.cache()
     inv = toks.select(
         "doc_id", "lang", "source", F.explode("tokens").alias("token")
     )
