@@ -639,10 +639,10 @@ def test_optimize_table_fences_before_the_swap(spark, tmp_path):
     """An optimize whose lease lapsed must abort BEFORE staging the
     live table aside: its rewritten layout is a snapshot of the table
     as read, and swapping it in would erase rows a successor appended
-    after the read. Injected fence raises at the swap; the table and
-    its recovery states must be untouched (no __optimize_tmp__/__old__
-    leftovers blocking the next run — the abort pre-dates the swap, so
-    only the tmp dir exists and is the documented re-run state)."""
+    after the read. Injected fence raises at the swap; the live table
+    must be untouched AND the just-written tmp must be deleted — a
+    leftover tmp would trip the crashed-rewrite guard and brick every
+    later optimize with a spurious manual-recovery refusal."""
     import os
 
     from weather_etl_pipeline_spark.sources.maintenance import optimize_table
@@ -661,7 +661,10 @@ def test_optimize_table_fences_before_the_swap(spark, tmp_path):
         )
     # live table untouched and fully readable
     assert sorted(r["id"] for r in spark.read.parquet(table).collect()) == before
-    # the abort happened before the first rename: the live dir is in
-    # place and no __optimize_old__ exists (tmp may remain — that is
-    # the documented "rewrite never committed" recovery state)
+    # the abort happened before the first rename AND cleaned its own
+    # garbage: no recovery-state leftovers of either kind
     assert not os.path.exists(table + ".__optimize_old__")
+    assert not os.path.exists(table + ".__optimize_tmp__")
+    # the next optimize therefore runs clean, no manual recovery
+    report = optimize_table(spark, table, zorder_by=["id"], lease_ttl_s=None)
+    assert report["mode"] == "zorder"

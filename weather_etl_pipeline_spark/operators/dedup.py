@@ -266,7 +266,11 @@ def _jaccard_scored_pairs(
         "source",
         F.array_distinct(F.split("text", " ")).alias("tokens"),
     ).withColumn("n_tok", F.size("tokens"))
-    if table_file_bytes(spark, sf_dir, "documents") >= _JACCARD_CACHE_MIN_BYTES:
+    # ONE metadata listing feeds both size gates (cache + broadcast):
+    # the recursive py4j FileSystem listing costs real driver latency
+    # on Hadoop schemes, and both gates should read one snapshot
+    doc_bytes = table_file_bytes(spark, sf_dir, "documents")
+    if doc_bytes >= _JACCARD_CACHE_MIN_BYTES:
         toks = toks.cache()
     inv = toks.select(
         "doc_id", "lang", "source", F.explode("tokens").alias("token")
@@ -327,7 +331,7 @@ def _jaccard_scored_pairs(
     # posting caps bound in turn. The arrays side is STRICTLY smaller
     # than the exploded index the pre-round-12 verify shipped (same
     # token payload, one row per doc instead of one per token).
-    if table_file_bytes(spark, sf_dir, "documents") <= _JACCARD_BC_MAX_BYTES:
+    if doc_bytes <= _JACCARD_BC_MAX_BYTES:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
     return (
         cand.join(ta, "doc_a")

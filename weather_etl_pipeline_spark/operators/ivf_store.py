@@ -357,6 +357,13 @@ def build_ivf_index(
             # how a stream pre-configures its index, and the bootstrap
             # rebuild reads m back from meta — dropping it here would
             # silently downgrade the stream to m=1 forever.
+            if _fence is not None:
+                # this unconditional overwrite can CLOBBER a
+                # successor's trained meta (regressing trained and the
+                # watermark — probes would then short-circuit untrained
+                # and admit duplicates of the committed corpus): fence
+                # it like every other commit-point write
+                _fence()
             _write_meta(
                 spark,
                 index_path,

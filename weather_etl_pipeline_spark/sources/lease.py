@@ -601,22 +601,6 @@ def fence_for(spark: SparkSession, resource: str, token: str, _impl: str = "auto
     return _check
 
 
-def run_exclusively(
-    spark: SparkSession,
-    resource: str,
-    ttl_s: float | None,
-    owner: str,
-    thunk,
-):
-    """Run ``thunk`` under the resource's writer lease; ``ttl_s=None``
-    runs it unguarded (the detect-only legacy mode every mutator keeps
-    available for callers that serialize writers externally)."""
-    if ttl_s is None:
-        return thunk()
-    with writer_lease(spark, resource, owner=owner, ttl_s=ttl_s):
-        return thunk()
-
-
 @contextmanager
 def writer_lease(
     spark: SparkSession,

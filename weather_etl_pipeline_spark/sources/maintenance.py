@@ -287,7 +287,17 @@ def optimize_table(
         # optimizer whose lease lapsed mid-rewrite must not replace
         # the live table (a successor may have appended rows after the
         # read; the checked rename cannot see that, only a moved path).
-        _fence()
+        # On abort, DELETE the just-written tmp first: the live layout
+        # is untouched and tmp is this run's private garbage — leaving
+        # it would trip the leftover guard above and brick every later
+        # optimize with a spurious "crashed rewrite" refusal.
+        from .lease import LeaseLostError
+
+        try:
+            _fence()
+        except LeaseLostError:
+            delete(spark, tmp)
+            raise
     if not rename(spark, table_path, old):
         raise IOError(f"optimize_table: could not stage {table_path} aside")
     if not rename(spark, tmp, table_path):

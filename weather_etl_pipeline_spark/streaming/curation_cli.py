@@ -57,7 +57,6 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     from ..session import get_spark
-    from .curation_loop import _STREAM_LEASE_TTL_S, stream_curated_ingest
 
     # get_spark is getOrCreate: when an application session already
     # exists (embedded use, tests), the CLI must not stop it on exit —
@@ -70,6 +69,20 @@ def main(argv: list[str] | None = None) -> int:
         and getattr(SparkSession, "_instantiatedSession", None) is None
     )
     spark = get_spark("weather-etl-curate")
+    # everything after session creation runs under the stop-on-exit
+    # guard: an exception in bootstrap/plan construction must not leak
+    # a session this invocation created (an embedded caller would be
+    # left with a running JVM it never asked for)
+    try:
+        return _run(spark, args)
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+def _run(spark, args) -> int:
+    from .curation_loop import _STREAM_LEASE_TTL_S, stream_curated_ingest
+
     root = args.root.rstrip("/")
     sig, ivf = f"{root}/sig_store", f"{root}/ivf_index"
     if args.bootstrap:
@@ -88,8 +101,6 @@ def main(argv: list[str] | None = None) -> int:
             p for p in (f"{sig}/meta", f"{ivf}/meta") if path_exists(spark, p)
         ]
         if existing:
-            if owns_session:
-                spark.stop()
             raise SystemExit(
                 f"--bootstrap refused: store meta already exists ({existing[0]}"
                 "); restart WITHOUT --bootstrap to resume, or delete the "
@@ -129,15 +140,11 @@ def main(argv: list[str] | None = None) -> int:
         ),
         **kwargs,
     )
-    try:
-        if args.timeout > 0:
-            q.awaitTermination(args.timeout)
-            q.stop()
-        else:
-            q.awaitTermination()
-    finally:
-        if owns_session:
-            spark.stop()
+    if args.timeout > 0:
+        q.awaitTermination(args.timeout)
+        q.stop()
+    else:
+        q.awaitTermination()
     return 0
 
 

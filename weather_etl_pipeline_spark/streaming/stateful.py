@@ -195,28 +195,32 @@ def stream_user_totals_tws(
         "RocksDBStateStoreProvider",
     )
 
-    src = os.path.join(sf_dir, "events.parquet")
-    raw_schema = raw_nanos_schema(spark, src)
-    stage = stage_events_dir(src, checkpoint_dir, "stream_tws_")
-    stream = spark.readStream.schema(raw_schema).parquet(stage)
-    out = (
-        stream.select("user_id", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            statefulProcessor=_UserTotalsProcessor(),
-            outputStructType=_OUT_SCHEMA,
-            outputMode="Update",
-            timeMode="None",
-        )
-    )
-    writer = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("user_totals_tws")
-    )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
+    # the try begins IMMEDIATELY after conf.set: an exception anywhere
+    # in the setup below (schema read, staging, plan construction) must
+    # also restore the caller's provider, or the override leaks into
+    # the next stateful query's checkpoint.
     try:
+        src = os.path.join(sf_dir, "events.parquet")
+        raw_schema = raw_nanos_schema(spark, src)
+        stage = stage_events_dir(src, checkpoint_dir, "stream_tws_")
+        stream = spark.readStream.schema(raw_schema).parquet(stage)
+        out = (
+            stream.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_UserTotalsProcessor(),
+                outputStructType=_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        writer = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("user_totals_tws")
+        )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
         return writer.start()
     finally:
         if prev_provider is None:
