@@ -99,3 +99,52 @@ def test_bootstrap_refused_over_existing_store(spark, tmp_path):
     # refusal touched nothing: watermark intact, session still alive
     assert read_store_watermark(spark, str(root / "sig_store")) == wm
     assert spark.range(1).count() == 1
+
+
+def test_bootstrap_builds_honor_lease_ttl_flag(spark, tmp_path, monkeypatch):
+    """--lease-ttl must reach the bootstrap store builds, not just the
+    stream: pre-fix they used the builders' 900s default, so a
+    bootstrap crashed mid-build left a lease stalling the next CLI run
+    for up to 900s instead of the stream-sized TTL the flag promises."""
+    from weather_etl_pipeline_spark.operators import dedup_store, ivf_store
+    from weather_etl_pipeline_spark.streaming import curation_cli
+
+    seen = {}
+
+    class _Abort(RuntimeError):
+        pass
+
+    def fake_sig(spark_, docs, path, family="minhash", lease_ttl_s=900.0, **kw):
+        seen["sig"] = lease_ttl_s
+
+    def fake_ivf(spark_, emb, path, assign_m=1, lease_ttl_s=900.0, **kw):
+        seen["ivf"] = lease_ttl_s
+        raise _Abort  # stop before the stream starts — builds are the subject
+
+    monkeypatch.setattr(dedup_store, "build_signature_store", fake_sig)
+    monkeypatch.setattr(ivf_store, "build_ivf_index", fake_ivf)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    import pytest as _pytest
+
+    with _pytest.raises(_Abort):
+        curation_cli.main(
+            ["--root", str(tmp_path / "root"), "--in", str(in_dir),
+             "--bootstrap", "--lease-ttl", "7.5", "--timeout", "1"]
+        )
+    assert seen == {"sig": 7.5, "ivf": 7.5}
+
+    # and without the flag, the builds get the stream default (120s),
+    # not the builders' 900s maintenance default
+    from weather_etl_pipeline_spark.streaming.curation_loop import (
+        _STREAM_LEASE_TTL_S,
+    )
+
+    seen.clear()
+    with _pytest.raises(_Abort):
+        curation_cli.main(
+            ["--root", str(tmp_path / "root2"), "--in", str(in_dir),
+             "--bootstrap", "--timeout", "1"]
+        )
+    assert seen == {"sig": _STREAM_LEASE_TTL_S, "ivf": _STREAM_LEASE_TTL_S}

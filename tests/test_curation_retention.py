@@ -327,3 +327,81 @@ def test_curation_audit_report(spark, tmp_path):
     shutil.rmtree(os.path.join(lake, "batch_id=3"))
     rep4 = curation_audit_report(spark, rej, lake, sig, ivf)
     assert {"batch_id": 3, "kind": "marker_no_lake"} in rep4["anomalies"]
+
+
+def test_prune_spares_live_laggard_lock_lease_then_ages_it_out(spark, tmp_path):
+    """Pruning a committed batch's lakelock sidecars must delete ONLY
+    dead ones (release tombstones, expired generations). A still-LIVE
+    generation belongs to a laggard same-batch writer that acquired
+    before the winner's commit marker appeared; blanket-deleting it
+    would let a third writer acquire while the laggard still believes
+    it holds — breaking the mutual exclusion the lock was added for.
+    The kept-live file must then age out on a LATER prune pass (after
+    TTL expiry), even though the batch has already left the evidence
+    universe."""
+    import time as _time
+
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+    )
+    from weather_etl_pipeline_spark.operators.ivf_store import build_ivf_index
+    from weather_etl_pipeline_spark.sources.lease import (
+        acquire_lease,
+        lease_is_live,
+    )
+    from weather_etl_pipeline_spark.streaming.curation_loop import (
+        _lake_lock_resource,
+        process_curation_batch,
+        prune_replay_evidence,
+    )
+
+    sig, ivf = str(tmp_path / "sig"), str(tmp_path / "ivf")
+    lake, rej = str(tmp_path / "lake"), str(tmp_path / "rej")
+    build_signature_store(
+        spark, spark.createDataFrame([], "doc_id long, text string"), sig
+    )
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"), ivf
+    )
+
+    def run(bid, ids):
+        process_curation_batch(
+            spark, _batch(spark, ids), bid, sig, ivf, lake, rej
+        )
+
+    for b in range(1, 5):
+        run(b, [b * 10 + 1, b * 10 + 2])
+
+    lock_dir = os.path.join(rej, "lakelock")
+    # the normal runs released their locks → tombstones exist
+    assert any(".__lease.r" in n for n in os.listdir(lock_dir))
+
+    # laggard writer: acquired batch 1's lock just before the prune,
+    # still live (short TTL so the second half of this test is fast)
+    res1 = _lake_lock_resource(rej, 1)
+    token = acquire_lease(spark, res1, owner="laggard", ttl_s=1.5)
+
+    report = prune_replay_evidence(spark, rej, lake, keep_last=0)
+    assert report["pruned"] == [1, 2, 3]  # frontier 4 stays
+
+    names = os.listdir(lock_dir)
+    # batch 1: tombstones swept, the LIVE generation survived intact
+    assert not any(
+        n.startswith("batch_id=1.__lease.r") for n in names
+    ), names
+    live = [n for n in names if n.startswith("batch_id=1.__lease.g")]
+    assert len(live) == 1, names
+    assert lease_is_live(spark, res1, token)
+    # batches 2-3 (no live holder): all sidecars gone
+    for b in (2, 3):
+        assert not any(f"batch_id={b}.__lease." in n for n in names), names
+
+    # after TTL expiry a later pass removes the leftover — even though
+    # batch 1's evidence is long gone (it keys on the lock files, not
+    # on the prunable-evidence set)
+    _time.sleep(1.6)
+    report2 = prune_replay_evidence(spark, rej, lake, keep_last=0)
+    assert report2["pruned"] == []  # nothing left in the evidence universe
+    assert not any(
+        "batch_id=1.__lease." in n for n in os.listdir(lock_dir)
+    ), os.listdir(lock_dir)

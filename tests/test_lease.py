@@ -15,6 +15,7 @@ never-reused names, so those tests must show exactly one winner.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 
@@ -668,3 +669,58 @@ def test_optimize_table_fences_before_the_swap(spark, tmp_path):
     # the next optimize therefore runs clean, no manual recovery
     report = optimize_table(spark, table, zorder_by=["id"], lease_ttl_s=None)
     assert report["mode"] == "zorder"
+
+
+def test_hadoop_readback_transient_none_retries_and_wins(
+    spark, tmp_path, monkeypatch
+):
+    """A transient not-found on the post-rename confirmation read must
+    not demote the actual winner: _hadoop_try_create retries the read
+    once before concluding. Pre-fix, a single spurious None made the
+    winner return False with its lease file LIVE on disk — the
+    resource fenced for a full TTL with nobody holding the token."""
+    from weather_etl_pipeline_spark.sources import lease as lease_mod
+
+    real_read = lease_mod._hadoop_read
+    calls = {"n": 0}
+
+    def flaky_read(spark_, path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None  # transient metadata fault on the first read-back
+        return real_read(spark_, path)
+
+    monkeypatch.setattr(lease_mod, "_hadoop_read", flaky_read)
+    res = f"file://{tmp_path}/store"
+    token = acquire_lease(spark, res, owner="w1", ttl_s=60, _impl="hadoop")
+    assert calls["n"] >= 2  # the retry actually ran
+    from weather_etl_pipeline_spark.sources.lease import lease_is_live
+
+    assert lease_is_live(spark, res, token, _impl="hadoop")
+    assert release_lease(spark, res, token, _impl="hadoop")
+
+
+def test_hadoop_readback_persistent_none_disowns_instead_of_fencing(
+    spark, tmp_path, monkeypatch
+):
+    """When the confirmation read persistently reports not-found,
+    _hadoop_try_create must DELETE the file it renamed into place
+    before returning False: otherwise its lease file stays live on
+    disk while no caller holds the token, fencing the resource for the
+    full TTL. After the fault clears, the next acquire must succeed
+    immediately — no orphan in the way."""
+    from weather_etl_pipeline_spark.sources import lease as lease_mod
+    from weather_etl_pipeline_spark.sources.lease import lease_path_for
+
+    monkeypatch.setattr(lease_mod, "_hadoop_read", lambda s, p: None)
+    res = f"file://{tmp_path}/store"
+    path = lease_path_for(res, 1)
+    assert (
+        lease_mod._hadoop_try_create(spark, path, b'{"expires": 9e18}') is False
+    )
+    # the orphan was disowned, not left fencing
+    gen_name = "store.__lease.g" + "0" * 19 + "1"
+    assert not os.path.exists(os.path.join(str(tmp_path), gen_name))
+    monkeypatch.undo()
+    token = acquire_lease(spark, res, owner="next", ttl_s=60, _impl="hadoop")
+    assert release_lease(spark, res, token, _impl="hadoop")

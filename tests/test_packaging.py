@@ -80,3 +80,24 @@ def test_root_shims_delegate_to_the_package():
         text = (_REPO / shim).read_text()
         assert needle in text, f"{shim} no longer delegates to {needle}"
         assert len(text.splitlines()) < 60, f"{shim} grew real logic back"
+
+
+def test_oracle_ratio_rotating_sample_covers_pool():
+    """The rotating non-headline ratio sample (round-12 judge item 4)
+    must be deterministic in the offset and visit every pool entry
+    across consecutive offsets — a tripwire that sweeps the whole
+    registry over ~8 rounds rather than re-measuring a fixed favorite
+    subset forever."""
+    from weather_etl_pipeline_spark.tools.oracle_ratio import rotate_sample
+
+    pool = [f"q{i:03d}" for i in range(155)]
+    assert rotate_sample(pool, 20, 3) == rotate_sample(pool, 20, 3)
+    assert rotate_sample(pool, 20, 0)[0] == "q000"
+    assert rotate_sample(pool, 20, 1)[0] == "q020"
+    covered = set()
+    for r in range(8):
+        covered |= set(rotate_sample(pool, 20, r))
+    assert covered == set(pool)
+    # degenerate shapes stay safe
+    assert rotate_sample([], 20, 0) == []
+    assert len(rotate_sample(pool[:3], 20, 5)) == 3  # dedup when n > pool

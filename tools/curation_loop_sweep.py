@@ -19,6 +19,18 @@ terms if a decade ever bends.
 
 Usage: python tools/curation_loop_sweep.py [--base /root/testdata/sf0.1]
        [--decades 1,10,100] [--batch 200]
+
+Batch-size amortization mode (round-12 judge item 3): per-batch cost
+at a fixed corpus is fixed-stage-dominated (~9-10s at 200 docs), so a
+production service would batch bigger — measure the per-DOC cost curve
+with ``--batches 200,1000,5000 --reps 2 --distinct-fresh``. Batches
+use non-overlapping ascending doc_id ranges (the append contract), so
+each size is a genuine accepted append, not a replay short-circuit.
+``--distinct-fresh`` gives every fresh doc unique filler tokens: the
+default template texts (kept verbatim for decade-sweep comparability
+with earlier rounds' ledgered numbers) near-dup each OTHER, which at
+5000 docs would measure the adversarial everything-is-a-dup batch
+rather than normal ingest.
 """
 
 from __future__ import annotations
@@ -54,7 +66,24 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--decades", default="1,10,100")
     ap.add_argument("--batch", type=int, default=200)
+    ap.add_argument(
+        "--batches",
+        default=None,
+        help="comma list of batch sizes (amortization curve; overrides "
+        "--batch)",
+    )
+    ap.add_argument("--reps", type=int, default=1, help="batches per size, best kept")
+    ap.add_argument(
+        "--distinct-fresh",
+        action="store_true",
+        help="unique filler tokens per fresh doc (normal-ingest profile) "
+        "instead of the near-identical template (adversarial profile)",
+    )
     args = ap.parse_args()
+    sizes = [
+        int(x)
+        for x in (args.batches.split(",") if args.batches else [str(args.batch)])
+    ]
 
     spark = get_spark("curation-sweep")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
@@ -73,31 +102,72 @@ def main() -> None:
         corpus = docs.join(
             embs.select(F.col("vec_id").alias("doc_id"), "e"), "doc_id"
         )
-        hi = corpus.agg(F.max("doc_id")).collect()[0][0]
-        half = args.batch // 2
-        fresh = [
-            (
-                int(hi) + 1 + i,
+        hi = int(corpus.agg(F.max("doc_id")).collect()[0][0])
+
+        def _word(m: int) -> str:
+            # alphabetic pseudo-words with VARYING first/last chars and
+            # length: the store's portable token code is (first-char,
+            # last-char, length) — digit-templated tokens like "tok123"
+            # all collide under it, making every synthetic doc an exact
+            # shingle-code twin of every other (jaccard 1.0, everything
+            # text-quarantined — the bug the first cut of this flag hit)
+            m = (m * 2654435761) % (1 << 31)
+            ln = 4 + m % 6
+            return "".join(
+                chr(97 + (m // (7**k) + k) % 26) for k in range(ln)
+            )
+
+        def _fresh_text(i: int) -> str:
+            if args.distinct_fresh:
+                # ~72 tokens, ≈60 unique per doc, a handful of
+                # stopwords: passes the quality gate, near-dups
+                # NOTHING (docs share only the fixed frame shingles)
+                uniq = " ".join(_word(i * 1009 + j) for j in range(60))
+                return (
+                    f"the new crawl document and a record of it {uniq} "
+                    "in the end for all of these words"
+                )
+            return (
                 f"a genuinely new crawl document about subject {i} with "
-                f"plenty of the usual words for a quality gate to like",
-                [float((i * 7 + d) % 23) for d in range(64)],
-                "crawl",
+                f"plenty of the usual words for a quality gate to like"
             )
-            for i in range(half)
-        ]
-        dup_src = [r for r in docs.limit(half).collect()]
-        dups = [
-            (
-                int(hi) + 1 + half + i,
-                r["text"],
-                [0.5] * 64,
-                "crawl",
+
+        dup_pool = docs.limit(max(s // 2 for s in sizes)).collect()
+
+        def _fresh_vec(k: int) -> list[float]:
+            if args.distinct_fresh:
+                # pseudo-random distinct vectors (pairwise cos ≈ 0.75,
+                # far under any dup threshold): the legacy generator
+                # below repeats every 23 docs — exact vector dups that
+                # ANN-quarantine most of a large batch's fresh half,
+                # i.e. the adversarial profile again
+                return [float(hash((k, d)) % 997) / 100.0 for d in range(64)]
+            return [float((k * 7 + d) % 23) for d in range(64)]
+
+        def _make_batch(next_id: int, size: int):
+            half = size // 2
+            fresh = [
+                (
+                    next_id + i,
+                    _fresh_text(next_id + i),
+                    _fresh_vec(next_id + i),
+                    "crawl",
+                )
+                for i in range(half)
+            ]
+            dups = [
+                (
+                    next_id + half + i,
+                    dup_pool[i % len(dup_pool)]["text"],
+                    [0.5] * 64,
+                    "crawl",
+                )
+                for i in range(size - half)
+            ]
+            return spark.createDataFrame(
+                fresh + dups,
+                "doc_id long, text string, e array<double>, src string",
             )
-            for i, r in enumerate(dup_src)
-        ]
-        batch = spark.createDataFrame(
-            fresh + dups, "doc_id long, text string, e array<double>, src string"
-        )
 
         work = tempfile.mkdtemp(prefix=f"cursweep_x{n}_")
         sig, ivf = f"{work}/sig", f"{work}/ivf"
@@ -108,18 +178,31 @@ def main() -> None:
             spark, corpus.select(F.col("doc_id").alias("vec_id"), "e"), ivf
         )
         t_build = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        process_curation_batch(
-            spark, batch, 1, sig, ivf, f"{work}/lake", f"{work}/rej"
-        )
-        t_batch = time.perf_counter() - t0
-        n_lake = spark.read.parquet(f"{work}/lake").count()
         print(
-            f"@x{n}: corpus={corpus.count()} build={t_build:.2f}s "
-            f"batch({args.batch} docs)={t_batch:.2f}s accepted={n_lake}",
+            f"@x{n}: corpus={corpus.count()} build={t_build:.2f}s",
             flush=True,
         )
+
+        next_id, bid = hi + 1, 0
+        for size in sizes:
+            best, accepted = float("inf"), -1
+            for _ in range(args.reps):
+                bid += 1
+                batch = _make_batch(next_id, size)
+                next_id += size
+                t0 = time.perf_counter()
+                process_curation_batch(
+                    spark, batch, bid, sig, ivf, f"{work}/lake", f"{work}/rej"
+                )
+                t = time.perf_counter() - t0
+                if t < best:
+                    best = t
+                    accepted = spark.read.parquet(f"{work}/lake").count()
+            print(
+                f"@x{n} batch={size}: best={best:.2f}s "
+                f"per_doc={best / size * 1000:.1f}ms lake_total={accepted}",
+                flush=True,
+            )
     spark.stop()
 
 

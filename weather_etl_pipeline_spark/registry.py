@@ -43,18 +43,36 @@ class Query:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL twin; None => driver does rows-only check
     headline: bool = False  # include in bench.py's sf0.1 run
+    # name of an oracle-exact PORTABLE TWIN whose DuckDB side bounds
+    # this query's perf when its own semantics aren't SQL-expressible
+    # (e.g. dedup_minhash_lsh's xxHash signatures vs the arithmetic
+    # twin dedup_minhash_portable: same collapse-first pipeline, same
+    # banding/cap/verify work shape, only the hash kernel differs —
+    # so the twin's DuckDB cost is the honest 2×-gate denominator).
+    # Consumed by tools/oracle_ratio.py; correctness still goes
+    # through the twin's own registry entry.
+    proxy_oracle: str | None = None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
 def register(
-    name: str, oracle: str | None = None, headline: bool = False
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    proxy_oracle: str | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, headline=headline)
+        REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            headline=headline,
+            proxy_oracle=proxy_oracle,
+        )
         return fn
 
     return deco

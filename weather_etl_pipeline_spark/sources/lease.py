@@ -264,7 +264,32 @@ def _hadoop_try_create(spark: SparkSession, path: str, payload: bytes) -> bool:
     if path_exists(spark, path) or not rename(spark, tmp, path):
         delete(spark, tmp)
         return False
-    if _hadoop_read(spark, path) != payload:
+
+    def _confirm(first: bool) -> bool:
+        """Did OUR payload survive at ``path``? A None read-back
+        (FileNotFoundException) on a file we JUST renamed into place is
+        either a transient listing/metadata fault or an out-of-band
+        delete — retry once, and on persistent None DELETE the path
+        before reporting loss: otherwise the actual winner returns
+        False with its lease file live, and the resource is fenced for
+        a full TTL with nobody holding the token (the exact failure
+        acquire-hygiene exists to prevent). The delete can race a
+        contender whose overwriting rename lands between our two
+        failed reads — residual only on overwrite-rename schemes,
+        where the orphan-refusal detection layer stays on as the
+        documented backstop. A non-None mismatch means a contender's
+        rename genuinely overwrote us: their live lease, touch
+        nothing."""
+        back = _hadoop_read(spark, path)
+        if back is None and first:
+            time.sleep(0.05)
+            back = _hadoop_read(spark, path)
+        if back is None:
+            delete(spark, path)
+            return False
+        return back == payload
+
+    if not _confirm(first=True):
         return False
     # second confirmation read after a short jitter, only on schemes
     # whose rename can OVERWRITE an existing destination (local FS,
@@ -277,7 +302,7 @@ def _hadoop_try_create(spark: SparkSession, path: str, payload: bytes) -> bool:
     if urlparse(path).scheme.lower() in _ATOMIC_NOCLOBBER_RENAME_SCHEMES:
         return True
     time.sleep(0.05)
-    return _hadoop_read(spark, path) == payload
+    return _confirm(first=False)
 
 
 def _hadoop_read(spark: SparkSession, path: str) -> bytes | None:
@@ -637,3 +662,62 @@ def writer_lease(
                 held,
                 ttl_s,
             )
+
+
+def prune_dead_sidecars(
+    spark: SparkSession, resource: str, _impl: str = "auto"
+) -> list[str]:
+    """Delete ``resource``'s DEAD lease sidecars — release tombstones
+    (``.__lease.r<N>_…``) and generation files whose payload is
+    expired, torn, or unreadable — while leaving any LIVE generation
+    untouched. Returns the deleted file names.
+
+    This is the safe form of "the resource is retired, clear its lock
+    files": a blanket delete of every ``.__lease.*`` sibling would
+    also remove a still-live generation held by a laggard writer that
+    started before the caller decided the resource was settled, letting
+    a third writer acquire while the laggard still believes it holds —
+    exactly the mutual exclusion the lease exists for. A live file the
+    caller KNOWS is retired simply ages out: once its TTL lapses the
+    next prune pass removes it. (Evidence-retention pruning in
+    streaming/curation_loop.py is the canonical caller.)"""
+    from .fs import delete as fs_delete
+
+    parent, base = _split_parent(resource)
+    gen_prefix, tomb_prefix = base + _GEN_SEP, base + _TOMB_SEP
+    local_parent = _impl_local(parent, _impl)
+    if local_parent is not None:
+        names = _local_list(local_parent, gen_prefix) + _local_list(
+            local_parent, tomb_prefix
+        )
+    else:
+        from .fs import list_dir
+
+        names = [
+            n
+            for n in list_dir(spark, parent)
+            if n.startswith(gen_prefix) or n.startswith(tomb_prefix)
+        ]
+    now = time.time()
+    deleted: list[str] = []
+    for n in sorted(names):
+        if n.startswith(tomb_prefix):
+            dead = True  # tombstones only mark the generation high-water
+        else:
+            try:
+                gen = int(n[len(gen_prefix) :])
+            except ValueError:
+                continue  # foreign file sharing the prefix — not ours
+            payload = _read_payload(spark, resource, gen, _impl)
+            # None = vanished between list and read (already gone);
+            # torn/corrupt parses as expires 0.0 → dead
+            dead = payload is None or float(payload.get("expires", 0.0)) <= now
+        if dead:
+            p = f"{parent}/{n}"
+            local = _impl_local(p, _impl)
+            if local is not None:
+                _local_delete(local)
+            else:
+                fs_delete(spark, p)
+            deleted.append(n)
+    return deleted

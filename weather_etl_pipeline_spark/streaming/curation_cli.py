@@ -85,6 +85,14 @@ def _run(spark, args) -> int:
 
     root = args.root.rstrip("/")
     sig, ivf = f"{root}/sig_store", f"{root}/ivf_index"
+    # effective TTL once, shared by bootstrap builds AND the stream:
+    # the bootstrap builders' 900s default would otherwise ignore
+    # --lease-ttl, and a bootstrap crashed mid-build would stall the
+    # next CLI run up to 900s instead of the stream-sized TTL the
+    # flag promises.
+    lease_ttl = (
+        args.lease_ttl if args.lease_ttl is not None else _STREAM_LEASE_TTL_S
+    )
     if args.bootstrap:
         from ..operators.dedup_store import build_signature_store
         from ..operators.ivf_store import build_ivf_index
@@ -112,12 +120,14 @@ def _run(spark, args) -> int:
             spark.createDataFrame([], "doc_id long, text string"),
             sig,
             family=args.family,
+            lease_ttl_s=lease_ttl,
         )
         build_ivf_index(
             spark,
             spark.createDataFrame([], "vec_id long, e array<double>"),
             ivf,
             assign_m=args.assign_m,
+            lease_ttl_s=lease_ttl,
         )
     stream = spark.readStream.schema(args.schema).parquet(args.in_dir)
     kwargs = {}
@@ -135,9 +145,7 @@ def _run(spark, args) -> int:
         f"{root}/checkpoint",
         nprobe=args.nprobe,
         family=args.family,
-        lease_ttl_s=(
-            args.lease_ttl if args.lease_ttl is not None else _STREAM_LEASE_TTL_S
-        ),
+        lease_ttl_s=lease_ttl,
         **kwargs,
     )
     if args.timeout > 0:

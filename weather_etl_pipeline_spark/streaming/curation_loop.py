@@ -260,6 +260,7 @@ def prune_replay_evidence(
     Returns ``{"pruned": [...], "kept": [...],
     "unprunable_no_marker": [...]}`` by batch id."""
     from ..sources.fs import delete, list_dir, path_exists
+    from ..sources.lease import prune_dead_sidecars
 
     def _batch_ids(root: str) -> set[int]:
         return _batch_ids_in(spark, root)
@@ -287,14 +288,31 @@ def prune_replay_evidence(
             d = f"{rejects_dir}/{s}/batch_id={b}"
             if path_exists(spark, d):
                 delete(spark, d)
-        # lake-write lock sidecars (released tombstones / superseded
-        # generations) for a pruned batch are dead weight: the batch is
-        # provably committed and its redelivery short-circuits before
-        # the lake leg, so no future acquire of this lock can happen
-        for n in lock_names:
-            if n.startswith(f"batch_id={b}.__lease."):
-                delete(spark, f"{lock_dir}/{n}")
     kept = sorted(evidence_batches - set(prunable))
+    # lake-write lock sidecars (released tombstones / expired
+    # generations) for a committed, out-of-window batch are dead
+    # weight: the batch's redelivery short-circuits before the lake
+    # leg. DEAD sidecars only — a still-LIVE generation can belong to
+    # a laggard same-batch writer that acquired before the winner's
+    # commit marker appeared; deleting it would let a third writer
+    # acquire while the laggard still believes it holds, breaking the
+    # very mutual exclusion the lock exists for. A kept-live file ages
+    # out: a LATER prune pass removes it once its TTL lapses — which
+    # is why this sweep keys on the lock files themselves rather than
+    # on ``prunable`` (a batch pruned on an earlier pass has left the
+    # evidence universe but its lingering lease must still age out).
+    kept_set = set(kept)
+    lock_batches = set()
+    for n in lock_names:
+        head = n.split(".__lease.", 1)[0]
+        if head.startswith("batch_id=") and head.split("=", 1)[1].isdigit():
+            lock_batches.add(int(head.split("=", 1)[1]))
+    for b in sorted(lock_batches):
+        if b >= frontier or b in kept_set:
+            continue  # in flight, or still inside the audit window
+        if not path_exists(spark, _commit_marker_path(lake_dir, b)):
+            continue  # torn stage 4 — its redelivery will need the lock
+        prune_dead_sidecars(spark, _lake_lock_resource(rejects_dir, b))
     return {
         "pruned": prunable,
         "kept": kept,

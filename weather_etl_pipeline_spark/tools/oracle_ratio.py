@@ -35,6 +35,19 @@ from ..schemas import TESTDATA_TABLES
 from ..session import get_spark
 
 
+def rotate_sample(pool: list[str], n: int, offset: int) -> list[str]:
+    """Deterministic rotating window over ``pool`` (sorted names):
+    offset R (the round number) → names [R*n, R*n+n) mod len(pool),
+    deduplicated when n ≥ len(pool). Every pool entry is visited once
+    per ⌈len/n⌉ consecutive offsets — full non-headline ratio coverage
+    every ~8 rounds at n=20."""
+    if not pool or n <= 0:
+        return []
+    start = (offset * n) % len(pool)
+    picked = [pool[(start + i) % len(pool)] for i in range(min(n, len(pool)))]
+    return list(dict.fromkeys(picked))
+
+
 def main() -> None:
     import os
 
@@ -45,10 +58,48 @@ def main() -> None:
     # same finding as BENCH round 11), which skews the ratio, not just
     # the total
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    # rotating NON-headline sample (round-12 judge item 4): the 2× gate
+    # is enforced per-round only on the ~18 headliners; a perf
+    # regression in the other ~150 registered with-oracle queries would
+    # otherwise surface only at the next decade sweep. --sample N
+    # measures N extra queries under the same interleaved protocol;
+    # --sample-offset R (pass the round number) rotates the window
+    # deterministically through the sorted non-headline names, so over
+    # ~8 rounds every registered oracle query gets a ledgered ratio.
+    ap.add_argument("--sample", type=int, default=0)
+    ap.add_argument("--sample-offset", type=int, default=0)
+    ap.add_argument(
+        "--sample-passes",
+        type=int,
+        default=2,
+        help="best-of-N for the sample (2: a tripwire, not a headline "
+        "measurement — the headliners keep the best-of-5 contract)",
+    )
     args = ap.parse_args()
 
     reg = load_all()
     heads = {n: q for n, q in reg.items() if q.headline and q.oracle}
+    # headline queries with no SQL oracle but a declared portable-twin
+    # proxy (Query.proxy_oracle): their Spark side is timed against the
+    # TWIN's DuckDB side — same work shape, different hash kernel —
+    # and reported separately so the main ratio stays apples-to-apples
+    # with earlier rounds' ledger rows.
+    from ..registry import Query as _Q
+
+    proxies = {
+        n: _Q(name=n, fn=q.fn, oracle=reg[q.proxy_oracle].oracle, headline=True)
+        for n, q in reg.items()
+        if q.headline and not q.oracle and q.proxy_oracle
+    }
+    sample: dict = {}
+    if args.sample > 0:
+        pool = sorted(
+            n for n, q in reg.items() if q.oracle and not q.headline
+        )
+        sample = {
+            n: reg[n]
+            for n in rotate_sample(pool, args.sample, args.sample_offset)
+        }
 
     spark = get_spark("oracle-ratio")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
@@ -74,24 +125,52 @@ def main() -> None:
 
     context = bench_context(spark, args.sf)
 
-    s_best: dict[str, float] = {n: float("inf") for n in heads}
-    d_best: dict[str, float] = {n: float("inf") for n in heads}
-    for _ in range(args.passes):
-        for name in sorted(heads):
-            spark.catalog.clearCache()
-            s_best[name] = min(
-                s_best[name],
-                _t(
-                    lambda: heads[name]
-                    .fn(spark, args.sf)
-                    .write.format("noop")
-                    .mode("overwrite")
-                    .save()
-                ),
-            )
-            d_best[name] = min(
-                d_best[name], _t(lambda: con.execute(heads[name].oracle).fetchall())
-            )
+    def _measure(queries, passes):
+        sb: dict[str, float] = {n: float("inf") for n in queries}
+        db: dict[str, float] = {n: float("inf") for n in queries}
+        for _ in range(passes):
+            for name in sorted(queries):
+                spark.catalog.clearCache()
+                sb[name] = min(
+                    sb[name],
+                    _t(
+                        lambda: queries[name]
+                        .fn(spark, args.sf)
+                        .write.format("noop")
+                        .mode("overwrite")
+                        .save()
+                    ),
+                )
+                db[name] = min(
+                    db[name],
+                    _t(lambda: con.execute(queries[name].oracle).fetchall()),
+                )
+        return sb, db
+
+    def _per_query(sb, db):
+        return {
+            n: {
+                "spark": round(sb[n], 3),
+                "duckdb": round(db[n], 3),
+                "ratio_raw": round(sb[n] / db[n], 3),
+                "ratio_adj": round(max(0.0, sb[n] - floor) / db[n], 3),
+                "engine_bound": bool(sb[n] > 3 * floor and db[n] > 3 * floor),
+            }
+            for n in sorted(sb)
+        }
+
+    def _over_2x(sb, db):
+        return sorted(
+            n
+            for n in sb
+            if sb[n] > 3 * floor
+            and db[n] > 3 * floor
+            and (sb[n] - floor) / db[n] > 2.0
+        )
+
+    s_best, d_best = _measure(heads, args.passes)
+    prx_s, prx_d = _measure(proxies, args.passes) if proxies else ({}, {})
+    smp_s, smp_d = _measure(sample, args.sample_passes) if sample else ({}, {})
     st, dt = sum(s_best.values()), sum(d_best.values())
     adj = st - floor * len(heads)
     print(
@@ -112,28 +191,36 @@ def main() -> None:
                 # 13× raw ratio on a query DuckDB finishes in 0.05s is
                 # the locality floor, not a plan defect). The summary
                 # `engine_bound_over_2x` list is the perf-gap worklist.
-                "per_query": {
-                    n: {
-                        "spark": round(s_best[n], 3),
-                        "duckdb": round(d_best[n], 3),
-                        "ratio_raw": round(s_best[n] / d_best[n], 3),
-                        "ratio_adj": round(
-                            max(0.0, s_best[n] - floor) / d_best[n], 3
-                        ),
-                        "engine_bound": bool(
-                            s_best[n] > 3 * floor and d_best[n] > 3 * floor
-                        ),
-                    }
-                    for n in sorted(heads)
-                },
-                "engine_bound_over_2x": sorted(
-                    n
-                    for n in heads
-                    if s_best[n] > 3 * floor
-                    and d_best[n] > 3 * floor
-                    and (s_best[n] - floor) / d_best[n] > 2.0
-                ),
+                "per_query": _per_query(s_best, d_best),
+                "engine_bound_over_2x": _over_2x(s_best, d_best),
                 "sf": args.sf,
+                **(
+                    {
+                        "proxy_per_query": {
+                            n: {
+                                **_per_query(prx_s, prx_d)[n],
+                                "oracle_from": reg[n].proxy_oracle,
+                            }
+                            for n in sorted(proxies)
+                        },
+                        "proxy_over_2x": _over_2x(prx_s, prx_d),
+                    }
+                    if proxies
+                    else {}
+                ),
+                **(
+                    {
+                        "sample": {
+                            "n": len(sample),
+                            "offset": args.sample_offset,
+                            "passes": args.sample_passes,
+                            "per_query": _per_query(smp_s, smp_d),
+                            "engine_bound_over_2x": _over_2x(smp_s, smp_d),
+                        }
+                    }
+                    if sample
+                    else {}
+                ),
             }
         )
     )
@@ -157,6 +244,28 @@ def main() -> None:
                         "floor_sec": round(floor, 3),
                         "ref_job_sec": context["ref_job_sec"],
                         "sf": args.sf,
+                        **(
+                            {
+                                "proxy": {
+                                    n: round(
+                                        max(0.0, prx_s[n] - floor) / prx_d[n],
+                                        3,
+                                    )
+                                    for n in sorted(proxies)
+                                }
+                            }
+                            if proxies
+                            else {}
+                        ),
+                        **(
+                            {
+                                "sample_n": len(sample),
+                                "sample_offset": args.sample_offset,
+                                "sample_over_2x": _over_2x(smp_s, smp_d),
+                            }
+                            if sample
+                            else {}
+                        ),
                     }
                 )
                 + "\n"
