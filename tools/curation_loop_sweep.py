@@ -185,7 +185,7 @@ def main() -> None:
 
         next_id, bid = hi + 1, 0
         for size in sizes:
-            best, accepted = float("inf"), -1
+            best = float("inf")
             for _ in range(args.reps):
                 bid += 1
                 batch = _make_batch(next_id, size)
@@ -194,10 +194,11 @@ def main() -> None:
                 process_curation_batch(
                     spark, batch, bid, sig, ivf, f"{work}/lake", f"{work}/rej"
                 )
-                t = time.perf_counter() - t0
-                if t < best:
-                    best = t
-                    accepted = spark.read.parquet(f"{work}/lake").count()
+                best = min(best, time.perf_counter() - t0)
+            # count AFTER the rep loop: the running lake total over all
+            # reps so far (reading it mid-loop under-reported by
+            # whichever reps followed the best one)
+            accepted = spark.read.parquet(f"{work}/lake").count()
             print(
                 f"@x{n} batch={size}: best={best:.2f}s "
                 f"per_doc={best / size * 1000:.1f}ms lake_total={accepted}",

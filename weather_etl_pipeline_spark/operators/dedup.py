@@ -414,6 +414,17 @@ _MH_K = 32
 _MH_BANDS = 8
 _MH_ROWS = _MH_K // _MH_BANDS
 _MH_VERIFY_T = 0.5
+# shingle-array cache gate (round 13): same barrier-vs-recompute
+# mechanism as _JACCARD_CACHE_MIN_BYTES. After the bound-lambda
+# shingle rework removed the spread exchange, the uncached recompute
+# is a narrow projection and the cache's materialization barrier
+# dominates below ~4MB of documents. Interleaved warmed A/B (best /
+# median of 4 alternating passes): no-cache wins 1.13/1.21 vs
+# 1.40/1.49 at sf0.1 (0.6MB); cache wins 1.69/1.90 vs 1.88/2.03 at
+# @x10 (5.9MB), ~ties 2.18/2.93 vs 2.38/2.86 at @x30, and wins
+# 2.21/2.29 vs 2.24/2.58 at @x100. At 100 TB the gate always takes
+# the cache.
+_MINHASH_CACHE_MIN_BYTES = 4 * 1024 * 1024
 # Per-bucket membership cap for every banded candidate structure
 # (minhash bands, simhash chunks) — same role as _JACCARD_POSTING_CAP:
 # bounds pair-gen at cells × CAP² regardless of duplicate multiplicity.
@@ -535,32 +546,54 @@ def _capped_bucket_pairs(
     )
 
 
-def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+def shingle_arrays(docs: DataFrame, n: int = 3, spread: bool = True) -> DataFrame:
     """One row per doc with the ARRAY of its distinct n-token shingles
-    — a fully NARROW pipeline (no shuffle at all).
+    — a fully NARROW pipeline (no shuffle at all when ``spread=False``).
 
-    Shape: materialize the token array once per doc behind a round-robin
-    exchange, then build shingles with a transform() over the ARRAY
-    COLUMN and dedup per doc with array_distinct. (The explode +
-    groupBy/collect_set round trip this replaces cost a full shuffle of
-    the shingle volume to rebuild exactly this array.) Docs with fewer
-    than n tokens produce no row, matching the exploded form's grouping
-    semantics.
+    Shape (round-13 rework): the token array is bound ONCE as an outer
+    HOF lambda variable — ``get(transform(array(split(text)), tk ->
+    <shingles over tk>), 0)``, the same single-binding trick as
+    text.quality_expr — so every ``element_at(tk, i)`` inside the inner
+    transform is O(1) bound-variable access with NO exchange needed as
+    a CollapseProject barrier. (The previous form materialized _toks
+    behind a round-robin exchange because a plain column reference got
+    inlined by CollapseProject into the lambda, re-running split() per
+    element — quadratic per document. The lambda binding gets the same
+    O(1) access for free: measured 0.25 vs 0.49s at sf0.1 post-collapse,
+    byte-identical output.)
 
-    The exchange is LOAD-BEARING, not just for parallelism: without it
-    CollapseProject inlines split(text) into the transform lambda and
-    every element_at re-evaluates the split — quadratic per document
-    (measured 3× slower even at sf0.1). Behind the exchange, _toks is a
-    bound input attribute and element access is O(1). For the same
-    reason the ≥n-tokens gate is a filter on size(_toks) BEFORE the
-    shingle transform, never on the output array: a predicate over the
-    transformed column gets pushed below the exchange to the scan side,
-    where it re-derives the whole shingle array with split() inlined
-    (measured 8× slower).
-    """
-    return _shingle_base(docs, n).select(
-        "doc_id", _shingle_expr(n).alias("shingles")
+    ``spread``: the round-robin exchange is now PURELY a parallelism
+    hedge for callers whose input is a thin raw scan (a one-file local
+    parquet feeding this heavy narrow pipeline would otherwise run
+    single-partition). Callers downstream of an existing exchange
+    (post-_collapse_exact — the minhash/jaccard heads) pass False and
+    save the whole shuffle; at cluster scale a 100 TB scan has
+    thousands of natural partitions and the hedge is a no-op cost
+    either way. Docs with fewer than n tokens produce no row, matching
+    the exploded form's grouping semantics."""
+    base = docs.select("doc_id", "text").filter(
+        F.size(F.split("text", " ")) >= n
     )
+    if spread:
+        base = spread_to_cores(base)
+    return base.select("doc_id", _shingle_expr_bound(n).alias("shingles"))
+
+
+def _shingle_expr_bound(n: int):
+    """Distinct n-token shingle array over ``text``, with the token
+    array bound once as a HOF lambda variable (see shingle_arrays)."""
+
+    def mk(tk):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.concat_ws(
+                    "\x1f", *[F.element_at(tk, i + j) for j in range(n)]
+                ),
+            )
+        )
+
+    return F.get(F.transform(F.array(F.split("text", " ")), mk), 0)
 
 
 def _shingle_base(docs: DataFrame, n: int) -> DataFrame:
@@ -661,12 +694,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_docs = load_table(spark, sf_dir, "documents")
     docs, star = _collapse_exact(all_docs)  # shingle_rows spreads
     # ZERO shuffles on the signature side: the per-doc shingle arrays
-    # are a narrow projection (shingle_arrays), cached once — they feed
-    # the signature fold AND both exact-verify sides. Cache lifetime:
-    # released by the catalog.clearCache() the harness runs between
-    # registry entries (profile_registry.py / driver); callers embedding
-    # this in a longer session should unpersist after materializing.
-    sets = shingle_arrays(docs).cache()
+    # are a narrow projection (shingle_arrays, spread=False — the
+    # collapse window's exchange already distributed the reps, so the
+    # round-robin hedge would be a pure extra shuffle), consumed by the
+    # signature fold AND both exact-verify sides. Cached only past the
+    # measured size crossover (_MINHASH_CACHE_MIN_BYTES — same barrier-
+    # vs-recompute tradeoff as the jaccard token cache; the minhash
+    # crossover is LOWER because shingle recompute costs ~3× token
+    # recompute per doc). Cache lifetime when taken: released by the
+    # catalog.clearCache() the harness runs between registry entries
+    # (profile_registry.py / driver); callers embedding this in a
+    # longer session should unpersist after materializing.
+    sets = shingle_arrays(docs, spread=False)
+    if table_file_bytes(spark, sf_dir, "documents") >= _MINHASH_CACHE_MIN_BYTES:
+        sets = sets.cache()
     sigs = sets.select("doc_id", _fold_signature().alias("sig"))
     # band bucket = hash of the band's slice of the signature vector —
     # pure projection, no second aggregation
@@ -941,43 +982,45 @@ SELECT doc_a, doc_b, 1.0 AS jaccard_shingles FROM star_edges
 
 
 def _portable_minhash_tables(
-    docs: DataFrame, cache: bool = True
+    docs: DataFrame, cache: bool = True, spread: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     # Same narrow shape as dedup_minhash_lsh: per-doc distinct shingle-
-    # CODE arrays built with a transform over the materialized token
-    # array (zero shuffles — the exchange inside spread_to_cores is the
-    # CollapseProject barrier, see shingle_arrays), signatures folded as
-    # a projection, band buckets pure arithmetic. The cached code arrays
-    # feed the fold AND both exact-verify sides. Arithmetic is identical
-    # to the oracle's: shingle code, affine permutations, 131^pos band
-    # mix. Cache lifetime: released by the harness's clearCache between
-    # registry entries — callers that OWN their lifetime (build/append
-    # unpersist; the store probe runs inside a long-lived streaming
-    # loop where a per-batch cache would leak) pass cache=False or
-    # unpersist explicitly. Uncached, sh recomputes per consumer — a
-    # map-only projection over the batch, no shuffle to repeat.
-    # ≥3-tokens gate BEFORE the transform, never on the output array —
-    # a predicate over the transformed column would be pushed below the
-    # exchange and re-derive the array with split() inlined (see
-    # shingle_arrays)
-    toked = spread_to_cores(
-        docs.select("doc_id", F.split("text", " ").alias("_toks")).filter(
-            F.size(F.split("text", " ")) >= 3
+    # CODE arrays built with a transform over the token array bound
+    # ONCE as a HOF lambda variable (round-13 rework — same single-
+    # binding trick as shingle_arrays, so element access is O(1) with
+    # no exchange needed as a CollapseProject barrier), signatures
+    # folded as a projection, band buckets pure arithmetic. The cached
+    # code arrays feed the fold AND both exact-verify sides. Arithmetic
+    # is identical to the oracle's: shingle code, affine permutations,
+    # 131^pos band mix. Cache lifetime: released by the harness's
+    # clearCache between registry entries — callers that OWN their
+    # lifetime (build/append unpersist; the store probe runs inside a
+    # long-lived streaming loop where a per-batch cache would leak)
+    # pass cache=False or unpersist explicitly. Uncached, sh recomputes
+    # per consumer — a map-only projection over the batch, no shuffle
+    # to repeat. ``spread``: parallelism hedge only (see
+    # shingle_arrays) — post-collapse callers pass False.
+    toked = docs.select("doc_id", "text").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    if spread:
+        toked = spread_to_cores(toked)
+
+    def mk(tk):
+        def code_at(i):
+            return _portable_token_code(F.element_at(tk, i))
+
+        def shcode(i):
+            return (
+                (code_at(i) * _PMH_B + code_at(i + 1)) % _PMH_P * _PMH_B
+                + code_at(i + 2)
+            ) % _PMH_P
+
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(tk) - 2), shcode)
         )
-    )
 
-    def code_at(i):
-        return _portable_token_code(F.element_at(F.col("_toks"), i))
-
-    def shcode(i):
-        return (
-            (code_at(i) * _PMH_B + code_at(i + 1)) % _PMH_P * _PMH_B
-            + code_at(i + 2)
-        ) % _PMH_P
-
-    arr = F.array_distinct(
-        F.transform(F.sequence(F.lit(1), F.size("_toks") - 2), shcode)
-    )
+    arr = F.get(F.transform(F.array(F.split("text", " ")), mk), 0)
     sh = toked.select("doc_id", arr.alias("hs"))
     if cache:
         sh = sh.cache()
@@ -1019,7 +1062,14 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-certificate contract (star edges at jaccard 1.0 + verified
     rep-level near-dup pairs), portable arithmetic hashes."""
     reps, star = _collapse_exact(load_table(spark, sf_dir, "documents"))
-    sh, bands = _portable_minhash_tables(reps)
+    sh, bands = _portable_minhash_tables(
+        reps,
+        # same size-gated cache + no-spread as the fast path (the
+        # collapse exchange already distributed the reps)
+        cache=table_file_bytes(spark, sf_dir, "documents")
+        >= _MINHASH_CACHE_MIN_BYTES,
+        spread=False,
+    )
     # bounded pair-gen per band bucket, cap mirrored verbatim in the
     # oracle's `capped` CTE
     cand = _capped_bucket_pairs(bands, ["band", "band_sig"])

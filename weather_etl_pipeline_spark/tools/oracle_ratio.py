@@ -75,6 +75,14 @@ def main() -> None:
         help="best-of-N for the sample (2: a tripwire, not a headline "
         "measurement — the headliners keep the best-of-5 contract)",
     )
+    # decade curve for the proxy-bounded heads: a proxy ratio over 2×
+    # at sf0.1 can be fixed-cost floor, not plan defect — the honest
+    # adjudication is whether the ratio FALLS as data grows (Spark's
+    # stage floor amortizes, DuckDB grows linearly). --proxy-decades
+    # "3,10" measures each proxy head at <sf>@x3 and <sf>@x10 (best-of-
+    # sample-passes, amplified views on the DuckDB side) and reports
+    # the per-decade adjusted ratios alongside the @x1 row.
+    ap.add_argument("--proxy-decades", default=None)
     args = ap.parse_args()
 
     reg = load_all()
@@ -105,15 +113,36 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
-    con = duckdb.connect()
-    con.execute("SET threads TO 32")
-    for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{args.sf}/{t}.parquet')"
-        )
-    # duckdb warm-up (catalog + reader init)
-    con.execute("SELECT count(*) FROM region").fetchall()
+
+    def _make_con(sf: str):
+        """DuckDB connection with the testdata views — @xN dirs get the
+        same key-offset amplification diffcheck uses, so a decade
+        measurement runs identical inputs on both engines."""
+        from ..catalog import _resolve_sf_dir, _SCALE_KEY_REMAP, _SCALE_STRIDE
+
+        c = duckdb.connect()
+        c.execute("SET threads TO 32")
+        for t in TESTDATA_TABLES:
+            base, n = _resolve_sf_dir(sf, t)
+            if n > 1 and t in _SCALE_KEY_REMAP:
+                repl = ", ".join(
+                    f"{col} + _rep.range * {_SCALE_STRIDE} AS {col}"
+                    for col in _SCALE_KEY_REMAP[t]
+                )
+                c.execute(
+                    f"CREATE VIEW {t} AS "
+                    f"SELECT * EXCLUDE (range) REPLACE ({repl}) "
+                    f"FROM read_parquet('{base}/{t}.parquet'), range({n}) _rep"
+                )
+            else:
+                files = ", ".join([f"'{base}/{t}.parquet'"] * n)
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet([{files}])"
+                )
+        c.execute("SELECT count(*) FROM region").fetchall()  # warm-up
+        return c
+
+    con = _make_con(args.sf)
 
     floor = min(
         _t(lambda: spark.range(1).write.format("noop").mode("overwrite").save())
@@ -125,7 +154,8 @@ def main() -> None:
 
     context = bench_context(spark, args.sf)
 
-    def _measure(queries, passes):
+    def _measure(queries, passes, sf=None, dcon=None):
+        sf, dcon = sf or args.sf, dcon or con
         sb: dict[str, float] = {n: float("inf") for n in queries}
         db: dict[str, float] = {n: float("inf") for n in queries}
         for _ in range(passes):
@@ -135,7 +165,7 @@ def main() -> None:
                     sb[name],
                     _t(
                         lambda: queries[name]
-                        .fn(spark, args.sf)
+                        .fn(spark, sf)
                         .write.format("noop")
                         .mode("overwrite")
                         .save()
@@ -143,7 +173,7 @@ def main() -> None:
                 )
                 db[name] = min(
                     db[name],
-                    _t(lambda: con.execute(queries[name].oracle).fetchall()),
+                    _t(lambda: dcon.execute(queries[name].oracle).fetchall()),
                 )
         return sb, db
 
@@ -170,6 +200,23 @@ def main() -> None:
 
     s_best, d_best = _measure(heads, args.passes)
     prx_s, prx_d = _measure(proxies, args.passes) if proxies else ({}, {})
+    prx_decades: dict[str, dict] = {}
+    if proxies and args.proxy_decades:
+        for nx in (int(x) for x in args.proxy_decades.split(",")):
+            sfx = f"{args.sf}@x{nx}"
+            conx = _make_con(sfx)
+            ds, dd = _measure(
+                proxies, args.sample_passes, sf=sfx, dcon=conx
+            )
+            prx_decades[f"x{nx}"] = {
+                n: {
+                    "spark": round(ds[n], 3),
+                    "duckdb": round(dd[n], 3),
+                    "ratio_adj": round(max(0.0, ds[n] - floor) / dd[n], 3),
+                }
+                for n in sorted(proxies)
+            }
+            conx.close()
     smp_s, smp_d = _measure(sample, args.sample_passes) if sample else ({}, {})
     st, dt = sum(s_best.values()), sum(d_best.values())
     adj = st - floor * len(heads)
@@ -204,6 +251,11 @@ def main() -> None:
                             for n in sorted(proxies)
                         },
                         "proxy_over_2x": _over_2x(prx_s, prx_d),
+                        **(
+                            {"proxy_decades": prx_decades}
+                            if prx_decades
+                            else {}
+                        ),
                     }
                     if proxies
                     else {}
