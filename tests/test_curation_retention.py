@@ -381,8 +381,20 @@ def test_prune_spares_live_laggard_lock_lease_then_ages_it_out(spark, tmp_path):
     res1 = _lake_lock_resource(rej, 1)
     token = acquire_lease(spark, res1, owner="laggard", ttl_s=1.5)
 
-    report = prune_replay_evidence(spark, rej, lake, keep_last=0)
-    assert report["pruned"] == [1, 2, 3]  # frontier 4 stays
+    # default (conservative 900s) grace: NOTHING is swept yet — fresh
+    # tombstones are still the generation high-water mark a stalled
+    # contender needs (the numbering-reset ABA, see prune_dead_sidecars)
+    report0 = prune_replay_evidence(spark, rej, lake, keep_last=0)
+    assert report0["pruned"] == [1, 2, 3]  # frontier 4 stays
+    assert any(
+        n.startswith("batch_id=2.__lease.r") for n in os.listdir(lock_dir)
+    ), os.listdir(lock_dir)
+
+    # with the service's own (tiny, test-sized) grace: dead sidecars go
+    report = prune_replay_evidence(
+        spark, rej, lake, keep_last=0, lease_grace_s=0.05
+    )
+    assert report["pruned"] == []  # evidence went in the first pass
 
     names = os.listdir(lock_dir)
     # batch 1: tombstones swept, the LIVE generation survived intact
@@ -396,12 +408,11 @@ def test_prune_spares_live_laggard_lock_lease_then_ages_it_out(spark, tmp_path):
     for b in (2, 3):
         assert not any(f"batch_id={b}.__lease." in n for n in names), names
 
-    # after TTL expiry a later pass removes the leftover — even though
-    # batch 1's evidence is long gone (it keys on the lock files, not
-    # on the prunable-evidence set)
-    _time.sleep(1.6)
-    report2 = prune_replay_evidence(spark, rej, lake, keep_last=0)
-    assert report2["pruned"] == []  # nothing left in the evidence universe
+    # after TTL expiry + grace a later pass removes the leftover — even
+    # though batch 1's evidence is long gone (it keys on the lock
+    # files, not on the prunable-evidence set)
+    _time.sleep(1.8)
+    prune_replay_evidence(spark, rej, lake, keep_last=0, lease_grace_s=0.05)
     assert not any(
         "batch_id=1.__lease." in n for n in os.listdir(lock_dir)
     ), os.listdir(lock_dir)

@@ -132,7 +132,9 @@ def main() -> None:
                 f"plenty of the usual words for a quality gate to like"
             )
 
-        dup_pool = docs.limit(max(s // 2 for s in sizes)).collect()
+        # max(1, …): a size-1 batch still carries one dup row
+        # (size - half = 1), so the pool must never be empty
+        dup_pool = docs.limit(max(1, max(s // 2 for s in sizes))).collect()
 
         def _fresh_vec(k: int) -> list[float]:
             if args.distinct_fresh:

@@ -265,7 +265,7 @@ def _hadoop_try_create(spark: SparkSession, path: str, payload: bytes) -> bool:
         delete(spark, tmp)
         return False
 
-    def _confirm(first: bool) -> bool:
+    def _confirm() -> bool:
         """Did OUR payload survive at ``path``? A None read-back
         (FileNotFoundException) on a file we JUST renamed into place is
         either a transient listing/metadata fault or an out-of-band
@@ -281,7 +281,7 @@ def _hadoop_try_create(spark: SparkSession, path: str, payload: bytes) -> bool:
         rename genuinely overwrote us: their live lease, touch
         nothing."""
         back = _hadoop_read(spark, path)
-        if back is None and first:
+        if back is None:
             time.sleep(0.05)
             back = _hadoop_read(spark, path)
         if back is None:
@@ -289,7 +289,7 @@ def _hadoop_try_create(spark: SparkSession, path: str, payload: bytes) -> bool:
             return False
         return back == payload
 
-    if not _confirm(first=True):
+    if not _confirm():
         return False
     # second confirmation read after a short jitter, only on schemes
     # whose rename can OVERWRITE an existing destination (local FS,
@@ -302,7 +302,7 @@ def _hadoop_try_create(spark: SparkSession, path: str, payload: bytes) -> bool:
     if urlparse(path).scheme.lower() in _ATOMIC_NOCLOBBER_RENAME_SCHEMES:
         return True
     time.sleep(0.05)
-    return _confirm(first=False)
+    return _confirm()
 
 
 def _hadoop_read(spark: SparkSession, path: str) -> bytes | None:
@@ -665,53 +665,73 @@ def writer_lease(
 
 
 def prune_dead_sidecars(
-    spark: SparkSession, resource: str, _impl: str = "auto"
+    spark: SparkSession,
+    resource: str,
+    grace_s: float = DEFAULT_TTL_S,
+    _impl: str = "auto",
+    _names: list[str] | None = None,
 ) -> list[str]:
-    """Delete ``resource``'s DEAD lease sidecars — release tombstones
-    (``.__lease.r<N>_…``) and generation files whose payload is
-    expired, torn, or unreadable — while leaving any LIVE generation
-    untouched. Returns the deleted file names.
+    """Delete ``resource``'s DEAD lease sidecars — generation files
+    whose payload has been expired (or torn) for at least ``grace_s``,
+    plus release tombstones and payload temps older than ``grace_s``
+    (via the same :func:`_sweep_stale_sidecars` acquire_lease uses) —
+    while leaving any LIVE or freshly-expired generation untouched.
+    Returns the deleted generation-file names (the tombstone sweep is
+    best-effort and unreported, as in acquire).
 
     This is the safe form of "the resource is retired, clear its lock
-    files": a blanket delete of every ``.__lease.*`` sibling would
-    also remove a still-live generation held by a laggard writer that
-    started before the caller decided the resource was settled, letting
-    a third writer acquire while the laggard still believes it holds —
-    exactly the mutual exclusion the lease exists for. A live file the
-    caller KNOWS is retired simply ages out: once its TTL lapses the
-    next prune pass removes it. (Evidence-retention pruning in
-    streaming/curation_loop.py is the canonical caller.)"""
+    files". Two hazards bound what may be deleted:
+
+    - a blanket delete of every ``.__lease.*`` sibling would remove a
+      still-LIVE generation held by a laggard writer that started
+      before the caller decided the resource was settled — a third
+      writer could then acquire while the laggard still believes it
+      holds, exactly the mutual exclusion the lease exists for;
+    - deleting a FRESH tombstone (or the freshly-expired max
+      generation) resets the generation high-water mark: a stalled
+      contender holding a pre-delete listing would target a
+      just-vacated generation name while a post-delete contender
+      creates g1 — two holders via the numbering-reset ABA the
+      tombstone design exists to prevent (the module docstring prices
+      tombstone removal at "older than the TTL"; acquire's own sweep
+      waits ``max(ttl_s, DEFAULT_TTL_S)`` for the same reason).
+
+    Hence ``grace_s``: a sidecar is swept only once it has been dead
+    for a full grace period — one writer-TTL, after which a stalled
+    contender is outside the hold guarantee like every other TTL
+    assumption here. Callers that know the resource's writer TTL pass
+    it (the curation loop passes its ``lease_ttl_s``); the default is
+    the module-wide conservative TTL. ``_names``: optional pre-listed
+    sidecar file names of ``resource``'s parent dir, so a caller
+    sweeping many resources under one dir (the lakelock retention
+    pass) pays ONE directory listing, not one per resource."""
     from .fs import delete as fs_delete
 
     parent, base = _split_parent(resource)
-    gen_prefix, tomb_prefix = base + _GEN_SEP, base + _TOMB_SEP
+    gen_prefix = base + _GEN_SEP
     local_parent = _impl_local(parent, _impl)
-    if local_parent is not None:
-        names = _local_list(local_parent, gen_prefix) + _local_list(
-            local_parent, tomb_prefix
-        )
+    if _names is not None:
+        names = [n for n in _names if n.startswith(gen_prefix)]
+    elif local_parent is not None:
+        names = _local_list(local_parent, gen_prefix)
     else:
         from .fs import list_dir
 
-        names = [
-            n
-            for n in list_dir(spark, parent)
-            if n.startswith(gen_prefix) or n.startswith(tomb_prefix)
-        ]
+        names = [n for n in list_dir(spark, parent) if n.startswith(gen_prefix)]
     now = time.time()
     deleted: list[str] = []
     for n in sorted(names):
-        if n.startswith(tomb_prefix):
-            dead = True  # tombstones only mark the generation high-water
-        else:
-            try:
-                gen = int(n[len(gen_prefix) :])
-            except ValueError:
-                continue  # foreign file sharing the prefix — not ours
-            payload = _read_payload(spark, resource, gen, _impl)
-            # None = vanished between list and read (already gone);
-            # torn/corrupt parses as expires 0.0 → dead
-            dead = payload is None or float(payload.get("expires", 0.0)) <= now
+        try:
+            gen = int(n[len(gen_prefix) :])
+        except ValueError:
+            continue  # foreign file sharing the prefix — not ours
+        payload = _read_payload(spark, resource, gen, _impl)
+        # None = vanished between list and read (already gone). A torn/
+        # corrupt payload parses as expires 0.0 — dead for longer than
+        # any grace. A freshly-expired payload waits out the grace.
+        dead = payload is None or (
+            float(payload.get("expires", 0.0)) + float(grace_s) <= now
+        )
         if dead:
             p = f"{parent}/{n}"
             local = _impl_local(p, _impl)
@@ -720,4 +740,18 @@ def prune_dead_sidecars(
             else:
                 fs_delete(spark, p)
             deleted.append(n)
+    # tombstones + crash-orphaned temps: same aged sweep as acquire
+    # (mtime-based, TTL-graced — never a fresh high-water mark). When
+    # the caller pre-listed the dir, skip the sweep's own listing
+    # entirely unless the names show something to sweep — the common
+    # steady state (all sidecars long gone) then costs zero FS calls.
+    tomb_prefix, tmp_prefix = base + _TOMB_SEP, f".{base}{_GEN_SEP}"
+    if _names is None or any(
+        n.startswith(tomb_prefix) or (n.startswith(tmp_prefix) and ".tmp_" in n)
+        for n in _names
+    ):
+        try:
+            _sweep_stale_sidecars(spark, resource, float(grace_s), _impl)
+        except Exception:
+            pass  # best-effort, like acquire's own sweep
     return deleted

@@ -230,7 +230,11 @@ def _lake_committed(spark: SparkSession, lake_dir: str, batch_id: int) -> bool:
 
 
 def prune_replay_evidence(
-    spark: SparkSession, rejects_dir: str, lake_dir: str, keep_last: int = 8
+    spark: SparkSession,
+    rejects_dir: str,
+    lake_dir: str,
+    keep_last: int = 8,
+    lease_grace_s: float | None = None,
 ) -> dict:
     """Retention sweep for per-batch replay evidence (round-11 judge
     item): ``rejects_dir/{stage}/batch_id=N`` grows one dir per stage
@@ -289,18 +293,24 @@ def prune_replay_evidence(
             if path_exists(spark, d):
                 delete(spark, d)
     kept = sorted(evidence_batches - set(prunable))
-    # lake-write lock sidecars (released tombstones / expired
+    # lake-write lock sidecars (aged tombstones / grace-expired
     # generations) for a committed, out-of-window batch are dead
     # weight: the batch's redelivery short-circuits before the lake
-    # leg. DEAD sidecars only — a still-LIVE generation can belong to
-    # a laggard same-batch writer that acquired before the winner's
-    # commit marker appeared; deleting it would let a third writer
-    # acquire while the laggard still believes it holds, breaking the
-    # very mutual exclusion the lock exists for. A kept-live file ages
-    # out: a LATER prune pass removes it once its TTL lapses — which
-    # is why this sweep keys on the lock files themselves rather than
-    # on ``prunable`` (a batch pruned on an earlier pass has left the
-    # evidence universe but its lingering lease must still age out).
+    # leg. DEAD sidecars only, with a full writer-TTL grace — a
+    # still-LIVE generation can belong to a laggard same-batch writer
+    # that acquired before the winner's commit marker appeared
+    # (deleting it would let a third writer acquire while the laggard
+    # still believes it holds), and a FRESH tombstone or just-expired
+    # generation is still the numbering high-water mark a stalled
+    # contender needs (deleting it re-opens the generation-reset ABA —
+    # see prune_dead_sidecars). Kept files age out: a LATER prune pass
+    # removes them once dead for the grace — which is why this sweep
+    # keys on the lock files themselves rather than on ``prunable`` (a
+    # batch pruned earlier has left the evidence universe but its
+    # lingering sidecars must still age out). ``lease_grace_s``: the
+    # service passes its own lease_ttl_s; standalone callers get the
+    # module-conservative default. ONE directory listing (lock_names)
+    # feeds every per-batch sweep.
     kept_set = set(kept)
     lock_batches = set()
     for n in lock_names:
@@ -312,7 +322,13 @@ def prune_replay_evidence(
             continue  # in flight, or still inside the audit window
         if not path_exists(spark, _commit_marker_path(lake_dir, b)):
             continue  # torn stage 4 — its redelivery will need the lock
-        prune_dead_sidecars(spark, _lake_lock_resource(rejects_dir, b))
+        kw = {} if lease_grace_s is None else {"grace_s": lease_grace_s}
+        prune_dead_sidecars(
+            spark,
+            _lake_lock_resource(rejects_dir, b),
+            _names=lock_names,
+            **kw,
+        )
     return {
         "pruned": prunable,
         "kept": kept,

@@ -50,7 +50,6 @@ except ModuleNotFoundError as _e:  # pragma: no cover — env-dependent
     ) from _e
 
 from ..registry import load_all
-from ..schemas import TESTDATA_TABLES
 from ..session import get_spark
 
 
@@ -204,39 +203,18 @@ def main() -> int:
     spark = get_spark("diffcheck")
 
     # `<dir>@xN` amplifies the fact tables N-fold on BOTH engines,
-    # mirroring catalog.load_table exactly: entity tables get
-    # KEY-OFFSET replicas (N× distinct docs/vectors/users — see
-    # catalog._SCALE_KEY_REMAP for why raw duplication is untestable),
-    # lineitem gets raw N-fold listing, dims stay 1×. The differential
-    # then runs at sf*N scale with identical inputs on both engines.
-    from weather_etl_pipeline_spark.catalog import (  # noqa: E402
-        _resolve_sf_dir,
-        _SCALE_KEY_REMAP,
-        _SCALE_STRIDE,
-    )
+    # mirroring catalog.load_table exactly — shared builder
+    # (duck_views.py) so this tool and oracle_ratio can never drift on
+    # the amplification semantics. The differential then runs at sf*N
+    # scale with identical inputs on both engines.
+    from .duck_views import create_testdata_views
 
     con = duckdb.connect()
     mem = os.environ.get("DIFFCHECK_DUCKDB_MEM")
     if mem:
         con.execute(f"PRAGMA memory_limit='{mem}'")
     oracle_timeout = float(os.environ.get("DIFFCHECK_ORACLE_TIMEOUT", "0") or 0)
-    for t in TESTDATA_TABLES:
-        base, n = _resolve_sf_dir(sf_dir, t)
-        if n > 1 and t in _SCALE_KEY_REMAP:
-            repl = ", ".join(
-                f"{c} + _rep.range * {_SCALE_STRIDE} AS {c}"
-                for c in _SCALE_KEY_REMAP[t]
-            )
-            con.execute(
-                f"CREATE VIEW {t} AS "
-                f"SELECT * EXCLUDE (range) REPLACE ({repl}) "
-                f"FROM read_parquet('{base}/{t}.parquet'), range({n}) _rep"
-            )
-        else:
-            files = ", ".join([f"'{base}/{t}.parquet'"] * n)
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet([{files}])"
-            )
+    create_testdata_views(con, sf_dir)
 
     big_rows = int(os.environ.get("DIFFCHECK_BIG_ROWS", "2000000") or 0)
     n_pass = n_fail = n_rowsonly = n_big = 0

@@ -31,21 +31,21 @@ except ModuleNotFoundError as _e:  # pragma: no cover — env-dependent
     ) from _e
 
 from ..registry import load_all
-from ..schemas import TESTDATA_TABLES
 from ..session import get_spark
 
 
 def rotate_sample(pool: list[str], n: int, offset: int) -> list[str]:
     """Deterministic rotating window over ``pool`` (sorted names):
     offset R (the round number) → names [R*n, R*n+n) mod len(pool),
-    deduplicated when n ≥ len(pool). Every pool entry is visited once
-    per ⌈len/n⌉ consecutive offsets — full non-headline ratio coverage
-    every ~8 rounds at n=20."""
+    clamped to the whole pool when n ≥ len(pool) (a window of
+    min(n, len) consecutive wrap-around positions never repeats an
+    entry). Every pool entry is visited once per ⌈len/n⌉ consecutive
+    offsets — full non-headline ratio coverage every ~8 rounds at
+    n=20."""
     if not pool or n <= 0:
         return []
     start = (offset * n) % len(pool)
-    picked = [pool[(start + i) % len(pool)] for i in range(min(n, len(pool)))]
-    return list(dict.fromkeys(picked))
+    return [pool[(start + i) % len(pool)] for i in range(min(n, len(pool)))]
 
 
 def main() -> None:
@@ -116,29 +116,14 @@ def main() -> None:
 
     def _make_con(sf: str):
         """DuckDB connection with the testdata views — @xN dirs get the
-        same key-offset amplification diffcheck uses, so a decade
-        measurement runs identical inputs on both engines."""
-        from ..catalog import _resolve_sf_dir, _SCALE_KEY_REMAP, _SCALE_STRIDE
+        same key-offset amplification diffcheck uses (shared builder,
+        duck_views.py), so a decade measurement runs identical inputs
+        on both engines."""
+        from .duck_views import create_testdata_views
 
         c = duckdb.connect()
         c.execute("SET threads TO 32")
-        for t in TESTDATA_TABLES:
-            base, n = _resolve_sf_dir(sf, t)
-            if n > 1 and t in _SCALE_KEY_REMAP:
-                repl = ", ".join(
-                    f"{col} + _rep.range * {_SCALE_STRIDE} AS {col}"
-                    for col in _SCALE_KEY_REMAP[t]
-                )
-                c.execute(
-                    f"CREATE VIEW {t} AS "
-                    f"SELECT * EXCLUDE (range) REPLACE ({repl}) "
-                    f"FROM read_parquet('{base}/{t}.parquet'), range({n}) _rep"
-                )
-            else:
-                files = ", ".join([f"'{base}/{t}.parquet'"] * n)
-                c.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet([{files}])"
-                )
+        create_testdata_views(c, sf)
         c.execute("SELECT count(*) FROM region").fetchall()  # warm-up
         return c
 
@@ -218,6 +203,7 @@ def main() -> None:
             }
             conx.close()
     smp_s, smp_d = _measure(sample, args.sample_passes) if sample else ({}, {})
+    proxy_pq = _per_query(prx_s, prx_d) if proxies else {}
     st, dt = sum(s_best.values()), sum(d_best.values())
     adj = st - floor * len(heads)
     print(
@@ -245,7 +231,7 @@ def main() -> None:
                     {
                         "proxy_per_query": {
                             n: {
-                                **_per_query(prx_s, prx_d)[n],
+                                **proxy_pq[n],
                                 "oracle_from": reg[n].proxy_oracle,
                             }
                             for n in sorted(proxies)
