@@ -1,0 +1,265 @@
+"""S3 conditional-PUT lease backend (sources/lease_s3.py) under moto.
+
+This is the closure of the long-documented object-store caveat: the
+Hadoop path can only EMULATE create-if-absent on S3A (HEAD-then-PUT,
+a narrowed-but-open window), while ``put_object(IfNoneMatch="*")``
+publishes name and payload in one atomic call. moto 5 enforces real
+If-None-Match / If-Match semantics (verified by the raw-primitive
+tests below before anything lease-level runs), so these tests exercise
+the same wire contract AWS S3 does — no SparkSession involved; the
+backend is pure boto3 by design.
+
+Reference parity: the reference (ingestion.py:7-45, gold.py:13-125)
+is a cron-sequenced single writer on local disk; the lease exists
+because this engine's curation service admits concurrent deploys onto
+object storage.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import pytest
+
+moto = pytest.importorskip("moto", reason="moto not installed (env gate)")
+boto3 = pytest.importorskip("boto3", reason="boto3 not installed (env gate)")
+
+from weather_etl_pipeline_spark.sources import lease, lease_s3
+from weather_etl_pipeline_spark.sources.lease import (
+    LeaseHeldError,
+    LeaseLostError,
+    acquire_lease,
+    fence_for,
+    lease_is_live,
+    lease_path_for,
+    prune_dead_sidecars,
+    release_lease,
+    writer_lease,
+)
+
+BUCKET = "lease-test-bucket"
+RES = f"s3://{BUCKET}/stores/sig_store"
+
+
+@pytest.fixture()
+def s3():
+    """moto-backed client injected into the backend; reset after, so a
+    cached mocked client never leaks into other tests."""
+    with moto.mock_aws():
+        c = boto3.client("s3", region_name="us-east-1")
+        c.create_bucket(Bucket=BUCKET)
+        lease_s3.set_client(c)
+        try:
+            yield c
+        finally:
+            lease_s3.set_client(None)
+
+
+# ------------------------------------------------------------- raw primitives
+
+
+def test_conditional_put_is_atomic_create_with_content(s3):
+    path = f"s3://{BUCKET}/k/one"
+    assert lease_s3.try_create(path, b"alpha") is True
+    # loser's put carries DIFFERENT content and must not tear the winner
+    assert lease_s3.try_create(path, b"beta") is False
+    assert lease_s3.read(path) == b"alpha"
+
+
+def test_read_absent_and_delete_idempotent(s3):
+    assert lease_s3.read(f"s3://{BUCKET}/nope") is None
+    lease_s3.delete(f"s3://{BUCKET}/nope")  # no raise on absent key
+    assert lease_s3.read(f"s3://{BUCKET}/nope") is None
+
+
+def test_list_with_mtime_filters_basename_and_subdirs(s3):
+    parent = f"s3://{BUCKET}/stores"
+    lease_s3.try_create(f"{parent}/sig.__lease.g1", b"x")
+    lease_s3.try_create(f"{parent}/sig.__lease.r1", b"x")
+    lease_s3.try_create(f"{parent}/other_file", b"x")
+    # deeper-path key sharing the prefix is foreign (sidecars are flat)
+    lease_s3.try_create(f"{parent}/sig.__lease.gdir/nested", b"x")
+    got = lease_s3.list_with_mtime(parent, "sig.__lease.g")
+    assert [n for n, _ in got] == ["sig.__lease.g1"]
+    assert all(isinstance(m, float) and m > 0 for _, m in got)
+    assert lease_s3.list_names(parent, "sig.__lease.r") == ["sig.__lease.r1"]
+
+
+def test_conflict_409_resolved_by_read_back(s3):
+    """S3 can refuse to arbitrate racing conditional PUTs with 409
+    ConditionalRequestConflict — NOT a loss. try_create must then
+    claim victory iff the durable payload is ours."""
+    from botocore.exceptions import ClientError
+
+    path = f"s3://{BUCKET}/k/conflicted"
+
+    class Conflicting:
+        """put_object raises 409 after the write actually landed (the
+        'our request was the one that won but got the conflict reply'
+        shape); everything else delegates to the real mocked client."""
+
+        def __init__(self, inner, land_body):
+            self._inner = inner
+            self._land = land_body
+
+        def put_object(self, **kw):
+            if self._land is not None:
+                self._inner.put_object(
+                    Bucket=kw["Bucket"], Key=kw["Key"], Body=self._land
+                )
+            raise ClientError(
+                {"Error": {"Code": "ConditionalRequestConflict"}}, "PutObject"
+            )
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    real = lease_s3._get_client()
+    try:
+        lease_s3.set_client(Conflicting(real, b"mine"))
+        assert lease_s3.try_create(path, b"mine") is True  # ours landed
+        lease_s3.set_client(Conflicting(real, None))  # theirs landed
+        assert lease_s3.try_create(path, b"not-mine") is False
+    finally:
+        lease_s3.set_client(real)
+
+
+def test_tombstone_copies_before_conditional_delete(s3):
+    src = f"s3://{BUCKET}/stores/sig.__lease.g7"
+    dst = f"s3://{BUCKET}/stores/sig.__lease.r7_abc"
+    lease_s3.try_create(src, b"payload")
+    assert lease_s3.tombstone(src, dst) is True
+    assert lease_s3.read(src) is None
+    assert lease_s3.read(dst) == b"payload"
+    # absent source → clean refusal, nothing created
+    assert lease_s3.tombstone(src, dst + "2") is False
+    assert lease_s3.read(dst + "2") is None
+
+
+# ----------------------------------------------------------- lease lifecycle
+
+
+def test_acquire_blocks_second_writer_and_releases_to_tombstone(s3):
+    tok = acquire_lease(None, RES, owner="w1", ttl_s=30.0)
+    assert lease_is_live(None, RES, tok)
+    with pytest.raises(LeaseHeldError) as ei:
+        acquire_lease(None, RES, owner="w2", ttl_s=30.0)
+    assert ei.value.owner == "w1"
+    assert release_lease(None, RES, tok) is True
+    # generation file renamed aside, numbering trace survives
+    keys = [o["Key"] for o in s3.list_objects_v2(Bucket=BUCKET)["Contents"]]
+    assert not any(".__lease.g" in k for k in keys)
+    assert any(".__lease.r" in k for k in keys)
+    # re-release is a no-op refusal
+    assert release_lease(None, RES, tok) is False
+
+
+def test_generation_numbers_monotonic_across_release(s3):
+    t1 = acquire_lease(None, RES, ttl_s=30.0)
+    release_lease(None, RES, t1)
+    t2 = acquire_lease(None, RES, ttl_s=30.0)
+    g1, g2 = int(t1.split(":")[0]), int(t2.split(":")[0])
+    assert g2 == g1 + 1  # tombstone kept the high-water mark visible
+
+
+def test_stale_lease_superseded_and_garbage_collected(s3):
+    t1 = acquire_lease(None, RES, owner="slow", ttl_s=0.2)
+    time.sleep(0.3)
+    t2 = acquire_lease(None, RES, owner="fast", ttl_s=30.0)
+    assert int(t2.split(":")[0]) > int(t1.split(":")[0])
+    assert not lease_is_live(None, RES, t1)
+    assert lease_is_live(None, RES, t2)
+    # superseded generation swept by the winner
+    assert lease_s3.read(lease_path_for(RES, int(t1.split(":")[0]))) is None
+    # the overstaying holder's release refuses (successor live)
+    assert release_lease(None, RES, t1) is False
+    assert lease_is_live(None, RES, t2)
+
+
+def test_torn_lease_is_immediately_stale(s3):
+    # a torn payload can't occur via the conditional PUT (content is
+    # atomic with the name) — simulate an out-of-band corrupt file
+    lease_s3.try_create(lease_path_for(RES, 5), b"")
+    tok = acquire_lease(None, RES, ttl_s=30.0)
+    assert int(tok.split(":")[0]) == 6
+
+
+def test_fence_aborts_after_out_of_band_loss(s3):
+    tok = acquire_lease(None, RES, ttl_s=30.0)
+    fence = fence_for(None, RES, tok)
+    fence()  # live → no raise
+    lease_s3.delete(lease_path_for(RES, int(tok.split(":")[0])))
+    with pytest.raises(LeaseLostError):
+        fence()
+
+
+def test_writer_lease_context_manager(s3):
+    with writer_lease(None, RES, ttl_s=30.0) as tok:
+        assert lease_is_live(None, RES, tok)
+        with pytest.raises(LeaseHeldError):
+            acquire_lease(None, RES, ttl_s=30.0)
+    assert not lease_is_live(None, RES, tok)
+    acquire_lease(None, RES, ttl_s=30.0)  # free again
+
+
+def test_contention_exactly_one_winner(s3):
+    """N threads race one acquire each: exactly one token, the rest
+    LeaseHeldError (or a lost-create retry ending in LeaseHeldError).
+    The arbitration is moto's If-None-Match evaluation — the same
+    contract AWS enforces server-side."""
+    winners, losers, unexpected = [], [], []
+    barrier = threading.Barrier(8)
+
+    def contender():
+        barrier.wait()
+        try:
+            winners.append(acquire_lease(None, RES, ttl_s=30.0))
+        except LeaseHeldError:
+            losers.append(1)
+        except Exception as e:  # pragma: no cover - diagnostic
+            unexpected.append(e)
+
+    threads = [threading.Thread(target=contender) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert unexpected == []
+    assert len(winners) == 1 and len(losers) == 7
+    assert lease_is_live(None, RES, winners[0])
+
+
+def test_prune_dead_sidecars_on_s3(s3):
+    # dead: expired payload; live: fresh one — only the dead goes
+    dead = json.dumps(
+        {"token": "x", "owner": "old", "acquired": 0.0, "expires": 1.0}
+    ).encode()
+    lease_s3.try_create(lease_path_for(RES, 1), dead)
+    live_tok = acquire_lease(None, RES, ttl_s=30.0)  # sweeps gen 1 itself
+    lease_s3.try_create(lease_path_for(RES, 1), dead)  # re-plant the dead one
+    deleted = prune_dead_sidecars(None, RES, grace_s=0.0)
+    assert any(n.endswith("1") for n in deleted)
+    assert lease_is_live(None, RES, live_tok)  # live generation untouched
+    # release → tombstone; a zero-grace prune sweeps the aged tombstone
+    release_lease(None, RES, live_tok)
+    time.sleep(0.05)
+    prune_dead_sidecars(None, RES, grace_s=0.0)
+    assert lease_s3.list_names(f"s3://{BUCKET}/stores", "sig_store.__lease") == []
+
+
+def test_s3a_scheme_and_hadoop_force(s3):
+    """s3a:// (the Spark connector spelling) addresses the same bucket
+    through boto3; _impl='hadoop' opts out of the backend entirely."""
+    res_a = f"s3a://{BUCKET}/stores/sig_store_a"
+    tok = acquire_lease(None, res_a, ttl_s=30.0)
+    assert lease_is_live(None, res_a, tok)
+    # the object landed under the plain bucket key, connector-agnostic
+    assert lease_s3.read(f"s3://{BUCKET}/stores/sig_store_a.__lease.g" + "0" * 19 + "1")
+    assert release_lease(None, res_a, tok)
+    from weather_etl_pipeline_spark.sources.lease import _impl_s3
+
+    assert _impl_s3(res_a, "auto") is True
+    assert _impl_s3(res_a, "hadoop") is False
+    assert _impl_s3("/tmp/local/path", "auto") is False

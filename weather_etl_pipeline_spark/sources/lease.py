@@ -65,13 +65,17 @@ payload temps) are swept by later acquirers once older than the TTL.
 
 Atomic create-if-absent: local paths (scheme "" or ``file:``) use
 ``os.open(O_CREAT|O_EXCL)`` — kernel-atomic, covering every
-environment this repo actually runs in. Other schemes go through
-Hadoop's ``FileSystem.create(path, overwrite=false)``: atomic on
-HDFS/ABFS; on S3A best-effort (a HEAD-then-PUT emulation), so there
-the lease narrows the unguarded window from "the whole write" to one
-create call rather than closing it — on S3 with a real conditional
-PUT (If-None-Match) or any DFS, it is closed. The orphan-refusal
-scans stay on regardless, exactly as before.
+environment this repo actually runs in. ``s3/s3a/s3n`` URLs use the
+boto3 conditional-PUT backend (:mod:`.lease_s3`) when boto3 is
+importable: ``put_object(IfNoneMatch="*")`` publishes name AND
+payload in one atomic call, which CLOSES the object-store race
+outright (release's tombstone rename becomes copy + If-Match delete
+there). Remaining schemes go through Hadoop's
+``FileSystem.create(path, overwrite=false)``: atomic on HDFS/ABFS;
+on S3A-without-boto3 best-effort (a HEAD-then-PUT emulation), so
+there the lease narrows the unguarded window from "the whole write"
+to one create call rather than closing it. The orphan-refusal scans
+stay on regardless, exactly as before.
 """
 
 from __future__ import annotations
@@ -342,6 +346,23 @@ def _impl_local(lease_like_path: str, _impl: str) -> str | None:
     return _local_path(lease_like_path) if _impl != "hadoop" else None
 
 
+def _impl_s3(lease_like_path: str, _impl: str) -> bool:
+    """True iff ``path`` should use the boto3 conditional-request
+    backend: an s3/s3a/s3n URL with boto3 importable (or forced via
+    ``_impl="s3"``). ``_impl="hadoop"`` forces the Hadoop emulation
+    even on S3 URLs — the documented HEAD-then-PUT narrowing — for
+    environments where the S3A connector is configured but boto3's
+    credential chain is not."""
+    if _impl == "hadoop":
+        return False
+    from . import lease_s3
+
+    scheme = urlparse(lease_like_path).scheme.lower()
+    if scheme not in lease_s3.S3_SCHEMES:
+        return False
+    return _impl == "s3" or lease_s3.available()
+
+
 def _list_gens(
     spark: SparkSession, resource: str, _impl: str
 ) -> tuple[list[int], int]:
@@ -361,6 +382,12 @@ def _list_gens(
     if local_parent is not None:
         names = _local_list(local_parent, prefix) + _local_list(
             local_parent, tomb_prefix
+        )
+    elif _impl_s3(parent, _impl):
+        from . import lease_s3
+
+        names = lease_s3.list_names(parent, prefix) + lease_s3.list_names(
+            parent, tomb_prefix
         )
     else:
         from .fs import list_dir
@@ -392,7 +419,14 @@ def _read_payload(
     stale, per the torn-create argument in the module docstring."""
     path = lease_path_for(resource, gen)
     local = _impl_local(path, _impl)
-    raw = _local_read(local) if local is not None else _hadoop_read(spark, path)
+    if local is not None:
+        raw = _local_read(local)
+    elif _impl_s3(path, _impl):
+        from . import lease_s3
+
+        raw = lease_s3.read(path)
+    else:
+        raw = _hadoop_read(spark, path)
     if raw is None:
         return None
     try:
@@ -440,6 +474,14 @@ def _sweep_stale_sidecars(
                         _local_delete(p)
                 except FileNotFoundError:
                     pass
+        elif _impl_s3(parent, _impl):
+            # the conditional-PUT create writes no payload temps, so
+            # only tombstones can exist here — one LIST covers them
+            from . import lease_s3
+
+            for n, mtime in lease_s3.list_with_mtime(parent, tomb_prefix):
+                if _is_sidecar(n) and mtime < cutoff:
+                    lease_s3.delete(f"{parent}/{n}")
         else:
             from .fs import _fs_and_path, delete
 
@@ -466,6 +508,10 @@ def _delete_gen(spark: SparkSession, resource: str, gen: int, _impl: str) -> Non
     local = _impl_local(path, _impl)
     if local is not None:
         _local_delete(local)
+    elif _impl_s3(path, _impl):
+        from . import lease_s3
+
+        lease_s3.delete(path)
     else:
         from .fs import delete
 
@@ -517,11 +563,14 @@ def acquire_lease(
         ).encode("utf-8")
         path = lease_path_for(resource, target)
         local = _impl_local(path, _impl)
-        created = (
-            _local_try_create(local, payload)
-            if local is not None
-            else _hadoop_try_create(spark, path, payload)
-        )
+        if local is not None:
+            created = _local_try_create(local, payload)
+        elif _impl_s3(path, _impl):
+            from . import lease_s3
+
+            created = lease_s3.try_create(path, payload)
+        else:
+            created = _hadoop_try_create(spark, path, payload)
         if created:
             # EVERYTHING after a successful create is best-effort
             # hygiene: once the lease file exists, nothing may prevent
@@ -579,6 +628,13 @@ def release_lease(
             os.rename(local, _impl_local(dst, _impl))
         except FileNotFoundError:
             return False  # concurrent release/break got there first
+    elif _impl_s3(src, _impl):
+        from . import lease_s3
+
+        # copy-then-If-Match-delete: the tombstone (high-water mark)
+        # is durable before the source goes, same crash shape as rename
+        if not lease_s3.tombstone(src, dst):
+            return False
     else:
         from .fs import rename
 
@@ -714,6 +770,10 @@ def prune_dead_sidecars(
         names = [n for n in _names if n.startswith(gen_prefix)]
     elif local_parent is not None:
         names = _local_list(local_parent, gen_prefix)
+    elif _impl_s3(parent, _impl):
+        from . import lease_s3
+
+        names = lease_s3.list_names(parent, gen_prefix)
     else:
         from .fs import list_dir
 
@@ -737,6 +797,10 @@ def prune_dead_sidecars(
             local = _impl_local(p, _impl)
             if local is not None:
                 _local_delete(local)
+            elif _impl_s3(p, _impl):
+                from . import lease_s3
+
+                lease_s3.delete(p)
             else:
                 fs_delete(spark, p)
             deleted.append(n)
