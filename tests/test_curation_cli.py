@@ -64,6 +64,65 @@ def test_curate_cli_end_to_end(spark, tmp_path, family):
     assert 4 in ids and 3 not in ids, ids
 
 
+def test_retain_batches_flag_prunes_committed_evidence(spark, tmp_path):
+    """--retain-batches wires prune_replay_evidence into the service:
+    after a second batch commits, the first batch's replay evidence is
+    pruned by the CLI's final retention sweep (keep_last=0), while the
+    frontier batch's evidence survives. Without the flag (the first
+    run) nothing is pruned — evidence for batch 0 must exist before the
+    second run for the assertion to be non-vacuous."""
+    import os
+
+    from weather_etl_pipeline_spark.streaming import curation_cli
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    root = tmp_path / "root"
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", [1.0, 0.0]),
+            (2, "this is a second document about the engine of a spark cluster", [0.0, 1.0]),
+        ],
+        "doc_id long, text string, e array<double>",
+    ).coalesce(1).write.parquet(str(in_dir / "d"))
+    assert (
+        curation_cli.main(
+            ["--root", str(root), "--in", str(in_dir / "d"),
+             "--bootstrap", "--timeout", "30"]
+        )
+        == 0
+    )
+
+    def batch_dirs() -> set[str]:
+        rej = root / "rejects"
+        return {
+            f"{stage}/{d}"
+            for stage in os.listdir(rej)
+            if not stage.startswith("_")
+            for d in os.listdir(rej / stage)
+            if d.startswith("batch_id=")
+        }
+
+    before = batch_dirs()
+    assert any(d.endswith("batch_id=0") for d in before), before
+
+    spark.createDataFrame(
+        [(3, "here is one more document and it is not like any of the others", [0.5, 0.5])],
+        "doc_id long, text string, e array<double>",
+    ).coalesce(1).write.parquet(str(in_dir / "d"), mode="append")
+    assert (
+        curation_cli.main(
+            ["--root", str(root), "--in", str(in_dir / "d"),
+             "--timeout", "30", "--retain-batches", "0",
+             "--retention-interval", "5"]
+        )
+        == 0
+    )
+    after = batch_dirs()
+    assert not any(d.endswith("batch_id=0") for d in after), after
+    assert any(d.endswith("batch_id=1") for d in after), after  # frontier kept
+
+
 def test_bootstrap_refused_over_existing_store(spark, tmp_path):
     """Re-running the CLI with --bootstrap against a root that already
     has store meta must REFUSE: an empty rebuild preserves the

@@ -579,21 +579,35 @@ def shingle_arrays(docs: DataFrame, n: int = 3, spread: bool = True) -> DataFram
     return base.select("doc_id", _shingle_expr_bound(n).alias("shingles"))
 
 
+def _shingles_over(tk, n: int):
+    """THE single definition of the n-token shingle construction,
+    parameterized by the token-array expression ``tk`` (a lambda-bound
+    variable in the array form, the ``_toks`` column in the exploded
+    form — sharing one body is what keeps the two consumer families
+    byte-identical; a one-sided edit would silently diverge them).
+    '\\x1f' (unit separator) keeps token boundaries: with no separator
+    ('ab','c') and ('a','bc') would collide into the same shingle.
+    sequence() is safe unguarded: every caller filters size >= n, so
+    start <= stop always."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.concat_ws(
+                "\x1f", *[F.element_at(tk, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
 def _shingle_expr_bound(n: int):
     """Distinct n-token shingle array over ``text``, with the token
     array bound once as a HOF lambda variable (see shingle_arrays)."""
-
-    def mk(tk):
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-                lambda i: F.concat_ws(
-                    "\x1f", *[F.element_at(tk, i + j) for j in range(n)]
-                ),
-            )
-        )
-
-    return F.get(F.transform(F.array(F.split("text", " ")), mk), 0)
+    return F.get(
+        F.transform(
+            F.array(F.split("text", " ")), lambda tk: _shingles_over(tk, n)
+        ),
+        0,
+    )
 
 
 def _shingle_base(docs: DataFrame, n: int) -> DataFrame:
@@ -605,19 +619,7 @@ def _shingle_base(docs: DataFrame, n: int) -> DataFrame:
 
 
 def _shingle_expr(n: int):
-    # '\x1f' (unit separator) keeps token boundaries: with no separator
-    # ('ab','c') and ('a','bc') would collide into the same shingle.
-    # sequence() is safe unguarded here: the ≥n filter in _shingle_base
-    # means start <= stop always.
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-            lambda i: F.concat_ws(
-                "\x1f",
-                *[F.element_at(F.col("_toks"), i + j) for j in range(n)],
-            ),
-        )
-    )
+    return _shingles_over(F.col("_toks"), n)
 
 
 def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:

@@ -386,9 +386,13 @@ def _list_gens(
     elif _impl_s3(parent, _impl):
         from . import lease_s3
 
-        names = lease_s3.list_names(parent, prefix) + lease_s3.list_names(
-            parent, tomb_prefix
-        )
+        # g- and r-sidecars share the ".__lease." stem: ONE LIST call
+        # on the acquire hot path, partitioned client-side (the
+        # startswith filters below drop anything else under the stem)
+        shared = lease_s3.list_names(parent, base + _GEN_SEP[: -1])
+        names = [
+            n for n in shared if n.startswith(prefix) or n.startswith(tomb_prefix)
+        ]
     else:
         from .fs import list_dir
 
@@ -475,11 +479,15 @@ def _sweep_stale_sidecars(
                 except FileNotFoundError:
                     pass
         elif _impl_s3(parent, _impl):
-            # the conditional-PUT create writes no payload temps, so
-            # only tombstones can exist here — one LIST covers them
+            # the conditional-PUT create writes no payload temps of its
+            # own, but the bucket may hold temps stranded by the Hadoop
+            # fallback (pre-boto3 deployments, forced _impl="hadoop")
+            # — sweep both kinds, like the other backends
             from . import lease_s3
 
-            for n, mtime in lease_s3.list_with_mtime(parent, tomb_prefix):
+            for n, mtime in lease_s3.list_with_mtime(
+                parent, tmp_prefix
+            ) + lease_s3.list_with_mtime(parent, tomb_prefix):
                 if _is_sidecar(n) and mtime < cutoff:
                     lease_s3.delete(f"{parent}/{n}")
         else:
@@ -756,7 +764,8 @@ def prune_dead_sidecars(
     for a full grace period — one writer-TTL, after which a stalled
     contender is outside the hold guarantee like every other TTL
     assumption here. Callers that know the resource's writer TTL pass
-    it (the curation loop passes its ``lease_ttl_s``); the default is
+    it (the `weather-etl-curate --retain-batches` retention sweep
+    passes its effective stream TTL); the default is
     the module-wide conservative TTL. ``_names``: optional pre-listed
     sidecar file names of ``resource``'s parent dir, so a caller
     sweeping many resources under one dir (the lakelock retention

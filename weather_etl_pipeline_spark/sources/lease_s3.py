@@ -198,11 +198,20 @@ def tombstone(src: str, dst: str) -> bool:
         if _error_code(e) in ("NoSuchKey", "404"):
             return False
         raise
-    c.copy_object(
-        Bucket=dst_bucket,
-        Key=dst_key,
-        CopySource={"Bucket": src_bucket, "Key": src_key},
-    )
+    try:
+        c.copy_object(
+            Bucket=dst_bucket,
+            Key=dst_key,
+            CopySource={"Bucket": src_bucket, "Key": src_key},
+        )
+    except ClientError as e:
+        # source vanished between head and copy (a successor's hygiene
+        # pass deleting our superseded generation): the same lost race
+        # the local backend reports as FileNotFoundError→False and the
+        # Hadoop backend as rename→False — never a raise out of release
+        if _error_code(e) in ("NoSuchKey", "404"):
+            return False
+        raise
     try:
         c.delete_object(Bucket=src_bucket, Key=src_key, IfMatch=head["ETag"])
         return True

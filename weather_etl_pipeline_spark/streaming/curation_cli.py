@@ -8,7 +8,7 @@ Operational wrapper around :func:`curation_loop.stream_curated_ingest`
     weather-etl-curate --root /data/curation --in /data/incoming \\
         [--bootstrap] [--min-quality 0.5] [--nprobe 1] \\
         [--dup-cos 0.995] [--family minhash] [--lease-ttl 120] \\
-        [--timeout 0]
+        [--timeout 0] [--retain-batches 8 [--retention-interval 60]]
 
 Layout under --root: sig_store/ ivf_index/ lake/ rejects/ checkpoint/.
 --bootstrap builds EMPTY stores first (the documented pre-build
@@ -52,6 +52,23 @@ def main(argv: list[str] | None = None) -> int:
         "lapses)",
     )
     ap.add_argument("--timeout", type=float, default=0.0)
+    ap.add_argument(
+        "--retain-batches",
+        type=int,
+        default=None,
+        help="evidence retention: periodically prune committed batches' "
+        "replay evidence beyond the newest N (prune_replay_evidence on "
+        "the driver, lock-sidecar grace = the effective --lease-ttl); "
+        "default off — evidence grows one dir per stage per batch",
+    )
+    ap.add_argument(
+        "--retention-interval",
+        type=float,
+        default=60.0,
+        help="seconds between retention sweeps while the stream runs "
+        "(only with --retain-batches; a final sweep always runs after "
+        "a --timeout drain)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -148,11 +165,59 @@ def _run(spark, args) -> int:
         lease_ttl_s=lease_ttl,
         **kwargs,
     )
+    # retention runs on the DRIVER between awaitTermination slices —
+    # never inside foreachBatch, so a sweep can't lengthen a batch or
+    # interleave with the chaos-covered commit protocol. Best-effort:
+    # a retention fault is logged, never fatal to the service.
+    def _retention_sweep() -> None:
+        from .curation_loop import prune_replay_evidence
+
+        try:
+            prune_replay_evidence(
+                spark,
+                f"{root}/rejects",
+                f"{root}/lake",
+                keep_last=args.retain_batches,
+                lease_grace_s=lease_ttl,
+            )
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "retention sweep failed; evidence kept for next sweep",
+                exc_info=True,
+            )
+
+    import time as _time
+
     if args.timeout > 0:
-        q.awaitTermination(args.timeout)
+        if args.retain_batches is None:
+            q.awaitTermination(args.timeout)
+        else:
+            deadline = _time.monotonic() + args.timeout
+            while q.isActive and _time.monotonic() < deadline:
+                q.awaitTermination(
+                    max(
+                        0.1,
+                        min(
+                            args.retention_interval,
+                            deadline - _time.monotonic(),
+                        ),
+                    )
+                )
+                if q.isActive:
+                    _retention_sweep()
         q.stop()
+        if args.retain_batches is not None:
+            _retention_sweep()  # final sweep over the drained stream
     else:
-        q.awaitTermination()
+        if args.retain_batches is None:
+            q.awaitTermination()
+        else:
+            while q.isActive:
+                q.awaitTermination(args.retention_interval)
+                if q.isActive:
+                    _retention_sweep()
     return 0
 
 

@@ -308,9 +308,10 @@ def prune_replay_evidence(
     # keys on the lock files themselves rather than on ``prunable`` (a
     # batch pruned earlier has left the evidence universe but its
     # lingering sidecars must still age out). ``lease_grace_s``: the
-    # service passes its own lease_ttl_s; standalone callers get the
-    # module-conservative default. ONE directory listing (lock_names)
-    # feeds every per-batch sweep.
+    # `weather-etl-curate --retain-batches` service path passes its
+    # effective stream TTL (curation_cli._retention_sweep); standalone
+    # callers get the module-conservative default. ONE directory
+    # listing (lock_names) feeds every per-batch sweep.
     kept_set = set(kept)
     lock_batches = set()
     for n in lock_names:
