@@ -249,6 +249,35 @@ def test_prune_dead_sidecars_on_s3(s3):
     assert lease_s3.list_names(f"s3://{BUCKET}/stores", "sig_store.__lease") == []
 
 
+def test_acquire_list_call_budget(s3):
+    """Pin the uncontended acquire's LIST budget at 3: ONE shared-stem
+    listing for generations+tombstones (g- and r-sidecars share
+    '.__lease.', so listing them separately would be a fourth call),
+    plus the post-create hygiene sweep's two (payload temps have a
+    dot-prefixed stem the shared listing can't cover). A regression
+    here silently raises the per-mutation HTTP cost of every leased
+    store write."""
+    calls = {"list": 0}
+    real = lease_s3._get_client()
+
+    class Counting:
+        def get_paginator(self, name):
+            if name == "list_objects_v2":
+                calls["list"] += 1
+            return real.get_paginator(name)
+
+        def __getattr__(self, name):
+            return getattr(real, name)
+
+    try:
+        lease_s3.set_client(Counting())
+        tok = acquire_lease(None, RES, ttl_s=30.0)
+    finally:
+        lease_s3.set_client(real)
+    assert calls["list"] == 3, calls
+    assert lease_is_live(None, RES, tok)
+
+
 def test_s3a_scheme_and_hadoop_force(s3):
     """s3a:// (the Spark connector spelling) addresses the same bucket
     through boto3; _impl='hadoop' opts out of the backend entirely."""
