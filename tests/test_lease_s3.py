@@ -250,13 +250,13 @@ def test_prune_dead_sidecars_on_s3(s3):
 
 
 def test_acquire_list_call_budget(s3):
-    """Pin the uncontended acquire's LIST budget at 3: ONE shared-stem
+    """Pin the uncontended acquire's LIST budget at 2: ONE shared-stem
     listing for generations+tombstones (g- and r-sidecars share
-    '.__lease.', so listing them separately would be a fourth call),
-    plus the post-create hygiene sweep's two (payload temps have a
-    dot-prefixed stem the shared listing can't cover). A regression
-    here silently raises the per-mutation HTTP cost of every leased
-    store write."""
+    '.__lease.', and its (name, mtime) pairs are reused by the hygiene
+    sweep — tombstone mtimes never change), plus the sweep's payload-
+    temp listing (dot-prefixed stem the shared listing can't cover). A
+    regression here silently raises the per-mutation HTTP cost of
+    every leased store write."""
     calls = {"list": 0}
     real = lease_s3._get_client()
 
@@ -274,7 +274,7 @@ def test_acquire_list_call_budget(s3):
         tok = acquire_lease(None, RES, ttl_s=30.0)
     finally:
         lease_s3.set_client(real)
-    assert calls["list"] == 3, calls
+    assert calls["list"] == 2, calls
     assert lease_is_live(None, RES, tok)
 
 

@@ -97,8 +97,14 @@ DEFAULT_TTL_S = 900.0
 # (atomic arbitration): the double-winner confirmation read is skipped
 # there. Anything NOT listed gets the defensive jittered re-read.
 _ATOMIC_NOCLOBBER_RENAME_SCHEMES = frozenset({"hdfs", "abfs", "abfss"})
-_GEN_SEP = ".__lease.g"
-_TOMB_SEP = ".__lease.r"  # released-generation tombstone (see _list_gens)
+# one stem, two sidecar kinds: the S3 backend lists BOTH in one
+# shared-prefix call, so the g/r separators MUST stay single-character
+# suffixes of the same stem — derive, never restate (a divergent edit
+# would drop tombstones from that listing and regress max_ever,
+# reopening the generation-reuse ABA the tombstones exist to prevent)
+_LEASE_STEM = ".__lease."
+_GEN_SEP = _LEASE_STEM + "g"
+_TOMB_SEP = _LEASE_STEM + "r"  # released-generation tombstone (see _list_gens)
 
 
 class LeaseHeldError(RuntimeError):
@@ -365,9 +371,12 @@ def _impl_s3(lease_like_path: str, _impl: str) -> bool:
 
 def _list_gens(
     spark: SparkSession, resource: str, _impl: str
-) -> tuple[list[int], int]:
+) -> tuple[list[int], int, list[tuple[str, float]] | None]:
     """(sorted live generations, max generation number EVER observed —
-    live or released-tombstone). The tombstone max is what makes
+    live or released-tombstone, tombstone (name, mtime) listing on the
+    S3 backend else None — the shared-stem LIST already paid for the
+    mtimes, so acquire's hygiene sweep reuses them instead of
+    re-LISTing the same prefix). The tombstone max is what makes
     generation numbers monotonic across release: if release simply
     deleted its file, a contender holding a stale read could create a
     just-released generation name while a third writer holds a fresh
@@ -379,6 +388,7 @@ def _list_gens(
     prefix = base + _GEN_SEP
     tomb_prefix = base + _TOMB_SEP
     local_parent = _impl_local(parent, _impl)
+    tomb_listing: list[tuple[str, float]] | None = None
     if local_parent is not None:
         names = _local_list(local_parent, prefix) + _local_list(
             local_parent, tomb_prefix
@@ -386,12 +396,19 @@ def _list_gens(
     elif _impl_s3(parent, _impl):
         from . import lease_s3
 
-        # g- and r-sidecars share the ".__lease." stem: ONE LIST call
-        # on the acquire hot path, partitioned client-side (the
-        # startswith filters below drop anything else under the stem)
-        shared = lease_s3.list_names(parent, base + _GEN_SEP[: -1])
+        # g- and r-sidecars share the lease stem: ONE LIST call on the
+        # acquire hot path, partitioned client-side (the startswith
+        # filters below drop anything else under the stem); tombstone
+        # mtimes ride along for acquire's sweep — they never change
+        # after creation, so reuse is exact, not merely best-effort
+        shared = lease_s3.list_with_mtime(parent, base + _LEASE_STEM)
         names = [
-            n for n in shared if n.startswith(prefix) or n.startswith(tomb_prefix)
+            n
+            for n, _ in shared
+            if n.startswith(prefix) or n.startswith(tomb_prefix)
+        ]
+        tomb_listing = [
+            (n, m) for n, m in shared if n.startswith(tomb_prefix)
         ]
     else:
         from .fs import list_dir
@@ -412,7 +429,7 @@ def _list_gens(
                 max_ever = max(max_ever, g)
         except ValueError:
             continue  # foreign file that happens to share the prefix
-    return sorted(gens), max_ever
+    return sorted(gens), max_ever, tomb_listing
 
 
 def _read_payload(
@@ -443,7 +460,11 @@ def _read_payload(
 
 
 def _sweep_stale_sidecars(
-    spark: SparkSession, resource: str, older_than_s: float, _impl: str
+    spark: SparkSession,
+    resource: str,
+    older_than_s: float,
+    _impl: str,
+    _tomb_listing: list[tuple[str, float]] | None = None,
 ) -> None:
     """Best-effort removal of crash-orphaned payload temps
     (``.{base}.__lease.g*.tmp_*``) and aged release tombstones
@@ -482,12 +503,19 @@ def _sweep_stale_sidecars(
             # the conditional-PUT create writes no payload temps of its
             # own, but the bucket may hold temps stranded by the Hadoop
             # fallback (pre-boto3 deployments, forced _impl="hadoop")
-            # — sweep both kinds, like the other backends
+            # — sweep both kinds, like the other backends. Tombstones:
+            # acquire passes the (name, mtime) pairs its shared-stem
+            # _list_gens LIST already fetched (exact reuse — tombstone
+            # mtimes never change after creation), so only the
+            # dot-prefixed temp stem needs its own LIST here.
             from . import lease_s3
 
-            for n, mtime in lease_s3.list_with_mtime(
-                parent, tmp_prefix
-            ) + lease_s3.list_with_mtime(parent, tomb_prefix):
+            tombs = (
+                _tomb_listing
+                if _tomb_listing is not None
+                else lease_s3.list_with_mtime(parent, tomb_prefix)
+            )
+            for n, mtime in lease_s3.list_with_mtime(parent, tmp_prefix) + tombs:
                 if _is_sidecar(n) and mtime < cutoff:
                     lease_s3.delete(f"{parent}/{n}")
         else:
@@ -549,7 +577,7 @@ def acquire_lease(
     my_uuid = uuid.uuid4().hex
 
     for _ in range(8):
-        gens, max_ever = _list_gens(spark, resource, _impl)
+        gens, max_ever, tombs = _list_gens(spark, resource, _impl)
         if gens:
             cur = _read_payload(spark, resource, gens[-1], _impl)
             if cur is not None and time.time() < float(cur["expires"]):
@@ -594,7 +622,11 @@ def acquire_lease(
                 # sweep a tombstone that is still the high-water mark
                 # for a long-TTL maintenance writer stalled mid-acquire
                 _sweep_stale_sidecars(
-                    spark, resource, max(float(ttl_s), DEFAULT_TTL_S), _impl
+                    spark,
+                    resource,
+                    max(float(ttl_s), DEFAULT_TTL_S),
+                    _impl,
+                    _tomb_listing=tombs,
                 )
             except Exception:
                 pass  # same rationale as the sweep's own guard

@@ -19,10 +19,13 @@ arbitration story on object stores qualitatively:
   verified, so a racing writer's file can never be deleted by a stale
   releaser.
 
-The backend is pure boto3 — no SparkSession, no JVM round-trips — so a
-lease cycle costs three HTTP calls (LIST, conditional PUT, and the
-superseded-generation cleanup) and the fencing read
-(:func:`lease.lease_is_live`) is a single GET.
+The backend is pure boto3 — no SparkSession, no JVM round-trips — so
+an uncontended acquire costs two LISTs (one shared-stem listing for
+generations+tombstones, reused with its mtimes by the hygiene sweep;
+one for crash-orphaned payload temps) plus the conditional PUT, with
+per-file hygiene deletes on top; the fencing read
+(:func:`lease.lease_is_live`) is a single GET. The budget is pinned by
+``test_acquire_list_call_budget``.
 
 Scheme handling: ``s3://``, ``s3a://`` and ``s3n://`` all address the
 same bucket namespace (s3a/s3n are Hadoop-connector spellings), so a

@@ -165,10 +165,14 @@ def _run(spark, args) -> int:
         lease_ttl_s=lease_ttl,
         **kwargs,
     )
-    # retention runs on the DRIVER between awaitTermination slices —
-    # never inside foreachBatch, so a sweep can't lengthen a batch or
-    # interleave with the chaos-covered commit protocol. Best-effort:
-    # a retention fault is logged, never fatal to the service.
+    # retention runs on the DRIVER's main thread, never inside
+    # foreachBatch — so a sweep can't lengthen a batch. It DOES run
+    # concurrently with whatever micro-batch the streaming thread has
+    # in flight (awaitTermination(timeout) does not pause the query):
+    # commit-safety rests on prune_replay_evidence's own guards —
+    # frontier skip, commit-marker requirement, lease-TTL grace on the
+    # lock sidecars — not on any mutual exclusion here. Best-effort: a
+    # retention fault is logged, never fatal to the service.
     def _retention_sweep() -> None:
         from .curation_loop import prune_replay_evidence
 
@@ -190,34 +194,34 @@ def _run(spark, args) -> int:
 
     import time as _time
 
-    if args.timeout > 0:
-        if args.retain_batches is None:
+    if args.retain_batches is None:
+        if args.timeout > 0:
             q.awaitTermination(args.timeout)
+            q.stop()
         else:
-            deadline = _time.monotonic() + args.timeout
-            while q.isActive and _time.monotonic() < deadline:
-                q.awaitTermination(
-                    max(
-                        0.1,
-                        min(
-                            args.retention_interval,
-                            deadline - _time.monotonic(),
-                        ),
-                    )
-                )
-                if q.isActive:
-                    _retention_sweep()
-        q.stop()
-        if args.retain_batches is not None:
-            _retention_sweep()  # final sweep over the drained stream
-    else:
-        if args.retain_batches is None:
             q.awaitTermination()
-        else:
-            while q.isActive:
-                q.awaitTermination(args.retention_interval)
-                if q.isActive:
-                    _retention_sweep()
+        return 0
+
+    # one loop serves both the bounded (--timeout) and unbounded run:
+    # sleep in clamped interval slices, sweep between them, and always
+    # run ONE final sweep after the stream is done — whether it drained
+    # to the deadline, terminated on its own, or was stopped externally
+    deadline = _time.monotonic() + args.timeout if args.timeout > 0 else None
+    interval = max(0.1, args.retention_interval)
+    while q.isActive:
+        remaining = None if deadline is None else deadline - _time.monotonic()
+        if remaining is not None and remaining <= 0:
+            break
+        wait = interval if remaining is None else min(interval, remaining)
+        if q.awaitTermination(max(0.1, wait)):
+            break  # query terminated; the final sweep below covers it
+        # skip a mid-run sweep that the imminent final sweep would
+        # duplicate back-to-back
+        if deadline is None or deadline - _time.monotonic() > 0.5:
+            _retention_sweep()
+    if deadline is not None:
+        q.stop()
+    _retention_sweep()  # final sweep over the finished/drained stream
     return 0
 
 
