@@ -138,6 +138,84 @@ def test_tombstone_copies_before_conditional_delete(s3):
     assert lease_s3.read(dst + "2") is None
 
 
+def test_tombstone_crash_between_copy_and_delete_never_regresses(s3):
+    """The docstring's crash-shape claim, exercised: a crash after the
+    tombstone copy but before the source delete leaves BOTH files; the
+    release reports failure, the generation reads as a normal lease
+    (live until TTL), and once it expires the next acquire supersedes
+    to a HIGHER generation — numbering never regresses."""
+    from botocore.exceptions import ClientError
+
+    tok = acquire_lease(None, RES, owner="crasher", ttl_s=2.0)
+
+    class DeleteCrashes:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def delete_object(self, **kw):
+            if "IfMatch" in kw:  # only the tombstone's conditional delete
+                raise ClientError(
+                    {"Error": {"Code": "InternalError"}}, "DeleteObject"
+                )
+            return self._inner.delete_object(**kw)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    real = lease_s3._get_client()
+    try:
+        lease_s3.set_client(DeleteCrashes(real))
+        with pytest.raises(ClientError):
+            release_lease(None, RES, tok)
+    finally:
+        lease_s3.set_client(real)
+    gen = int(tok.split(":")[0])
+    # both files present: generation still live, tombstone durable
+    assert lease_s3.read(lease_path_for(RES, gen)) is not None
+    assert lease_s3.list_names(f"s3://{BUCKET}/stores", "sig_store.__lease.r")
+    # still inside TTL → the torn release did not break mutual exclusion
+    with pytest.raises(LeaseHeldError):
+        acquire_lease(None, RES, ttl_s=30.0)
+    time.sleep(2.1)  # past the TTL: normal expired-lease takeover
+    t2 = acquire_lease(None, RES, ttl_s=30.0)
+    assert int(t2.split(":")[0]) == gen + 1
+
+
+def test_tombstone_refuses_when_source_changes_midflight(s3):
+    """If the source generation's bytes change between head_object and
+    the conditional delete (impossible for real generations — names are
+    never rewritten — so this pins the belt-and-braces contract), the
+    IfMatch delete must refuse: tombstone() returns False and the
+    changed source survives."""
+    src = f"s3://{BUCKET}/stores/x.__lease.g9"
+    dst = f"s3://{BUCKET}/stores/x.__lease.r9_zz"
+    lease_s3.try_create(src, b"original")
+    real = lease_s3._get_client()
+
+    class SwapsSource:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def copy_object(self, **kw):
+            out = self._inner.copy_object(**kw)
+            # a foreign writer rewrites the source after our head+copy
+            self._inner.put_object(
+                Bucket=BUCKET, Key="stores/x.__lease.g9", Body=b"changed"
+            )
+            return out
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    try:
+        lease_s3.set_client(SwapsSource(real))
+        assert lease_s3.tombstone(src, dst) is False
+    finally:
+        lease_s3.set_client(real)
+    assert lease_s3.read(src) == b"changed"  # the foreign write survives
+    assert lease_s3.read(dst) == b"original"  # aged sweep's problem now
+
+
 # ----------------------------------------------------------- lease lifecycle
 
 
