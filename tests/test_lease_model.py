@@ -1,0 +1,224 @@
+"""Model-based (hypothesis.stateful) exploration of the lease protocol.
+
+The hand-written suites pin specific scenarios (contention storms,
+crash shapes, fencing); this machine lets hypothesis search operation
+ORDERINGS — acquire / release / crash-without-release / TTL-expiry /
+zero-grace prune in arbitrary sequence — against two invariants that
+must survive every ordering:
+
+- **single holder**: at most one token is ever live, and an acquire
+  that raises LeaseHeldError does so only while the model also says a
+  live holder exists;
+- **generation monotonicity**: every successful acquire returns a
+  generation strictly greater than every generation ever issued across
+  releases (tombstones) and crashes (stale supersede). A ZERO-grace
+  prune is the documented exception — ``grace_s`` is exactly the
+  protection against the numbering-reset ABA, and grace 0 is the
+  caller asserting no contender can be mid-acquire — so the model
+  lowers its high-water mark to the surviving live generation (or 0)
+  after each such prune; hypothesis originally FOUND this: the machine
+  with an unconditional monotonicity invariant produces
+  acquire→release→prune(0)→acquire issuing g1 after g3, which is
+  correct per the grace contract and is why prune_dead_sidecars
+  defaults grace_s to a full writer TTL.
+
+TTL expiry is simulated by rewriting the live payload's ``expires``
+into the past (equivalent to clock passage; generation files are
+created-once in the real protocol, so the rewrite stands in for time,
+not for any real writer behavior). Both backends run the same machine:
+the local O_EXCL-link one and the boto3 conditional-PUT one under moto
+— the protocol's guarantees must not depend on which primitive
+arbitrates. Sequential by design: concurrency is the hand-written
+contention tests' job; orderings are hypothesis's.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from hypothesis import settings
+from hypothesis.stateful import (
+    RuleBasedStateMachine,
+    invariant,
+    precondition,
+    rule,
+)
+
+from weather_etl_pipeline_spark.sources import lease_s3
+from weather_etl_pipeline_spark.sources.lease import (
+    LeaseHeldError,
+    LeaseLostError,
+    acquire_lease,
+    fence_for,
+    lease_is_live,
+    lease_path_for,
+    prune_dead_sidecars,
+    release_lease,
+)
+
+TTL = 3600.0  # effectively forever — expiry only happens via force_expire
+
+
+class _LeaseMachine(RuleBasedStateMachine):
+    """Backend-agnostic machine; subclasses provide resource() and
+    overwrite_payload(). Model state: the currently-live token (or
+    None), the set of dead tokens (released/expired), and the highest
+    generation ever issued."""
+
+    def __init__(self):
+        super().__init__()
+        self.res = self.resource()
+        self.live: str | None = None
+        self.dead: list[str] = []
+        self.max_gen = 0
+
+    # -- backend hooks -----------------------------------------------
+    def resource(self) -> str:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def overwrite_payload(self, path: str, payload: bytes) -> None:
+        raise NotImplementedError  # pragma: no cover - abstract
+
+    # -- rules ---------------------------------------------------------
+    @rule()
+    def acquire(self):
+        try:
+            tok = acquire_lease(None, self.res, ttl_s=TTL)
+        except LeaseHeldError:
+            # refusal is legal ONLY while the model has a live holder
+            assert self.live is not None
+            return
+        assert self.live is None, "second live holder issued"
+        gen = int(tok.split(":")[0])
+        assert gen > self.max_gen, (
+            f"generation regressed: issued {gen}, high-water {self.max_gen}"
+        )
+        self.max_gen = gen
+        self.live = tok
+
+    @precondition(lambda self: self.live is not None)
+    @rule()
+    def release(self):
+        assert release_lease(None, self.res, self.live) is True
+        self.dead.append(self.live)
+        self.live = None
+
+    @precondition(lambda self: self.live is not None)
+    @rule()
+    def crash_holder(self):
+        """Holder vanishes without release; its generation file stays
+        live until TTL — here immediately forced stale, the state a
+        crashed writer leaves after its TTL lapses."""
+        tok = self.live
+        gen = int(tok.split(":")[0])
+        payload = json.dumps(
+            {
+                "token": tok.split(":", 1)[1],
+                "owner": "crashed",
+                "acquired": 0.0,
+                "expires": 1.0,  # long past
+            }
+        ).encode()
+        self.overwrite_payload(lease_path_for(self.res, gen), payload)
+        self.dead.append(tok)
+        self.live = None
+
+    @precondition(lambda self: self.dead)
+    @rule()
+    def stale_release_refused(self):
+        """A dead token's deferred release must refuse and must not
+        disturb whatever is live now."""
+        assert release_lease(None, self.res, self.dead[-1]) is False
+
+    @rule()
+    def prune_zero_grace(self):
+        prune_dead_sidecars(None, self.res, grace_s=0.0)
+        # grace 0 may sweep every dead generation AND tombstone —
+        # whether a same-instant tombstone survives is mtime-timing
+        # dependent, so the model keeps only the guaranteed floor: the
+        # live generation (never prunable) or a full reset. The
+        # single_holder invariant below is what must hold regardless.
+        self.max_gen = int(self.live.split(":")[0]) if self.live else 0
+
+    @precondition(lambda self: self.dead)
+    @rule()
+    def dead_fence_raises(self):
+        with pytest.raises(LeaseLostError):
+            fence_for(None, self.res, self.dead[-1])()
+
+    # -- invariants ----------------------------------------------------
+    @invariant()
+    def single_holder(self):
+        if self.live is not None:
+            assert lease_is_live(None, self.res, self.live)
+        for tok in self.dead:
+            assert not lease_is_live(None, self.res, tok)
+
+    @invariant()
+    def no_foreign_live_generation(self):
+        """Nothing on storage is live except the model's holder: a
+        fresh probe acquire must succeed iff the model says free. The
+        probe itself then releases to keep the state aligned (its own
+        acquire/release legality is asserted like any other)."""
+        if self.live is None:
+            tok = acquire_lease(None, self.res, ttl_s=TTL)
+            gen = int(tok.split(":")[0])
+            assert gen > self.max_gen
+            self.max_gen = gen
+            assert release_lease(None, self.res, tok) is True
+            self.dead.append(tok)
+
+
+_SETTINGS = settings(
+    max_examples=40, stateful_step_count=30, deadline=None
+)
+
+
+class LocalLeaseMachine(_LeaseMachine):
+    def resource(self) -> str:
+        import tempfile
+
+        self._dir = tempfile.mkdtemp(prefix="lease_model_")
+        return f"{self._dir}/store"
+
+    def overwrite_payload(self, path: str, payload: bytes) -> None:
+        with open(path, "wb") as f:
+            f.write(payload)
+
+
+TestLocalLeaseModel = LocalLeaseMachine.TestCase
+TestLocalLeaseModel.settings = _SETTINGS
+
+
+moto = pytest.importorskip("moto", reason="moto not installed (env gate)")
+boto3 = pytest.importorskip("boto3", reason="boto3 not installed (env gate)")
+
+_BUCKET = "lease-model-bucket"
+
+
+class S3LeaseMachine(_LeaseMachine):
+    def __init__(self):
+        self._mock = moto.mock_aws()
+        self._mock.start()
+        self._client = boto3.client("s3", region_name="us-east-1")
+        self._client.create_bucket(Bucket=_BUCKET)
+        lease_s3.set_client(self._client)
+        self._n = int(time.time() * 1e6) % 10**9
+        super().__init__()
+
+    def resource(self) -> str:
+        return f"s3://{_BUCKET}/stores/store_{self._n}"
+
+    def overwrite_payload(self, path: str, payload: bytes) -> None:
+        bucket, key = lease_s3.parse_s3(path)
+        self._client.put_object(Bucket=bucket, Key=key, Body=payload)
+
+    def teardown(self):
+        lease_s3.set_client(None)
+        self._mock.stop()
+
+
+TestS3LeaseModel = S3LeaseMachine.TestCase
+TestS3LeaseModel.settings = _SETTINGS
