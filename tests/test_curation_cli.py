@@ -207,3 +207,24 @@ def test_bootstrap_builds_honor_lease_ttl_flag(spark, tmp_path, monkeypatch):
              "--bootstrap", "--timeout", "1"]
         )
     assert seen == {"sig": _STREAM_LEASE_TTL_S, "ivf": _STREAM_LEASE_TTL_S}
+
+
+def test_retain_batches_rejects_negative(tmp_path, capsys):
+    """--retain-batches -1 would make prune_replay_evidence's
+    committed[:max(0, len - keep_last)] slice prune EVERY committed
+    batch — including the audit window the flag exists to keep. The
+    parser must reject it up front (argparse exits 2), before any
+    session or store is touched."""
+    import pytest as _pytest
+
+    from weather_etl_pipeline_spark.streaming import curation_cli
+
+    with _pytest.raises(SystemExit) as ei:
+        curation_cli.main(
+            ["--root", str(tmp_path / "r"), "--in", str(tmp_path / "in"),
+             "--retain-batches", "-1"]
+        )
+    assert ei.value.code == 2
+    assert "must be >= 0" in capsys.readouterr().err
+    # boundary: 0 (prune all but frontier) still parses
+    assert curation_cli._nonnegative_int("0") == 0

@@ -216,6 +216,103 @@ def test_tombstone_refuses_when_source_changes_midflight(s3):
     assert lease_s3.read(dst) == b"original"  # aged sweep's problem now
 
 
+def test_tombstone_copy_pinned_to_headed_etag(s3):
+    """The copy itself is pinned via CopySourceIfMatch: if the source
+    changed between head_object and copy_object, the copy 412s and
+    tombstone() reports the lost race WITHOUT publishing a tombstone
+    that carries a different writer's bytes. moto does not evaluate
+    CopySourceIfMatch (verified: a mismatched ETag copy succeeds), so
+    the 412 is injected by a wrapper — but the parameter itself is
+    asserted on the wire call, pinning that we actually send it."""
+    from botocore.exceptions import ClientError
+
+    src = f"s3://{BUCKET}/stores/y.__lease.g3"
+    dst = f"s3://{BUCKET}/stores/y.__lease.r3_zz"
+    lease_s3.try_create(src, b"original")
+    real = lease_s3._get_client()
+    seen = {}
+
+    class CopyRefuses:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def copy_object(self, **kw):
+            seen["CopySourceIfMatch"] = kw.get("CopySourceIfMatch")
+            raise ClientError(
+                {"Error": {"Code": "PreconditionFailed"}}, "CopyObject"
+            )
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    try:
+        lease_s3.set_client(CopyRefuses(real))
+        assert lease_s3.tombstone(src, dst) is False
+    finally:
+        lease_s3.set_client(real)
+    # the condition was sent, and it was the HEAD'd ETag
+    assert seen["CopySourceIfMatch"] == real.head_object(
+        Bucket=BUCKET, Key="stores/y.__lease.g3"
+    )["ETag"]
+    assert lease_s3.read(dst) is None  # nothing published on the 412
+    assert lease_s3.read(src) == b"original"
+
+
+def test_tombstone_falls_back_when_conditional_delete_unsupported(s3):
+    """Conditional DELETE (IfMatch) is a narrower capability than
+    conditional PUT — absent on non-directory-bucket AWS and on
+    S3-compatible stores (MinIO, Ceph) this backend auto-activates on.
+    A 501 NotImplemented there must NOT escape release (the tombstone
+    copy already succeeded; raising would leave the generation live
+    until TTL on every release). Identity is ETag-pinned by the copy,
+    so the fallback is a plain unconditional delete — and the endpoint
+    capability is logged once per bucket, not once per release."""
+    from botocore.exceptions import ClientError
+
+    calls = {"conditional": 0, "plain": 0}
+
+    class NoConditionalDelete:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def delete_object(self, **kw):
+            if "IfMatch" in kw:
+                calls["conditional"] += 1
+                raise ClientError(
+                    {"Error": {"Code": "NotImplemented"}}, "DeleteObject"
+                )
+            calls["plain"] += 1
+            return self._inner.delete_object(**kw)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    real = lease_s3._get_client()
+    lease_s3._COND_DELETE_WARNED.discard(BUCKET)
+    try:
+        lease_s3.set_client(NoConditionalDelete(real))
+        # primitive level: fallback succeeds and the move is complete
+        src = f"s3://{BUCKET}/stores/z.__lease.g5"
+        dst = f"s3://{BUCKET}/stores/z.__lease.r5_ab"
+        lease_s3.try_create(src, b"payload")
+        assert lease_s3.tombstone(src, dst) is True
+        assert lease_s3.read(src) is None
+        assert lease_s3.read(dst) == b"payload"
+        assert calls == {"conditional": 1, "plain": 1}
+        # lease level: the full acquire→release cycle works on such an
+        # endpoint — release returns True and the next acquire gets the
+        # successor generation immediately (no TTL stall regression)
+        tok = acquire_lease(None, RES, owner="w1", ttl_s=30.0)
+        assert release_lease(None, RES, tok) is True
+        t2 = acquire_lease(None, RES, owner="w2", ttl_s=30.0)
+        assert int(t2.split(":")[0]) == int(tok.split(":")[0]) + 1
+        release_lease(None, RES, t2)
+        assert BUCKET in lease_s3._COND_DELETE_WARNED  # warned exactly once
+    finally:
+        lease_s3.set_client(real)
+        lease_s3._COND_DELETE_WARNED.discard(BUCKET)
+
+
 # ----------------------------------------------------------- lease lifecycle
 
 

@@ -184,12 +184,29 @@ def tombstone(src: str, dst: str) -> bool:
     tombstone (the generation high-water mark) is durable FIRST, so a
     crash between the two calls leaves both files — the next acquirer
     sees the generation as a normal expired/released lease and the
-    numbering never regresses. The conditional delete means a stale
-    releaser can never remove a file whose content changed under it
-    (generation names are never rewritten by design, so this is
-    belt-and-braces, priced at zero). 412/404 on the delete → the
-    source moved under us → report False, keep the copied tombstone
-    (harmless: aged-sweep removes it like any other)."""
+    numbering never regresses. The copy is pinned to the HEAD'd ETag
+    (``CopySourceIfMatch``) so the tombstone can only ever hold the
+    bytes this releaser verified — if the source changed under us, the
+    copy 412s and we report the lost race WITHOUT publishing a
+    tombstone carrying a different writer's content. The conditional
+    delete means a stale releaser can never remove a file whose
+    content changed under it (generation names are never rewritten by
+    design, so both conditions are belt-and-braces, priced at zero).
+    412/404 on the delete → the source moved under us → report False,
+    keep the copied tombstone (harmless: aged-sweep removes it like
+    any other).
+
+    Endpoint portability: conditional DELETE (``IfMatch`` on
+    DeleteObject) is a much newer and narrower S3 capability than
+    conditional PUT — long restricted to directory buckets on AWS and
+    commonly absent on S3-compatible stores (MinIO, Ceph RGW) that
+    this backend auto-activates on for any s3:// URL. A 501
+    NotImplemented there is NOT a lost race: the tombstone copy
+    already succeeded, and raising would leave the generation file
+    live until TTL on every release (a regression vs the Hadoop
+    rename path). Identity was HEAD-verified and generation names are
+    never rewritten, so on such endpoints we log once and fall back
+    to an unconditional delete."""
     from botocore.exceptions import ClientError
 
     src_bucket, src_key = parse_s3(src)
@@ -206,24 +223,53 @@ def tombstone(src: str, dst: str) -> bool:
             Bucket=dst_bucket,
             Key=dst_key,
             CopySource={"Bucket": src_bucket, "Key": src_key},
+            CopySourceIfMatch=head["ETag"],
         )
     except ClientError as e:
         # source vanished between head and copy (a successor's hygiene
-        # pass deleting our superseded generation): the same lost race
-        # the local backend reports as FileNotFoundError→False and the
-        # Hadoop backend as rename→False — never a raise out of release
-        if _error_code(e) in ("NoSuchKey", "404"):
+        # pass deleting our superseded generation) OR changed under us
+        # (CopySourceIfMatch 412): the same lost race the local backend
+        # reports as FileNotFoundError→False and the Hadoop backend as
+        # rename→False — never a raise out of release, and never a
+        # tombstone published with bytes we did not verify
+        if _error_code(e) in ("NoSuchKey", "404", "PreconditionFailed"):
             return False
         raise
     try:
         c.delete_object(Bucket=src_bucket, Key=src_key, IfMatch=head["ETag"])
         return True
     except ClientError as e:
-        if _error_code(e) in ("PreconditionFailed", "NoSuchKey", "404"):
+        code = _error_code(e)
+        if code in ("PreconditionFailed", "NoSuchKey", "404"):
             _LOG.warning(
                 "lease tombstone: source %s changed or vanished during "
                 "release; leaving it for the aged sweep",
                 src,
             )
             return False
+        if code in ("NotImplemented", "501", "MethodNotAllowed"):
+            # endpoint lacks conditional DELETE (non-directory-bucket
+            # AWS, MinIO, Ceph): fall back to unconditional delete —
+            # the copy above already pinned identity via the ETag
+            _log_conditional_delete_unsupported(src_bucket)
+            c.delete_object(Bucket=src_bucket, Key=src_key)
+            return True
         raise
+
+
+#: buckets already warned about missing conditional-DELETE support,
+#: so a long-lived service logs the endpoint capability once per
+#: bucket rather than once per release
+_COND_DELETE_WARNED: set[str] = set()
+
+
+def _log_conditional_delete_unsupported(bucket: str) -> None:
+    if bucket not in _COND_DELETE_WARNED:
+        _COND_DELETE_WARNED.add(bucket)
+        _LOG.warning(
+            "s3 endpoint for bucket %r does not support conditional "
+            "DELETE (IfMatch); falling back to unconditional delete — "
+            "safe because the tombstone copy is ETag-pinned and "
+            "generation names are never rewritten",
+            bucket,
+        )

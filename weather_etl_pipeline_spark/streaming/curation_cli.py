@@ -26,6 +26,21 @@ from __future__ import annotations
 import argparse
 
 
+def _nonnegative_int(value: str) -> int:
+    """argparse type for --retain-batches: a negative keep_last would
+    make prune_replay_evidence's ``committed[:max(0, len - keep)]``
+    slice prune EVERY committed batch — including the audit window the
+    flag exists to keep — silently behaving worse than 0. Reject it at
+    the parser so the mistake is loud and immediate."""
+    n = int(value)
+    if n < 0:
+        raise argparse.ArgumentTypeError(
+            f"must be >= 0 (got {n}): retention keeps the newest N "
+            "committed batches' evidence; negative N would prune all"
+        )
+    return n
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="weather-etl-curate", description=__doc__.split("\n\n")[0]
@@ -54,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--timeout", type=float, default=0.0)
     ap.add_argument(
         "--retain-batches",
-        type=int,
+        type=_nonnegative_int,
         default=None,
         help="evidence retention: periodically prune committed batches' "
         "replay evidence beyond the newest N (prune_replay_evidence on "
