@@ -228,3 +228,73 @@ def test_retain_batches_rejects_negative(tmp_path, capsys):
     assert "must be >= 0" in capsys.readouterr().err
     # boundary: 0 (prune all but frontier) still parses
     assert curation_cli._nonnegative_int("0") == 0
+
+
+def test_trigger_defaults_to_amortized_micro_batches(spark, tmp_path, monkeypatch):
+    """Round-14 item 3: the service DEFAULTS to a 30s processing-time
+    trigger (per-batch cost is fixed-stage-dominated — the sweeps
+    measured per-doc cost falling 15× from 200→5000-doc batches, so
+    arriving files must accumulate, not fire per availability check).
+    Pins: (a) default run sets processingTime=30000ms and no
+    maxFilesPerTrigger; (b) --trigger-interval 0 suppresses the
+    trigger; (c) --max-files-per-trigger reaches the reader option.
+    Captured at the DataStreamWriter/Reader layer; the stream itself
+    is aborted before start (wiring is the subject, not the loop)."""
+    from pyspark.sql.streaming.readwriter import (
+        DataStreamReader,
+        DataStreamWriter,
+    )
+
+    from weather_etl_pipeline_spark.streaming import curation_cli
+
+    seen: dict = {}
+
+    class _Abort(Exception):
+        pass
+
+    real_trigger = DataStreamWriter.trigger
+    real_option = DataStreamReader.option
+
+    def spy_trigger(self, **kw):
+        seen["trigger"] = kw
+        return real_trigger(self, **kw)
+
+    def spy_option(self, key, value):
+        seen.setdefault("reader_opts", {})[key] = value
+        return real_option(self, key, value)
+
+    def abort_start(self, *a, **k):
+        seen["started"] = True
+        raise _Abort
+
+    monkeypatch.setattr(DataStreamWriter, "trigger", spy_trigger)
+    monkeypatch.setattr(DataStreamReader, "option", spy_option)
+    monkeypatch.setattr(DataStreamWriter, "start", abort_start)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def run(extra):
+        seen.clear()
+        with pytest.raises(_Abort):
+            curation_cli.main(
+                ["--root", str(tmp_path / "root"), "--in", str(in_dir),
+                 "--bootstrap", "--timeout", "1", *extra]
+            )
+        # the bootstrap-refusal guard would fire on a second --bootstrap
+        import shutil
+
+        shutil.rmtree(tmp_path / "root", ignore_errors=True)
+
+    # (a) default: 30s processingTime, no reader cap
+    run([])
+    assert seen["trigger"] == {"processingTime": "30000 milliseconds"}
+    assert "maxFilesPerTrigger" not in seen.get("reader_opts", {})
+    # (b) explicit 0 restores fire-per-availability (no trigger call)
+    run(["--trigger-interval", "0"])
+    assert "trigger" not in seen
+    # (c) the reader cap flag reaches maxFilesPerTrigger, and a custom
+    # interval overrides the default
+    run(["--trigger-interval", "5", "--max-files-per-trigger", "7"])
+    assert seen["trigger"] == {"processingTime": "5000 milliseconds"}
+    assert seen["reader_opts"]["maxFilesPerTrigger"] == 7

@@ -1160,3 +1160,51 @@ def test_store_rebuild_fails_loud_on_corrupt_meta(spark, tmp_path, kind):
         )
         with _pytest.raises(Exception):
             build_ivf_index(spark, emb, str(store))
+
+
+def test_ivf_probe_kernel_matches_hof_join(spark, tmp_path, monkeypatch):
+    """Round-14 scoring kernel: probe_ivf_index scores candidates with
+    a per-cell BLAS matmul + exact re-score (skew-proof — a cell
+    holding a whole appended batch melts the per-candidate HOF cosine,
+    measured 85s → ~2s at @x10/5000 in the curation sweep). The kernel
+    only prunes, so its output must be BIT-IDENTICAL to the HOF-join
+    fallback, duplicates-free under multi-assign, and self-match-free —
+    pinned here by running the same probes with the kernel gated off
+    (_VEC_SCORE_MAX_QCELLS=0 forces the fallback branch)."""
+    import weather_etl_pipeline_spark.operators.ivf_store as istore
+    from weather_etl_pipeline_spark.catalog import load_table
+    from weather_etl_pipeline_spark.functions.vectors import as_double
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    for m in (1, 2):
+        index = str(tmp_path / f"m{m}")
+        build_ivf_index(spark, emb, index, k=8, assign_m=m)
+        for topk, nprobe in ((1, 1), (5, 2)):
+            kern = sorted(
+                tuple(r)
+                for r in probe_ivf_index(
+                    spark, queries, index, topk=topk, nprobe=nprobe
+                ).collect()
+            )
+            monkeypatch.setattr(istore, "_VEC_SCORE_MAX_QCELLS", 0)
+            hof = sorted(
+                tuple(r)
+                for r in probe_ivf_index(
+                    spark, queries, index, topk=topk, nprobe=nprobe
+                ).collect()
+            )
+            monkeypatch.undo()
+            assert kern == hof, (m, topk, nprobe)
+            assert all(q != n for q, n, _, _ in kern)  # no self-matches
+            pairs = [(q, n) for q, n, _, _ in kern]
+            assert len(pairs) == len(set(pairs))  # no dup pairs

@@ -642,6 +642,147 @@ def append_ivf_batch(
     _write_meta(spark, index_path, hi, assign_m, n_cells=n_cells)
 
 
+# Driver-side cap on the (query, probed-cell) rows the scoring kernel
+# collects (≤ ~35 MB of 64-dim doubles). Ingest batches (the 100 TB
+# loop's shape) sit orders of magnitude under it; an over-cap
+# analytical probe falls back to the HOF join.
+_VEC_SCORE_MAX_QCELLS = 65536
+
+# Per-batch candidate margin for the kernel's top-k pruning — same
+# constant and reasoning as simsearch._SCAN_MARGIN: the kernel prunes
+# with float64 BLAS sims while the returned rows are RE-SCORED with the
+# exact fold, so the cut keeps extra rows in case two sims sit within
+# summation-order noise of each other at the cut line.
+_IVF_SCAN_MARGIN = 8
+
+
+def _scored_cells_np(
+    spark: SparkSession, qc_rows: list, cells: DataFrame, topk: int
+) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim) candidate scoring as ONE BLAS
+    matmul per (Arrow batch, cell) through mapInPandas — the skew-proof
+    spelling of the probe's scoring stage (same shape as
+    simsearch_knn_topk_scan's corpus scan).
+
+    Why this exists (round 14): the HOF-join path evaluates one
+    codegen'd cosine fold per (query, cell-vector) candidate — fine at
+    the design point (balanced cells, n/k vectors each), but cell
+    population is data-dependent: appends of out-of-distribution
+    batches (vs the corpus the quantizer was trained on) concentrate
+    into few cells, and the NEXT batch from that distribution probes
+    exactly those cells. Measured in the @x10/5000-doc curation sweep:
+    the second batch's probe hit one ~5k-vector cell × 5k queries =
+    25M HOF cosines ≈ 85s, vs ~2s for the same candidates as numpy
+    matmuls. The kernel's cost is one Python stage over the pruned
+    scan regardless of how candidates distribute across cells — the
+    worst case degrades to brute-force-scan speed (the
+    simsearch_knn_topk_scan envelope), never to per-row HOF speed.
+
+    Exactness: the kernel only PRUNES — per (query, Arrow-batch, cell)
+    it keeps the top-(topk + margin) candidate ids in the FINAL rank's
+    order (rounded sim desc, then neighbor_id; non-finite sims sort
+    last, matching the window's NULLS LAST) — and the survivors are
+    re-scored with the exact ``cosine`` fold expression, so emitted
+    values are bit-identical to the HOF join's (the store-vs-inline
+    equality pins and the driver oracle hold unchanged). Self-matches
+    are masked in the kernel and cannot re-enter (the re-score joins on
+    the survivor ids). Multi-assign duplicates ((q, n) surviving from
+    two probed cells) re-join one row per copy; the shared
+    ``dropDuplicates`` tail in the probe removes them exactly as it
+    does for the HOF path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    by_q: dict[int, tuple[list, list]] = {}
+    for r in qc_rows:
+        by_q.setdefault(int(r["query_id"]), (r["qe"], []))[1].append(
+            int(r["qcell"])
+        )
+    q_ids = np.array(sorted(by_q), dtype=np.int64)
+    q_mat = np.stack(
+        [np.asarray(by_q[int(q)][0], dtype=np.float64) for q in q_ids]
+    )
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    cell_to_qidx: dict[int, list] = {}
+    for qi, q in enumerate(q_ids):
+        for c in by_q[int(q)][1]:
+            cell_to_qidx.setdefault(c, []).append(qi)
+    cell_to_qidx = {c: np.asarray(v) for c, v in cell_to_qidx.items()}
+    keep = topk + _IVF_SCAN_MARGIN
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_n = [], []
+            # cells/ is partitioned by cell, so an Arrow batch is almost
+            # always one group; the groupby is correctness, not cost
+            for c, sub in pdf.groupby("cell"):
+                qidx = cell_to_qidx.get(int(c))
+                if qidx is None:
+                    continue
+                ids = sub["vec_id"].to_numpy(dtype=np.int64)
+                cm = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in sub["e"]]
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (q_mat[qidx] @ cm.T) / (
+                        q_norm[qidx][:, None]
+                        * np.sqrt((cm * cm).sum(axis=1))[None, :]
+                    )
+                # non-finite (zero-norm) sims must never crowd out real
+                # candidates: -inf sorts last under the lexsort below,
+                # mirroring the exact path's NULL cos_sim NULLS LAST
+                sims[~np.isfinite(sims)] = -np.inf
+                for row_i in range(len(qidx)):
+                    qi = qidx[row_i]
+                    cand = np.nonzero(ids != q_ids[qi])[0]
+                    if not len(cand):
+                        continue
+                    row = sims[row_i]
+                    order = np.lexsort(
+                        (ids[cand], -np.round(row[cand], 6))
+                    )
+                    top = cand[order[:keep]]
+                    out_q.append(
+                        np.full(len(top), q_ids[qi], dtype=np.int64)
+                    )
+                    out_n.append(ids[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                    }
+                )
+
+    survivors = cells.select("cell", "vec_id", "e").mapInPandas(
+        scan, "query_id long, neighbor_id long"
+    )
+    # exact re-score: the bounded survivor set broadcasts against the
+    # query vectors (rebuilt driver-side from the already-collected
+    # rows — no recompute job) and streams the pruned cells scan for
+    # the neighbor embeddings; no shuffle is added on the scan side
+    q_df = spark.createDataFrame(
+        [(int(q), list(by_q[int(q)][0])) for q in q_ids],
+        "query_id long, qe array<double>",
+    )
+    return (
+        F.broadcast(survivors.dropDuplicates(["query_id", "neighbor_id"]))
+        .join(F.broadcast(q_df), "query_id")
+        .join(
+            cells.select(F.col("vec_id").alias("neighbor_id"), "e"),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+    )
+
+
 def probe_ivf_index(
     spark: SparkSession,
     queries: DataFrame,
@@ -747,11 +888,20 @@ def probe_ivf_index(
             "qe",
             F.explode(F.transform(near, lambda s: s["cell"])).alias("qcell"),
         )
-    # bounded work-list collect: the batch's probe-cell set (≤ k ids)
-    # prunes the cells scan to matching partitions
-    probe_cells = [
-        r["qcell"] for r in qcells.select("qcell").distinct().collect()
-    ]
+    # bounded work-list collect: the batch's (query, probed-cell) rows —
+    # ≤ Q × nprobe — double as BOTH the probe-cell set for partition
+    # pruning AND the scoring kernel's query-side matrices (one driver
+    # round-trip instead of two). Over the cap (an analytical query set
+    # too large to hold driver-side), fall back to the HOF-join scoring
+    # below, whose cost model needs no driver copy of the queries.
+    qc_rows = qcells.limit(_VEC_SCORE_MAX_QCELLS + 1).collect()
+    kernel = 0 < len(qc_rows) <= _VEC_SCORE_MAX_QCELLS
+    if kernel:
+        probe_cells = sorted({r["qcell"] for r in qc_rows})
+    else:
+        probe_cells = [
+            r["qcell"] for r in qcells.select("qcell").distinct().collect()
+        ]
     # committed rows only (vec_id <= watermark): rows a torn append
     # left above the watermark are invisible, so probes stay
     # deterministic under append retries — the same contract as the
@@ -761,16 +911,19 @@ def probe_ivf_index(
         .filter(F.col("cell").isin(probe_cells) if probe_cells else F.lit(False))
         .filter(F.col("vec_id") <= watermark)
     )
-    cand = F.broadcast(qcells).join(
-        cells,
-        (F.col("cell") == F.col("qcell"))
-        & (F.col("vec_id") != F.col("query_id")),
-    )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
-    )
+    if kernel:
+        scored = _scored_cells_np(spark, qc_rows, cells, topk)
+    else:
+        cand = F.broadcast(qcells).join(
+            cells,
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        scored = cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
     if min(assign_m, k) > 1:
         # multi-assignment: a vector in two probed cells surfaces twice
         # with an identical score — dedupe before ranking so rk stays a

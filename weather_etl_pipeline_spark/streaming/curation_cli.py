@@ -8,7 +8,8 @@ Operational wrapper around :func:`curation_loop.stream_curated_ingest`
     weather-etl-curate --root /data/curation --in /data/incoming \\
         [--bootstrap] [--min-quality 0.5] [--nprobe 1] \\
         [--dup-cos 0.995] [--family minhash] [--lease-ttl 120] \\
-        [--timeout 0] [--retain-batches 8 [--retention-interval 60]]
+        [--timeout 0] [--retain-batches 8 [--retention-interval 60]] \\
+        [--trigger-interval 30] [--max-files-per-trigger N]
 
 Layout under --root: sig_store/ ivf_index/ lake/ rejects/ checkpoint/.
 --bootstrap builds EMPTY stores first (the documented pre-build
@@ -67,6 +68,22 @@ def main(argv: list[str] | None = None) -> int:
         "lapses)",
     )
     ap.add_argument("--timeout", type=float, default=0.0)
+    ap.add_argument(
+        "--trigger-interval",
+        type=float,
+        default=None,
+        help="processing-time trigger seconds (default 30: arriving "
+        "files accumulate into amortized micro-batches — per-batch "
+        "cost is fixed-stage-dominated, so the sweeps' guidance is "
+        "≥1000-doc batches; 0 = fire per availability check)",
+    )
+    ap.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=None,
+        help="cap input files per micro-batch (maxFilesPerTrigger; "
+        "default unlimited — an interval's whole backlog is one batch)",
+    )
     ap.add_argument(
         "--retain-batches",
         type=_nonnegative_int,
@@ -161,12 +178,19 @@ def _run(spark, args) -> int:
             assign_m=args.assign_m,
             lease_ttl_s=lease_ttl,
         )
-    stream = spark.readStream.schema(args.schema).parquet(args.in_dir)
+    reader = spark.readStream.schema(args.schema)
+    if args.max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", args.max_files_per_trigger
+        )
+    stream = reader.parquet(args.in_dir)
     kwargs = {}
     if args.min_quality is not None:
         kwargs["min_quality"] = args.min_quality
     if args.dup_cos is not None:
         kwargs["dup_cos"] = args.dup_cos
+    if args.trigger_interval is not None:
+        kwargs["trigger_interval_s"] = args.trigger_interval
     q = stream_curated_ingest(
         stream,
         spark,

@@ -92,6 +92,16 @@ _QUALITY_EVIDENCE_SCHEMA = "doc_id long, quality double"
 # maintenance-shaped 900s default would turn a crash into a 15-minute
 # ingest outage
 _STREAM_LEASE_TTL_S = 120.0
+# default processing-time trigger for the curation stream: per-batch
+# cost is fixed-stage-dominated (~17 actions/barriers regardless of
+# width — the r13/r14 throughput sweeps measured per-doc cost falling
+# 50.7 → 3.1 ms as batches grow 200 → 5000 docs), so the service
+# should ACCUMULATE arriving files into amortized micro-batches
+# rather than firing one batch per file drop. 30s of arrivals at any
+# realistic ingest rate clears the ≥1000-doc guidance; pass
+# trigger_interval_s=0 (CLI: --trigger-interval 0) to restore
+# fire-per-availability for latency-sensitive deployments.
+_STREAM_TRIGGER_INTERVAL_S = 30.0
 
 
 def _evidence_path(rejects_dir: str, stage: str, batch_id: int) -> str:
@@ -910,8 +920,16 @@ def stream_curated_ingest(
     dup_cos: float = _ANN_DUP_COS,
     family: str = "minhash",
     lease_ttl_s: float = _STREAM_LEASE_TTL_S,
+    trigger_interval_s: float | None = _STREAM_TRIGGER_INTERVAL_S,
 ):
     """Start the unified curation stream; returns the StreamingQuery.
+
+    ``trigger_interval_s``: processing-time trigger (default 30s) —
+    arriving files accumulate into one amortized micro-batch per
+    interval instead of one batch per availability check, because
+    per-batch cost is fixed-stage-dominated (see
+    _STREAM_TRIGGER_INTERVAL_S). 0 or None restores the
+    fire-per-availability default of the engine.
 
     ``docs_stream`` needs (doc_id, text, e array<double>) plus payload
     columns. Rejects land under ``rejects_dir/{quality,intra,text,ann}/``
@@ -959,8 +977,11 @@ def stream_curated_ingest(
             lease_ttl_s=lease_ttl_s,
         )
 
-    return (
-        docs_stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if trigger_interval_s:
+        writer = writer.trigger(
+            processingTime=f"{int(trigger_interval_s * 1000)} milliseconds"
+        )
+    return writer.start()
