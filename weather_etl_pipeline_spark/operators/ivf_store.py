@@ -726,29 +726,38 @@ def _scored_cells_np(
                 cm = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in sub["e"]]
                 )
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims = (q_mat[qidx] @ cm.T) / (
-                        q_norm[qidx][:, None]
-                        * np.sqrt((cm * cm).sum(axis=1))[None, :]
-                    )
-                # non-finite (zero-norm) sims must never crowd out real
-                # candidates: -inf sorts last under the lexsort below,
-                # mirroring the exact path's NULL cos_sim NULLS LAST
-                sims[~np.isfinite(sims)] = -np.inf
-                for row_i in range(len(qidx)):
-                    qi = qidx[row_i]
-                    cand = np.nonzero(ids != q_ids[qi])[0]
-                    if not len(cand):
-                        continue
-                    row = sims[row_i]
-                    order = np.lexsort(
-                        (ids[cand], -np.round(row[cand], 6))
-                    )
-                    top = cand[order[:keep]]
-                    out_q.append(
-                        np.full(len(top), q_ids[qi], dtype=np.int64)
-                    )
-                    out_n.append(ids[top])
+                cn = np.sqrt((cm * cm).sum(axis=1))
+                # chunk the query side so the sims matrix stays ≤ ~64MB
+                # regardless of how many of the batch's queries probe
+                # this cell (the driver cap bounds TOTAL queries, not
+                # per-cell concentration — and concentration is exactly
+                # the skew case this kernel exists for)
+                chunk = max(1, 8_000_000 // max(1, len(ids)))
+                for lo in range(0, len(qidx), chunk):
+                    qpart = qidx[lo : lo + chunk]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sims = (q_mat[qpart] @ cm.T) / (
+                            q_norm[qpart][:, None] * cn[None, :]
+                        )
+                    # non-finite (zero-norm) sims must never crowd out
+                    # real candidates: -inf sorts last under the
+                    # lexsort below, mirroring the exact path's NULL
+                    # cos_sim NULLS LAST
+                    sims[~np.isfinite(sims)] = -np.inf
+                    for row_i in range(len(qpart)):
+                        qi = qpart[row_i]
+                        cand = np.nonzero(ids != q_ids[qi])[0]
+                        if not len(cand):
+                            continue
+                        row = sims[row_i]
+                        order = np.lexsort(
+                            (ids[cand], -np.round(row[cand], 6))
+                        )
+                        top = cand[order[:keep]]
+                        out_q.append(
+                            np.full(len(top), q_ids[qi], dtype=np.int64)
+                        )
+                        out_n.append(ids[top])
             if out_q:
                 yield pd.DataFrame(
                     {

@@ -142,6 +142,14 @@ def main(repo_dir: str | None = None) -> None:
                         "head": head,
                         "sf": sf,
                         "passes": passes,
+                        # free-form run label (e.g. "cold-cache" /
+                        # "warm" for page-cache-controlled decade
+                        # rows); absent on unlabeled runs
+                        **(
+                            {"note": os.environ["SPARK_GRAFT_BENCH_NOTE"]}
+                            if os.environ.get("SPARK_GRAFT_BENCH_NOTE")
+                            else {}
+                        ),
                         "total_best": total,
                         "floor_sec": round(floor, 3),
                         "ref_job_sec": context.get("ref_job_sec"),
