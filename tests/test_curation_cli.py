@@ -298,3 +298,58 @@ def test_trigger_defaults_to_amortized_micro_batches(spark, tmp_path, monkeypatc
     run(["--trigger-interval", "5", "--max-files-per-trigger", "7"])
     assert seen["trigger"] == {"processingTime": "5000 milliseconds"}
     assert seen["reader_opts"]["maxFilesPerTrigger"] == 7
+
+
+def test_audit_cli_reports_curation_state(spark, tmp_path, capsys):
+    """`weather-etl-audit` (round 14): JSON report over a curate root —
+    store watermarks, per-batch rows, IVF cell stats (the skew
+    surface), anomalies drive the exit code. Driven over a real
+    one-batch curate run plus a bootstrap-only (empty-store) root."""
+    import json as _json
+
+    from weather_etl_pipeline_spark.streaming import audit_cli, curation_cli
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    root = tmp_path / "root"
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today", [1.0, 0.0]),
+            (2, "a second document about the engine of a spark cluster for everyone", [0.0, 1.0]),
+        ],
+        "doc_id long, text string, e array<double>",
+    ).coalesce(1).write.parquet(str(in_dir / "drop"))
+    assert curation_cli.main(
+        ["--root", str(root), "--in", str(in_dir / "drop"),
+         "--bootstrap", "--timeout", "30"]
+    ) == 0
+    capsys.readouterr()
+    rc = audit_cli.main(["--root", str(root)])
+    report = _json.loads(capsys.readouterr().out)
+    assert rc == 0 and report["anomalies"] == []
+    assert report["sig_watermark"] == 2 and report["ivf_watermark"] == 2
+    assert report["ivf_cells"]["trained"] is True
+    assert report["ivf_cells"]["total_vectors"] == 2
+    [batch] = report["batches"].values()
+    assert batch["lake_rows"] == 2 and batch["marker"] is True
+
+    # bootstrap-only root: empty stores, no batches — still a clean run
+    from weather_etl_pipeline_spark.operators.dedup_store import (
+        build_signature_store,
+    )
+    from weather_etl_pipeline_spark.operators.ivf_store import build_ivf_index
+
+    root2 = tmp_path / "root2"
+    build_signature_store(
+        spark, spark.createDataFrame([], "doc_id long, text string"),
+        str(root2 / "sig_store"),
+    )
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"),
+        str(root2 / "ivf_index"),
+    )
+    capsys.readouterr()
+    rc2 = audit_cli.main(["--root", str(root2)])
+    report2 = _json.loads(capsys.readouterr().out)
+    assert rc2 == 0 and report2["batches"] == {}
+    assert report2["ivf_cells"] == {"trained": False}

@@ -25,6 +25,9 @@ _ENTRY_POINTS = {
     "weather-etl-curate": (
         "weather_etl_pipeline_spark.streaming.curation_cli:main"
     ),
+    "weather-etl-audit": (
+        "weather_etl_pipeline_spark.streaming.audit_cli:main"
+    ),
 }
 
 

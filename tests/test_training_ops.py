@@ -1208,3 +1208,64 @@ def test_ivf_probe_kernel_matches_hof_join(spark, tmp_path, monkeypatch):
             assert all(q != n for q, n, _, _ in kern)  # no self-matches
             pairs = [(q, n) for q, n, _, _ in kern]
             assert len(pairs) == len(set(pairs))  # no dup pairs
+
+
+def test_ivf_cell_stats_surfaces_append_skew(spark, tmp_path):
+    """Round-14 maintenance surface: cell-population stats expose the
+    skew that out-of-distribution appends create (the probe kernel
+    bounds its COST; this is how an operator SEES it and schedules the
+    rebuild). Build a balanced index, append a batch that all assigns
+    to one cell, assert the stats move and the rebuild hint fires."""
+    import numpy as np
+
+    from weather_etl_pipeline_spark.operators.ivf_store import (
+        _SKEW_REBUILD_RATIO,
+        append_ivf_batch,
+        build_ivf_index,
+        ivf_cell_stats,
+    )
+
+    rng = np.random.RandomState(7)
+    # 16 well-separated clusters of 8 -> k=16 cells, ~8 each. k must
+    # comfortably exceed the rebuild ratio: skew = max/(total/k) is
+    # bounded by k, so a small-k index can NEVER trip the 8x hint —
+    # which is itself correct behavior (at k=4 a "crowded" cell is at
+    # most 4x mean and the quantizer is too coarse to rebalance).
+    centers = np.eye(16) * 10.0
+    rows = []
+    i = 0
+    for c in range(16):
+        for _ in range(8):
+            v = centers[c] + rng.randn(16) * 0.1
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    index = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, index, k=16)
+    base = ivf_cell_stats(spark, index)
+    assert base["trained"] and base["total_vectors"] == 128
+    assert base["skew_ratio"] < 2.0 and not base["rebuild_recommended"]
+
+    # untrained/empty index path
+    empty = str(tmp_path / "empty")
+    build_ivf_index(
+        spark, spark.createDataFrame([], "vec_id long, e array<double>"), empty
+    )
+    assert ivf_cell_stats(spark, empty) == {"trained": False}
+
+    # out-of-distribution append into ONE cluster's cell: with base
+    # mean 8 and k=16, +136 gives max 144 vs mean 16.5 = 8.7x > ratio
+    skew_rows = [
+        (1000 + j, [float(x) for x in centers[0] + rng.randn(16) * 0.1])
+        for j in range(136)
+    ]
+    append_ivf_batch(
+        spark,
+        spark.createDataFrame(skew_rows, "vec_id long, e array<double>"),
+        index,
+    )
+    skewed = ivf_cell_stats(spark, index)
+    assert skewed["max_cell"] >= 8 * _SKEW_REBUILD_RATIO
+    assert skewed["skew_ratio"] >= base["skew_ratio"] * 2
+    assert skewed["rebuild_recommended"] is True
+    assert skewed["top_cells"][0][1] == skewed["max_cell"]

@@ -49,6 +49,7 @@ from .ivf import _assign, _dist2, _ITERS, _K, _seed_rows, kmeans_centroids
 __all__ = [
     "append_ivf_batch",
     "build_ivf_index",
+    "ivf_cell_stats",
     "probe_ivf_index",
     "read_ivf_watermark",
 ]
@@ -216,6 +217,68 @@ def _centroids_path(index_path: str) -> str:
 
 def _meta_path(index_path: str) -> str:
     return os.path.join(index_path, "meta")
+
+
+#: skew ratio (max cell / mean cell) above which ivf_cell_stats
+#: recommends a rebuild. The probe kernel keeps a crowded cell at
+#: scan speed (never per-candidate HOF speed), so skew is a COST
+#: multiplier on probes hitting that cell, not a melt-down — but past
+#: ~8× the quantizer no longer reflects the stored distribution and a
+#: rebuild on the compaction cadence restores the n/k cost model.
+_SKEW_REBUILD_RATIO = 8.0
+
+
+def ivf_cell_stats(spark: SparkSession, index_path: str) -> dict:
+    """Per-cell population stats for maintenance dashboards — the
+    operator-facing view of IVF cell skew (round 14: appends of
+    out-of-distribution batches concentrate into few cells; the next
+    batch from that distribution probes exactly those cells, so probe
+    cost multiplies by max-cell/mean-cell on the hot path — see
+    _scored_cells_np, which bounds the damage to scan speed).
+
+    Returns ``{"trained": False}`` for an untrained/empty index, else
+    ``trained, n_cells, empty_cells, total_vectors, max_cell,
+    mean_cell, skew_ratio, top_cells, rebuild_recommended``.
+    ``top_cells`` = the 5 most populated (cell, count) pairs.
+    Committed rows only (vec_id <= watermark), same visibility rule as
+    the probe. One grouped count over the (cell, vec_id) columns of
+    the cells table — column-pruned, ≤ k result rows, an audit run,
+    not a hot-path op. ``mean_cell`` divides by TRAINED cell count (k
+    from meta), so emptied cells drag the mean down and skew up —
+    that asymmetry is the signal: a quantizer whose cells are mostly
+    empty while a few bulge is exactly one trained on a distribution
+    the corpus no longer has."""
+    watermark, _, trained, _, _, n_cells = _read_meta_full(spark, index_path)
+    if not trained or watermark < 0:
+        return {"trained": False}
+    cent = spark.read.parquet(_centroids_path(index_path))
+    k = n_cells if n_cells is not None else cent.count()
+    counts = (
+        spark.read.parquet(_cells_path(index_path))
+        .filter(F.col("vec_id") <= watermark)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_cell = {int(r["cell"]): int(r["n"]) for r in counts}
+    total = sum(by_cell.values())
+    if not total:
+        return {"trained": True, "n_cells": int(k), "total_vectors": 0}
+    max_cell = max(by_cell.values())
+    mean_cell = total / max(1, int(k))
+    skew = max_cell / mean_cell
+    top = sorted(by_cell.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    return {
+        "trained": True,
+        "n_cells": int(k),
+        "empty_cells": int(k) - len(by_cell),
+        "total_vectors": total,
+        "max_cell": max_cell,
+        "mean_cell": round(mean_cell, 1),
+        "skew_ratio": round(skew, 2),
+        "top_cells": top,
+        "rebuild_recommended": skew >= _SKEW_REBUILD_RATIO,
+    }
 
 
 def read_ivf_watermark(spark: SparkSession, index_path: str) -> int:

@@ -490,10 +490,32 @@ def curation_audit_report(
             }
         reasons[stage] = agg
 
+    # IVF cell-population health (round 14): appends of out-of-
+    # distribution batches concentrate into few cells — a cost
+    # multiplier on every probe from that distribution (bounded to
+    # scan speed by the BLAS kernel, but still the thing an operator
+    # schedules a rebuild around). Surfaced here so skew is visible
+    # from the same audit that shows the quarantine attractors; a
+    # skew_ratio past the rebuild threshold also lands in anomalies.
+    from ..operators.ivf_store import ivf_cell_stats
+
+    ivf_cells = (
+        ivf_cell_stats(spark, ivf_index)
+        if path_exists(spark, f"{ivf_index}/meta")
+        else None
+    )
+    if ivf_cells and ivf_cells.get("rebuild_recommended"):
+        anomalies.append(
+            {
+                "kind": "ivf_cell_skew",
+                "skew_ratio": ivf_cells["skew_ratio"],
+            }
+        )
     return {
         "batches": batches,
         "sig_watermark": sig_wm,
         "ivf_watermark": ivf_wm,
+        "ivf_cells": ivf_cells,
         "anomalies": anomalies,
         "reasons": reasons,
     }
