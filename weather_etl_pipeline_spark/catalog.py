@@ -328,14 +328,29 @@ def oracle_knuth_hash(expr: str) -> str:
 
 
 def table_file_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
-    """On-disk bytes of a test table (Hadoop FS metadata, no scan) —
-    the driver-side size signal for plan gates like the jaccard
+    """On-disk bytes of a test table (file metadata, no scan) — the
+    driver-side size signal for plan gates like the jaccard
     verify-broadcast. Honors ``@xN`` amplification (replicated listings
-    scan N× the bytes)."""
+    scan N× the bytes).
+
+    Local paths stat directly (round 14): the recursive py4j Hadoop
+    listing cost 30-60 ms of driver latency per call — real time inside
+    every gated query's plan construction — where os.walk over the same
+    files is microseconds and returns the identical byte total. Paths
+    the driver can't stat (remote schemes) keep the Hadoop listing."""
+    base, replication = _resolve_sf_dir(sf_dir, name)
+    path = os.path.join(base, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path) * replication
+    if os.path.isdir(path):
+        total = 0
+        for dirpath, _dirnames, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total * replication
     from .sources.fs import _fs_and_path
 
-    base, replication = _resolve_sf_dir(sf_dir, name)
-    fs, root = _fs_and_path(spark, os.path.join(base, f"{name}.parquet"))
+    fs, root = _fs_and_path(spark, path)
     total = 0
     it = fs.listFiles(root, True)
     while it.hasNext():

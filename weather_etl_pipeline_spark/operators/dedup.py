@@ -213,32 +213,28 @@ def _jaccard_collapse(
     is replicated with differing lang/source (the round-7 whole-row
     distinct let those emit the same edge twice). _rn0's (doc_id, lang,
     source) order makes the surviving rep row's block deterministic."""
-    from pyspark.sql import Window
-
+    # one selectExpr (round 14, same as _collapse_exact): identical
+    # parsed expressions, ~0.3s fewer py4j round trips per invocation
     marked = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", "source", "text")
-        .filter(F.col("text").isNotNull())
-        .withColumn("_rep", F.min("doc_id").over(Window.partitionBy("text")))
-        .withColumn(
-            "_rn0",
-            F.row_number().over(
-                Window.partitionBy("text").orderBy("doc_id", "lang", "source")
-            ),
-        )
-        .withColumn(
-            "_cp",
-            F.row_number().over(
-                Window.partitionBy("text", "doc_id").orderBy("lang", "source")
-            ),
+        .filter("text IS NOT NULL")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            "min(doc_id) OVER (PARTITION BY text) AS _rep",
+            "row_number() OVER (PARTITION BY text"
+            " ORDER BY doc_id, lang, source) AS _rn0",
+            "row_number() OVER (PARTITION BY text, doc_id"
+            " ORDER BY lang, source) AS _cp",
         )
     )
-    reps = marked.filter(F.col("_rn0") == 1).select(
-        "doc_id", "lang", "source", "text"
+    reps = marked.filter("_rn0 = 1").select("doc_id", "lang", "source", "text")
+    star = marked.filter("_cp = 1 AND doc_id != _rep").selectExpr(
+        "_rep AS doc_a", "doc_id AS doc_b"
     )
-    star = marked.filter(
-        (F.col("_cp") == 1) & (F.col("doc_id") != F.col("_rep"))
-    ).select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     return reps, star
 
 
@@ -248,8 +244,6 @@ def _jaccard_scored_pairs(
     """Verified candidate pairs with (doc_a, doc_b, n_a, n_b, n_shared)
     over the collapsed reps — the shared pipeline behind the pair query
     and the threshold curve (one definition so they cannot drift)."""
-    from pyspark.sql import Window
-
     docs = reps if reps is not None else _jaccard_collapse(spark, sf_dir)[0]
     # ONE ROW PER DOC with the distinct-token ARRAY (not the exploded
     # index): candidate generation explodes from it, and the exact
@@ -260,20 +254,20 @@ def _jaccard_scored_pairs(
     # recomputes. Cache lifetime when taken: released by the
     # catalog.clearCache() the harness runs between registry entries;
     # longer-lived callers should unpersist after materializing.
-    toks = docs.select(
+    toks = docs.selectExpr(
         "doc_id",
         "lang",
         "source",
-        F.array_distinct(F.split("text", " ")).alias("tokens"),
-    ).withColumn("n_tok", F.size("tokens"))
+        "array_distinct(split(text, ' ')) AS tokens",
+    ).selectExpr("*", "size(tokens) AS n_tok")
     # ONE metadata listing feeds both size gates (cache + broadcast):
     # the recursive py4j FileSystem listing costs real driver latency
     # on Hadoop schemes, and both gates should read one snapshot
     doc_bytes = table_file_bytes(spark, sf_dir, "documents")
     if doc_bytes >= _JACCARD_CACHE_MIN_BYTES:
         toks = toks.cache()
-    inv = toks.select(
-        "doc_id", "lang", "source", F.explode("tokens").alias("token")
+    inv = toks.selectExpr(
+        "doc_id", "lang", "source", "explode(tokens) AS token"
     )
     # cap via window row_number (streams/spills — a raw collect_list of
     # UNCAPPED posting lists would materialize per-group arrays bounded
@@ -282,20 +276,23 @@ def _jaccard_scored_pairs(
     # the groupBy reuses the window's (lang, source, token) exchange, so
     # the capped posting arrays cost no extra shuffle and are bounded by
     # construction
-    wp = Window.partitionBy("lang", "source", "token").orderBy("doc_id")
-    capped = inv.withColumn("rn", F.row_number().over(wp)).filter(
-        F.col("rn") <= _JACCARD_POSTING_CAP
-    )
+    capped = inv.withColumn(
+        "rn",
+        F.expr(
+            "row_number() OVER (PARTITION BY lang, source, token"
+            " ORDER BY doc_id)"
+        ),
+    ).filter(f"rn <= {_JACCARD_POSTING_CAP}")
     posting = capped.groupBy("lang", "source", "token").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ds")
+        F.expr("sort_array(collect_list(doc_id))").alias("ds")
     )
     # pair-gen by double-explode of the bounded posting arrays — narrow
     # (no self-join shuffle of the exploded index; ≤ CAP²/2 rows per
     # token row by construction)
     cand = (
-        posting.select(F.explode("ds").alias("doc_a"), "ds")
-        .select("doc_a", F.explode("ds").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        posting.selectExpr("explode(ds) AS doc_a", "ds")
+        .selectExpr("doc_a", "explode(ds) AS doc_b")
+        .filter("doc_a < doc_b")
         .distinct()
     )
     # exact verify over full DISTINCT-token sets of the candidate pairs
@@ -312,16 +309,8 @@ def _jaccard_scored_pairs(
     # joins and a map-side size(array_intersect): one fewer shuffle,
     # no pairs×tokens intermediate. Outputs verified identical at
     # sf0.01 and sf0.1 (exact set compare, both gate paths).
-    ta = toks.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("tokens").alias("_ta"),
-        F.col("n_tok").alias("n_a"),
-    )
-    tb = toks.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("tokens").alias("_tb"),
-        F.col("n_tok").alias("n_b"),
-    )
+    ta = toks.selectExpr("doc_id AS doc_a", "tokens AS _ta", "n_tok AS n_a")
+    tb = toks.selectExpr("doc_id AS doc_b", "tokens AS _tb", "n_tok AS n_b")
     # size-gated broadcast of the verify arrays (driver-side file
     # metadata, no scan): while the documents table is small enough
     # that the per-doc token arrays fit an executor, both joins are
@@ -336,10 +325,10 @@ def _jaccard_scored_pairs(
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("_ta", "_tb")).alias("n_shared"),
+            "size(array_intersect(_ta, _tb)) AS n_shared",
             "n_a",
             "n_b",
         )
@@ -450,8 +439,6 @@ def _collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     dedup_exact_canonical already pays — reps and star edges both come
     out of the single min-over-window exchange.
     """
-    from pyspark.sql import Window
-
     # all three windows share the ONE partitionBy(text) exchange; the
     # row_numbers (not equality-with-min filters) make the outputs
     # duplication-proof: replicated input ROWS (same doc_id appearing
@@ -464,25 +451,26 @@ def _collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     # otherwise co-partition every NULL-text doc and emit "identical
     # text" star edges between documents whose text is missing. Filter
     # preserves the pre-collapse semantics (no shingles → no pairs).
+    # Built as ONE selectExpr (round 14): the Column-API form (three
+    # withColumn window calls) cost ~0.3s of py4j round trips PER
+    # INVOCATION on the driver — the parsed expressions are identical,
+    # so the physical plan (and output) is byte-for-byte the same.
     marked = (
         docs.select("doc_id", "text")
-        .filter(F.col("text").isNotNull())
-        .withColumn("_rep", F.min("doc_id").over(Window.partitionBy("text")))
-        .withColumn(
-            "_rn",
-            F.row_number().over(Window.partitionBy("text").orderBy("doc_id")),
-        )
-        .withColumn(
-            "_cp",
-            F.row_number().over(
-                Window.partitionBy("text", "doc_id").orderBy("doc_id")
-            ),
+        .filter("text IS NOT NULL")
+        .selectExpr(
+            "doc_id",
+            "text",
+            "min(doc_id) OVER (PARTITION BY text) AS _rep",
+            "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS _rn",
+            "row_number() OVER (PARTITION BY text, doc_id ORDER BY doc_id)"
+            " AS _cp",
         )
     )
-    reps = marked.filter(F.col("_rn") == 1).select("doc_id", "text")
-    edges = marked.filter(
-        (F.col("_cp") == 1) & (F.col("doc_id") != F.col("_rep"))
-    ).select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    reps = marked.filter("_rn = 1").select("doc_id", "text")
+    edges = marked.filter("_cp = 1 AND doc_id != _rep").selectExpr(
+        "_rep AS doc_a", "doc_id AS doc_b"
+    )
     return reps, edges
 
 
@@ -526,22 +514,23 @@ def _capped_bucket_pairs(
     materializes UNBOUNDED per-bucket arrays (the OOM shape the
     posting-cap design rule exists to forbid); the window streams.
     """
-    from pyspark.sql import Window
-
     from ..catalog import temp_col
 
     rn = temp_col(keyed, "rn")
-    w = Window.partitionBy(*keys).orderBy("doc_id")
-    capped = keyed.withColumn(rn, F.row_number().over(w)).filter(
-        F.col(rn) <= cap
-    )
+    key_list = ", ".join(keys)
+    capped = keyed.withColumn(
+        rn,
+        F.expr(
+            f"row_number() OVER (PARTITION BY {key_list} ORDER BY doc_id)"
+        ),
+    ).filter(f"{rn} <= {cap}")
     posting = capped.groupBy(*keys).agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ds")
+        F.expr("sort_array(collect_list(doc_id))").alias("ds")
     )
     return (
-        posting.select(F.explode("ds").alias("doc_a"), "ds")
-        .select("doc_a", F.explode("ds").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        posting.selectExpr("explode(ds) AS doc_a", "ds")
+        .selectExpr("doc_a", "explode(ds) AS doc_b")
+        .filter("doc_a < doc_b")
         .distinct()
     )
 
@@ -572,14 +561,14 @@ def shingle_arrays(docs: DataFrame, n: int = 3, spread: bool = True) -> DataFram
     either way. Docs with fewer than n tokens produce no row, matching
     the exploded form's grouping semantics."""
     base = docs.select("doc_id", "text").filter(
-        F.size(F.split("text", " ")) >= n
+        f"size(split(text, ' ')) >= {n}"
     )
     if spread:
         base = spread_to_cores(base)
     return base.select("doc_id", _shingle_expr_bound(n).alias("shingles"))
 
 
-def _shingles_over(tk, n: int):
+def _shingles_over_sql(tk: str, n: int) -> str:
     """THE single definition of the n-token shingle construction,
     parameterized by the token-array expression ``tk`` (a lambda-bound
     variable in the array form, the ``_toks`` column in the exploded
@@ -588,38 +577,41 @@ def _shingles_over(tk, n: int):
     '\\x1f' (unit separator) keeps token boundaries: with no separator
     ('ab','c') and ('a','bc') would collide into the same shingle.
     sequence() is safe unguarded: every caller filters size >= n, so
-    start <= stop always."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-            lambda i: F.concat_ws(
-                "\x1f", *[F.element_at(tk, i + j) for j in range(n)]
-            ),
-        )
+    start <= stop always.
+
+    Emitted as a SQL fragment (round 14): one F.expr parse instead of
+    ~n×5 py4j Column round trips per invocation; the parsed tree is
+    the one the Column API built (the embedded 0x1f byte is the same
+    literal the parser sees from a Python string)."""
+    parts = ", ".join(
+        f"element_at({tk}, i + {j})" if j else f"element_at({tk}, i)"
+        for j in range(n)
+    )
+    return (
+        f"array_distinct(transform(sequence(1, size({tk}) - {n - 1}), "
+        f"i -> concat_ws('\x1f', {parts})))"
     )
 
 
 def _shingle_expr_bound(n: int):
     """Distinct n-token shingle array over ``text``, with the token
     array bound once as a HOF lambda variable (see shingle_arrays)."""
-    return F.get(
-        F.transform(
-            F.array(F.split("text", " ")), lambda tk: _shingles_over(tk, n)
-        ),
-        0,
+    return F.expr(
+        "get(transform(array(split(text, ' ')), "
+        f"tk -> {_shingles_over_sql('tk', n)}), 0)"
     )
 
 
 def _shingle_base(docs: DataFrame, n: int) -> DataFrame:
     return spread_to_cores(
-        docs.select("doc_id", F.split("text", " ").alias("_toks")).filter(
-            F.size(F.split("text", " ")) >= n
+        docs.selectExpr("doc_id", "split(text, ' ') AS _toks").filter(
+            f"size(split(text, ' ')) >= {n}"
         )
     )
 
 
 def _shingle_expr(n: int):
-    return _shingles_over(F.col("_toks"), n)
+    return F.expr(_shingles_over_sql("_toks", n))
 
 
 def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -646,16 +638,17 @@ def _fold_signature(k: int = _MH_K):
     aggregated per-doc row this is ~5× cheaper than a second groupBy
     re-hashing the exploded shingle rows (measured 0.15s vs 0.74s at
     sf0.1)."""
+    # one F.expr parse (round 14): the Column-API form (k lits + k
+    # xxhash64 + the HOF lambdas) cost ~0.3s of py4j round trips per
+    # invocation; the parsed tree — and the signature values — are
+    # identical (integer literals are INT like F.lit(i) was, the L
+    # suffix pins the init array to BIGINT like the .cast("long") did).
     max_long = (1 << 63) - 1
-    init = F.array(*[F.lit(max_long).cast("long")] * k)
-    return F.aggregate(
-        "shingles",
-        init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(F.lit(i), s) for i in range(k)]),
-            lambda x, y: F.least(x, y),
-        ),
+    init = ", ".join([f"{max_long}L"] * k)
+    hashes = ", ".join(f"xxhash64({i}, s)" for i in range(k))
+    return F.expr(
+        f"aggregate(shingles, array({init}), "
+        f"(acc, s) -> zip_with(acc, array({hashes}), (x, y) -> least(x, y)))"
     )
 
 
@@ -712,22 +705,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sets = sets.cache()
     sigs = sets.select("doc_id", _fold_signature().alias("sig"))
     # band bucket = hash of the band's slice of the signature vector —
-    # pure projection, no second aggregation
+    # pure projection, no second aggregation. Built as one F.expr
+    # (round 14): the nested struct/xxhash64 listcomp was ~0.5s of py4j
+    # round trips per invocation; named_struct parses to the identical
+    # struct(band, bucket) the aliased F.struct built.
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64({cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"sig[{b * _MH_ROWS + r}]" for r in range(_MH_ROWS)
+            ),
+        )
+        for b in range(_MH_BANDS)
+    )
     bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * _MH_ROWS + r] for r in range(_MH_ROWS)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(_MH_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
     # candidate pairs per (band, bucket) with the same bounded-membership
     # pattern as the jaccard posting lists: a bucket holding m co-hashed
@@ -745,12 +737,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification: exact shingle-set Jaccard from the cached per-doc
     # sets, joined in by doc_id (AQE broadcasts the small candidate
     # side at this scale; sort-merge by doc_id at cluster scale)
-    sh_a = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sh_b = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    sh_a = sets.selectExpr("doc_id AS doc_a", "shingles AS sh_a")
+    sh_b = sets.selectExpr("doc_id AS doc_b", "shingles AS sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
