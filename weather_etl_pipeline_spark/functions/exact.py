@@ -117,6 +117,64 @@ def oracle_hround(expr: str, scale: int = 6) -> str:
     return f"FLOOR(({expr}) * {m} + 0.5) / {m}"
 
 
+# --- Spark-SQL string twins (round 14) ----------------------------------------
+# Same role as the oracle_* twins, aimed at Spark's own parser: the
+# Column-API builders cost one py4j round trip per F.* call (~0.5-1.5ms
+# of driver latency each — q1's aggregate spec alone was ~150 trips =
+# 0.25-0.45s of plan construction PER INVOCATION), where one parsed SQL
+# string is a single trip. The emitted fragments are op-for-op the
+# trees the Column API built. The ``D`` suffix on every fractional
+# literal is LOAD-BEARING: Spark parses a bare ``0.5`` as DECIMAL(1,1)
+# (not DOUBLE like F.lit(0.5)), which would silently change the FP
+# promotion chain and break the cross-engine value hash.
+
+
+def spark_scaled_long(expr: str, d: int = MONEY_D) -> str:
+    """Spark-SQL twin of scaled_long() — identical floor form."""
+    return f"CAST(FLOOR(({expr}) * {10**d} + 0.5D) AS BIGINT)"
+
+
+def spark_rev_scaled(price: str = "l_extendedprice", disc: str = "l_discount") -> str:
+    """Spark-SQL twin of rev_scaled()."""
+    return f"CAST(FLOOR({price} * (1 - {disc}) * {10**REV_D} + 0.5D) AS BIGINT)"
+
+
+def spark_charge_scaled() -> str:
+    """Spark-SQL twin of charge_scaled()."""
+    return (
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+        f" * {10**CHARGE_D} + 0.5D) AS BIGINT)"
+    )
+
+
+def spark_hround(expr: str, scale: int = 6) -> str:
+    """Spark-SQL twin of hround()."""
+    m = float(10**scale)
+    return f"FLOOR(({expr}) * {m}D + 0.5D) / {m}D"
+
+
+def spark_unscale(expr: str, d: int, round_to: int | None = 2) -> str:
+    """Spark-SQL twin of unscale()."""
+    base = f"CAST({expr} AS DOUBLE) / {float(10**d)}D"
+    return spark_hround(base, round_to) if round_to is not None else base
+
+
+def spark_dsum(expr: str, d: int = MONEY_D) -> str:
+    """Spark-SQL twin of dsum()."""
+    return (
+        f"CAST(SUM({spark_scaled_long(expr, d)}) AS DOUBLE) / {float(10**d)}D"
+    )
+
+
+def spark_davg(expr: str, d: int = MONEY_D, scale: int = 6) -> str:
+    """Spark-SQL twin of davg() — identical op order (/scale then /count)."""
+    inner = (
+        f"CAST(SUM({spark_scaled_long(expr, d)}) AS DOUBLE)"
+        f" / {float(10**d)}D / COUNT({expr})"
+    )
+    return spark_hround(inner, scale)
+
+
 def davg(col: Column | str, d: int = MONEY_D, scale: int = 6) -> Column:
     """Deterministic AVG: exact scaled sum, double divisions, hround."""
     c = _col(col)
@@ -203,23 +261,49 @@ def partial_by_partition(
 
 
 class GroupedPartial:
+    """Aggregate exprs may be Columns OR Spark-SQL strings (round 14):
+    string specs accumulate as SQL text and parse as ONE F.expr each at
+    finish() — the parsed trees are identical to the Column-built ones,
+    at a fraction of the py4j round trips (see the string-twin note
+    above). Mixed usage is fine; both paths share the same partial/final
+    structure."""
+
     def __init__(self, df: DataFrame, keys: list[str | tuple[Column, str]]):
         self._df = df
         self._keys = [k if isinstance(k, str) else k[0].alias(k[1]) for k in keys]
         self._key_names = [k if isinstance(k, str) else k[1] for k in keys]
-        self._partials: list[Column] = []
-        self._finals: list[Column] = []
+        self._partials: list[Column | str] = []
+        self._finals: list[Column | str] = []
 
-    def sum_scaled(self, expr: Column, d: int, alias: str, round_to: int | None = 2) -> "GroupedPartial":
+    def sum_scaled(self, expr: Column | str, d: int, alias: str, round_to: int | None = 2) -> "GroupedPartial":
         tmp = f"_p_{alias}"
+        if isinstance(expr, str):
+            self._partials.append(f"SUM({expr}) AS {tmp}")
+            self._finals.append(
+                spark_unscale(f"SUM(CAST({tmp} AS DECIMAL(38,0)))", d, round_to)
+                + f" AS {alias}"
+            )
+            return self
         self._partials.append(F.sum(expr).alias(tmp))
         self._finals.append(
             unscale(F.sum(F.col(tmp).cast("decimal(38,0)")), d, round_to).alias(alias)
         )
         return self
 
-    def avg_scaled(self, expr: Column, count_of: Column, d: int, alias: str, scale: int = 6) -> "GroupedPartial":
+    def avg_scaled(self, expr: Column | str, count_of: Column | str, d: int, alias: str, scale: int = 6) -> "GroupedPartial":
         tmp_s, tmp_n = f"_p_{alias}", f"_pn_{alias}"
+        if isinstance(expr, str):
+            self._partials.append(f"SUM({expr}) AS {tmp_s}")
+            self._partials.append(f"COUNT({count_of}) AS {tmp_n}")
+            self._finals.append(
+                spark_hround(
+                    f"CAST(SUM(CAST({tmp_s} AS DECIMAL(38,0))) AS DOUBLE)"
+                    f" / {float(10**d)}D / SUM({tmp_n})",
+                    scale,
+                )
+                + f" AS {alias}"
+            )
+            return self
         self._partials.append(F.sum(expr).alias(tmp_s))
         self._partials.append(F.count(count_of).alias(tmp_n))
         self._finals.append(
@@ -232,24 +316,32 @@ class GroupedPartial:
         )
         return self
 
-    def sum_long(self, expr: Column, alias: str) -> "GroupedPartial":
+    def sum_long(self, expr: Column | str, alias: str) -> "GroupedPartial":
         """Exact integer sum surfaced as DECIMAL(38,0) — for callers that
         post-process (ratios, comparisons) instead of unscaling."""
         tmp = f"_p_{alias}"
+        if isinstance(expr, str):
+            self._partials.append(f"SUM({expr}) AS {tmp}")
+            self._finals.append(f"SUM(CAST({tmp} AS DECIMAL(38,0))) AS {alias}")
+            return self
         self._partials.append(F.sum(expr).alias(tmp))
         self._finals.append(F.sum(F.col(tmp).cast("decimal(38,0)")).alias(alias))
         return self
 
     def count(self, alias: str) -> "GroupedPartial":
         tmp = f"_p_{alias}"
-        self._partials.append(F.count(F.lit(1)).alias(tmp))
         # coalesce: a keyless (global) agg over zero rows still returns
         # one row, where SUM of partials is NULL but COUNT(*) must be 0
-        self._finals.append(F.coalesce(F.sum(tmp), F.lit(0).cast("long")).alias(alias))
+        self._partials.append(f"COUNT(1) AS {tmp}")
+        self._finals.append(
+            f"COALESCE(SUM({tmp}), CAST(0 AS BIGINT)) AS {alias}"
+        )
         return self
 
     def finish(self) -> DataFrame:
+        partials = [F.expr(p) if isinstance(p, str) else p for p in self._partials]
+        finals = [F.expr(f) if isinstance(f, str) else f for f in self._finals]
         level1 = self._df.groupBy(
             F.spark_partition_id().alias("_pid"), *self._keys
-        ).agg(*self._partials)
-        return level1.groupBy(*self._key_names).agg(*self._finals)
+        ).agg(*partials)
+        return level1.groupBy(*self._key_names).agg(*finals)

@@ -32,3 +32,29 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """cosine(a, b) on pre-cast double arrays."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- Spark-SQL string twins (round 14) ----------------------------------------
+# One F.expr parse instead of per-F.* py4j round trips — identical
+# parsed trees (0.0D keeps the fold accumulator DOUBLE like F.lit(0.0);
+# see functions/exact.py string-twin note).
+
+
+def spark_as_double(vec: str) -> str:
+    return f"transform({vec}, x -> CAST(x AS DOUBLE))"
+
+
+def spark_dot(a: str, b: str) -> str:
+    """Spark-SQL twin of dot() — same left-to-right double fold."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def spark_norm(a: str) -> str:
+    return f"sqrt({spark_dot(a, a)})"
+
+
+def spark_cosine(a: str, b: str) -> str:
+    return f"({spark_dot(a, b)} / ({spark_norm(a)} * {spark_norm(b)}))"

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import davg, hround, oracle_davg
+from ..functions.exact import hround, oracle_davg, spark_davg
 from ..registry import register
 from .scaleops import _hash_col, _oracle_hash
 from .text import ORACLE_QUALITY_FORMULA, oracle_quality_counts, quality_expr
@@ -62,6 +62,10 @@ GROUP BY 1, 2
 )
 def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # string-twin expressions (round 14): identical parsed trees, fewer
+    # py4j round trips; the split bucket reuses the ORACLE's pure-
+    # arithmetic hash string (valid in both SQL dialects, so the two
+    # sides share one literal definition)
     scored = docs.select(
         "doc_id",
         "lang",
@@ -69,23 +73,23 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.round(quality_expr(), 6).alias("quality"),
     )
-    kept = scored.filter(F.col("quality") >= _Q_KEEP)
+    kept = scored.filter(f"quality >= {_Q_KEEP}")
     # canonical survivor: min doc_id per exact text (one shuffle)
-    w = Window.partitionBy("text").orderBy("doc_id")
-    final = (
-        kept.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
+    final = kept.selectExpr(
+        "*", "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS _rk"
+    ).filter("_rk = 1")
+    bucket = f"({_oracle_hash('doc_id')} % 100)"
+    split = (
+        f"CASE WHEN {bucket} < 90 THEN 'train'"
+        f" WHEN {bucket} < 95 THEN 'val' ELSE 'test' END"
     )
-    bucket = _hash_col("doc_id") % 100
-    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     return (
-        final.select(split.alias("split"), "lang", "n_chars", "quality")
+        final.selectExpr(f"{split} AS split", "lang", "n_chars", "quality")
         .groupBy("split", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            davg("quality", 6).alias("avg_quality"),
+            F.expr("COUNT(1)").alias("n_docs"),
+            F.expr("SUM(n_chars)").alias("total_chars"),
+            F.expr(spark_davg("quality", 6)).alias("avg_quality"),
         )
     )
 

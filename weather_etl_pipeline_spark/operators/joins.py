@@ -38,6 +38,8 @@ from ..functions.exact import (
     partial_by_partition,
     rev_scaled,
     scaled_long,
+    spark_rev_scaled,
+    spark_unscale,
     unscale,
 )
 from ..registry import register
@@ -87,7 +89,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined,
             [(F.col("r_name"), "region_name"), (F.col("n_name"), "nation_name")],
         )
-        .sum_scaled(rev_scaled(), REV_D, "revenue")
+        .sum_scaled(spark_rev_scaled(), REV_D, "revenue")
         .count("n_items")
         .finish()
     )
@@ -150,16 +152,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cutoff = "TIMESTAMP '1995-03-15 00:00:00'"
     # per-order groups are bounded (~7 lines/order) → single-level LONG
     return (
-        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        cust.filter("c_mktsegment = 'BUILDING'")
         .join(orders, cust.c_custkey == orders.o_custkey)
-        .filter(F.col("o_orderdate") < cutoff)
+        .filter(f"o_orderdate < {cutoff}")
         .join(li, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > cutoff)
+        .filter(f"l_shipdate > {cutoff}")
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(unscale(F.sum(rev_scaled()), REV_D, 2).alias("revenue"))
+        .agg(
+            F.expr(
+                spark_unscale(f"SUM({spark_rev_scaled()})", REV_D, 2)
+            ).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")

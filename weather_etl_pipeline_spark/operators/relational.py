@@ -21,7 +21,6 @@ from ..functions.exact import (
     CHARGE_D,
     REV_D,
     VALUE_D,
-    charge_scaled,
     davg,
     oracle_charge_scaled,
     oracle_davg,
@@ -31,6 +30,10 @@ from ..functions.exact import (
     partial_by_partition,
     rev_scaled,
     scaled_long,
+    spark_charge_scaled,
+    spark_davg,
+    spark_rev_scaled,
+    spark_scaled_long,
 )
 from ..registry import register
 
@@ -64,20 +67,23 @@ GROUP BY l_returnflag, l_linestatus
 @register("q1_pricing_summary", oracle=_Q1_ORACLE, headline=True)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    filtered = li.filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
-    )
+    filtered = li.filter("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
+    # string-twin aggregate spec (round 14): identical parsed trees to
+    # the Column-API form at a fraction of the py4j round trips — see
+    # functions/exact.py string-twin note
     return (
         partial_by_partition(filtered, ["l_returnflag", "l_linestatus"])
-        .sum_scaled(scaled_long("l_quantity", 0), 0, "sum_qty", round_to=None)
-        .sum_scaled(scaled_long("l_extendedprice"), 2, "sum_base_price", round_to=None)
-        .sum_scaled(rev_scaled(), REV_D, "sum_disc_price")
-        .sum_scaled(charge_scaled(), CHARGE_D, "sum_charge")
-        .avg_scaled(scaled_long("l_quantity", 0), F.col("l_quantity"), 0, "avg_qty")
-        .avg_scaled(
-            scaled_long("l_extendedprice"), F.col("l_extendedprice"), 2, "avg_price"
+        .sum_scaled(spark_scaled_long("l_quantity", 0), 0, "sum_qty", round_to=None)
+        .sum_scaled(
+            spark_scaled_long("l_extendedprice"), 2, "sum_base_price", round_to=None
         )
-        .avg_scaled(scaled_long("l_discount"), F.col("l_discount"), 2, "avg_disc")
+        .sum_scaled(spark_rev_scaled(), REV_D, "sum_disc_price")
+        .sum_scaled(spark_charge_scaled(), CHARGE_D, "sum_charge")
+        .avg_scaled(spark_scaled_long("l_quantity", 0), "l_quantity", 0, "avg_qty")
+        .avg_scaled(
+            spark_scaled_long("l_extendedprice"), "l_extendedprice", 2, "avg_price"
+        )
+        .avg_scaled(spark_scaled_long("l_discount"), "l_discount", 2, "avg_disc")
         .count("count_order")
         .finish()
     )
@@ -180,12 +186,12 @@ GROUP BY event_type, CAST(ts AS DATE)
 def gold_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("event_date")
+        "event_type", F.expr("CAST(ts AS DATE) AS event_date")
     ).agg(
-        davg("value", VALUE_D).alias("avg_value"),
-        F.max("value").alias("max_value"),
-        F.min("value").alias("min_value"),
-        F.count(F.lit(1)).alias("record_count"),
+        F.expr(spark_davg("value", VALUE_D)).alias("avg_value"),
+        F.expr("MAX(value)").alias("max_value"),
+        F.expr("MIN(value)").alias("min_value"),
+        F.expr("COUNT(1)").alias("record_count"),
     )
 
 

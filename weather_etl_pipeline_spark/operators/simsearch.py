@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import cap_per_group, load_table
-from ..functions.vectors import as_double, cosine, dot, norm
+from ..functions.vectors import (
+    as_double,
+    cosine,
+    dot,
+    norm,
+    spark_as_double,
+    spark_dot,
+    spark_norm,
+)
 from ..registry import register
 
 _N_QUERIES = 8  # vec_id < 8 are the probe vectors
@@ -63,10 +71,12 @@ def simsearch_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # norms are precomputed once per vector (the pairwise stage then does
     # one dot product per pair instead of three) — same values as the
-    # oracle's inline sqrt(dot(a,a)) since it is the identical expression
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("ce")
-    ).withColumn("cn", norm(F.col("ce")))
+    # oracle's inline sqrt(dot(a,a)) since it is the identical expression.
+    # string-twin expressions (round 14): identical parsed trees, fewer
+    # py4j round trips — see functions/vectors.py
+    corpus = emb.selectExpr(
+        "vec_id AS neighbor_id", f"{spark_as_double('embedding')} AS ce"
+    ).selectExpr("*", f"{spark_norm('ce')} AS cn")
     # the probe set is keyed by query_id — dedupe BEFORE the O(Q·N)
     # scan so a repeated probe (or a replicated input) never multiplies
     # the pairwise work; no-op on distinct real data, and the dedupe
@@ -76,30 +86,27 @@ def simsearch_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replication, where payloads are identical) — a dup key carrying a
     # DIFFERENT embedding is malformed input on both engines
     queries = (
-        emb.filter(F.col("vec_id") < _N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qe")
-        )
+        emb.filter(f"vec_id < {_N_QUERIES}")
+        .selectExpr("vec_id AS query_id", f"{spark_as_double('embedding')} AS qe")
         .dropDuplicates(["query_id"])
-        .withColumn("qn", norm(F.col("qe")))
+        .selectExpr("*", f"{spark_norm('qe')} AS qn")
     )
     scored = (
         F.broadcast(queries)
-        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .join(corpus, F.expr("neighbor_id != query_id"))
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
-            ).alias("cos_sim"),
+            f"round({spark_dot('qe', 'ce')} / (qn * cn), 6) AS cos_sim",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= _TOP_K)
+        scored.selectExpr(
+            "*",
+            "CAST(row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk",
+        )
+        .filter(f"rk <= {_TOP_K}")
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
 

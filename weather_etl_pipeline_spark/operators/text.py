@@ -313,20 +313,24 @@ def quality_expr() -> "F.Column":
     HOF lambda variable — an inline split() would be re-built per
     consumer by CollapseProject. Identical arithmetic in the identical
     order, so the value is bit-equal to the naive form (A/B verified 0
-    diffs at sf0.01; 0.72→0.54s at sf0.1@x100)."""
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    diffs at sf0.01; 0.72→0.54s at sf0.1@x100).
 
-    def score(tk):
-        n_tok = F.size(tk)
-        n_uniq = F.size(F.array_distinct(tk))
-        n_stop = F.size(F.filter(tk, lambda x: F.array_contains(stop_arr, x)))
-        return (
-            0.4 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
-            + 0.4 * (n_uniq.cast("double") / n_tok)
-            + 0.2 * F.least(4.0 * n_stop.cast("double") / n_tok, F.lit(1.0))
-        )
-
-    return F.get(F.transform(F.array(F.split("text", " ")), lambda tk: score(tk)), 0)
+    One F.expr parse (round 14): the Column-API form cost ~0.1s of py4j
+    round trips per invocation; the D suffix on every fractional
+    literal keeps them DOUBLE like F.lit was (a bare 0.4 would parse as
+    DECIMAL and change the FP promotion chain — see functions/exact.py
+    string-twin note)."""
+    stop = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    score = (
+        "0.4D * least(CAST(size(tk) AS DOUBLE) / 100.0D, 1.0D)"
+        " + 0.4D * (CAST(size(array_distinct(tk)) AS DOUBLE) / size(tk))"
+        " + 0.2D * least(4.0D * CAST(size(filter(tk,"
+        f" x -> array_contains(array({stop}), x))) AS DOUBLE) / size(tk),"
+        " 1.0D)"
+    )
+    return F.expr(
+        f"get(transform(array(split(text, ' ')), tk -> {score}), 0)"
+    )
 
 
 def oracle_quality_counts(extra_cols: str = "") -> str:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import davg, hround
+from ..functions.exact import davg, hround, spark_davg
 from ..registry import register
 
 _GAPFILL_ORACLE = """
@@ -53,42 +53,34 @@ FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
 @register("timeseries_gapfill_hourly", oracle=_GAPFILL_ORACLE, headline=True)
 def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # string-twin expressions (round 14): identical parsed trees, fewer
+    # py4j round trips — see functions/exact.py string-twin note
     hourly = ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("hour")
+        "user_id", F.expr("date_trunc('hour', ts) AS hour")
     ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        davg("value").alias("avg_value"),
+        F.expr("COUNT(1)").alias("n_events"),
+        F.expr(spark_davg("value")).alias("avg_value"),
     )
     grid = (
         hourly.groupBy("user_id")
-        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hour"),
+        .agg(F.expr("MIN(hour)").alias("h0"), F.expr("MAX(hour)").alias("h1"))
+        .selectExpr(
+            "user_id", "explode(sequence(h0, h1, INTERVAL 1 HOUR)) AS hour"
         )
     )
     joined = grid.join(
-        hourly.select(
-            F.col("user_id").alias("h_user"),
-            F.col("hour").alias("h_hour"),
-            "n_events",
-            "avg_value",
+        hourly.selectExpr(
+            "user_id AS h_user", "hour AS h_hour", "n_events", "avg_value"
         ),
-        (F.col("user_id") == F.col("h_user")) & (F.col("hour") == F.col("h_hour")),
+        F.expr("user_id = h_user AND hour = h_hour"),
         "left",
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
+    return joined.selectExpr(
         "user_id",
         "hour",
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.last("avg_value", ignorenulls=True).over(w).alias("value_ffill"),
+        "COALESCE(n_events, 0) AS n_events",
+        "last(avg_value, true) OVER (PARTITION BY user_id ORDER BY hour"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill",
     )
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import davg, dsum
+from ..functions.exact import davg, dsum, spark_dsum
 from ..registry import register
 
 # --- tumbling window ----------------------------------------------------------
@@ -50,17 +50,16 @@ GROUP BY date_trunc('hour', ts), event_type
 )
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # string-twin expressions (round 14): identical parsed trees, fewer
+    # py4j round trips — see functions/exact.py string-twin note
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        ev.groupBy(F.expr("window(ts, '1 hour') AS w"), "event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("sum_value"),
+            F.expr("COUNT(1)").alias("n_events"),
+            F.expr(spark_dsum("value")).alias("sum_value"),
         )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
+        .selectExpr(
+            "w.start AS window_start", "event_type", "n_events", "sum_value"
         )
     )
 
@@ -130,16 +129,17 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.session_window("ts", f"{_GAP_MIN} minutes").alias("w"), "user_id"
+            F.expr(f"session_window(ts, '{_GAP_MIN} minutes') AS w"),
+            "user_id",
         )
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("sum_value"),
+            F.expr("COUNT(1)").alias("n_events"),
+            F.expr(spark_dsum("value")).alias("sum_value"),
         )
-        .select(
+        .selectExpr(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            "w.start AS session_start",
+            "w.end AS session_end",
             "n_events",
             "sum_value",
         )
