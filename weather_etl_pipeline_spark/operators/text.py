@@ -39,10 +39,10 @@ GROUP BY lang, token
 def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
+        docs.selectExpr("lang", "explode(split(text, ' ')) AS token")
+        .filter("token != ''")
         .groupBy("lang", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.expr("COUNT(1)").alias("tf"))
     )
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import hround, scaled_long
+from ..functions.exact import hround, scaled_long, spark_hround, spark_scaled_long
 from ..registry import register
 
 # --- top-k per group via row_number ------------------------------------------
@@ -41,12 +41,15 @@ WHERE rk <= 3
 )
 def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
+    # one selectExpr parse (round 14) — identical window tree, fewer
+    # py4j round trips; see functions/exact.py string-twin note
     return (
-        orders.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 3)
+        orders.selectExpr(
+            "*",
+            "CAST(row_number() OVER (PARTITION BY o_custkey"
+            " ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk",
+        )
+        .filter("rk <= 3")
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
 
@@ -222,21 +225,23 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 )
 def window_trailing_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3_600_000_000, Window.currentRow)
+    # one selectExpr parse (round 14) — identical window tree, fewer
+    # py4j round trips (D-suffixed literals keep DOUBLE typing; see
+    # functions/exact.py string-twin note)
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY unix_micros(ts)"
+        " RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
     )
-    return ev.select(
+    avg = spark_hround(
+        f"CAST(SUM({spark_scaled_long('value')}) {over} AS DOUBLE)"
+        f" / 100.0D / COUNT(value) {over}"
+    )
+    return ev.selectExpr(
         "event_id",
         "user_id",
         "ts",
-        F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        hround(
-            F.sum(scaled_long("value")).over(w).cast("double")
-            / 100.0
-            / F.count("value").over(w)
-        ).alias("avg_last_hour"),
+        f"COUNT(1) {over} AS n_last_hour",
+        f"{avg} AS avg_last_hour",
     )
 
 
