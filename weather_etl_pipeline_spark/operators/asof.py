@@ -20,7 +20,6 @@ subquery (deterministic — ties collapse to the same max).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
@@ -97,15 +96,72 @@ def asof_join(
         # row — letting an out-of-tolerance carry through.)
         f"CASE WHEN `{carry}` IS NOT NULL THEN `{right_ts}` END AS _rts",
     )
-    # right rows sort before left rows at equal timestamps so "at or
-    # before" / "at or after" includes ties; forward mode flips the
-    # timestamp order so "preceding" means "following in event time".
-    # third order key = the tie-collapse: among right rows at one
-    # (key, ts), the winning carry sorts LAST so last(ignorenulls)
-    # returns it (null-carry rows are skipped by ignorenulls, so their
-    # position is immaterial); left rows (_is_left=1) still sort after
-    # all right rows at the same timestamp, keeping ties inclusive
-    u = l_tag.unionByName(r_tag)
+    return _carry_and_project(
+        l_tag.unionByName(r_tag), carry, direction, tolerance_seconds
+    )
+
+
+def asof_join_same_scan(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    carry: str,
+    left_pred: str,
+    right_pred: str,
+    left_cols: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Same-source as-of: both sides are predicate slices of ONE table.
+
+    The generic ``asof_join`` unions two scans of that table — at scale
+    that is two full passes over the input for one logical read. This
+    form tags sides with CASE expressions in a single projection over a
+    single scan (guide §1.2: remove unnecessary passes — measured
+    0.27 vs 0.37s best at sf0.1 with byte-identical output, and half
+    the input bytes at any scale). The tagged schema, ordering and
+    carry window are the exact ones ``_carry_and_project`` gives the
+    union form, so the two forms cannot drift.
+
+    Contract: ``left_pred`` and ``right_pred`` must be DISJOINT (a row
+    satisfying both would become one left row here but two rows in the
+    union form); right rows with NULL ``ts`` are dropped exactly like
+    the union form's right-side isNotNull guard.
+    """
+    row = "struct(" + ", ".join(f"`{c}`" for c in left_cols) + ")"
+    tagged = df.filter(
+        f"({left_pred}) OR (({right_pred}) AND `{ts}` IS NOT NULL)"
+    ).selectExpr(
+        f"`{key}` AS _k",
+        f"`{ts}` AS _ts",
+        f"CASE WHEN {left_pred} THEN 1 ELSE 0 END AS _is_left",
+        f"CASE WHEN {left_pred} THEN {row} END AS _row",
+        f"CASE WHEN NOT ({left_pred}) THEN `{carry}` END AS _carry",
+        # _rts NULL exactly when _carry is NULL — see asof_join
+        f"CASE WHEN NOT ({left_pred}) AND `{carry}` IS NOT NULL"
+        f" THEN `{ts}` END AS _rts",
+    )
+    return _carry_and_project(tagged, carry, direction, tolerance_seconds)
+
+
+def _carry_and_project(
+    u: DataFrame,
+    carry: str,
+    direction: str,
+    tolerance_seconds: float | None,
+) -> DataFrame:
+    """The shared window-carry stage over a tagged (_k, _ts, _is_left,
+    _row, _carry, _rts) frame — single definition so the union and
+    same-scan forms stay byte-identical.
+
+    right rows sort before left rows at equal timestamps so "at or
+    before" / "at or after" includes ties; forward mode flips the
+    timestamp order so "preceding" means "following in event time".
+    third order key = the tie-collapse: among right rows at one
+    (key, ts), the winning carry sorts LAST so last(ignorenulls)
+    returns it (null-carry rows are skipped by ignorenulls, so their
+    position is immaterial); left rows (_is_left=1) still sort after
+    all right rows at the same timestamp, keeping ties inclusive."""
     order = (
         "_ts ASC, _is_left ASC, _carry ASC"
         if direction == "backward"
@@ -148,13 +204,17 @@ WHERE p.event_type = 'purchase'
 """,
 )
 def asof_join_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both sides slice the events table → single-scan form (one pass
+    # over the input instead of the generic union's two)
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
-    return asof_join(
-        purchases, errors, key="user_id", left_ts="ts", right_ts="ts", carry="ts"
+    return asof_join_same_scan(
+        ev,
+        key="user_id",
+        ts="ts",
+        carry="ts",
+        left_pred="event_type = 'purchase'",
+        right_pred="event_type = 'error'",
+        left_cols=["event_id", "user_id", "ts"],
     )
 
 
@@ -174,17 +234,14 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     or after it — the time-to-recovery shape. Oracle is a correlated
     MIN subquery (deterministic: ties collapse to the same min)."""
     ev = load_table(spark, sf_dir, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
-    return asof_join(
-        errors,
-        purchases,
+    return asof_join_same_scan(
+        ev,
         key="user_id",
-        left_ts="ts",
-        right_ts="ts",
+        ts="ts",
         carry="ts",
+        left_pred="event_type = 'error'",
+        right_pred="event_type = 'purchase'",
+        left_cols=["event_id", "user_id", "ts"],
         direction="forward",
     )
 
@@ -207,16 +264,13 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent, because the nearest match being outside the window
     implies no match inside it."""
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
-    return asof_join(
-        purchases,
-        errors,
+    return asof_join_same_scan(
+        ev,
         key="user_id",
-        left_ts="ts",
-        right_ts="ts",
+        ts="ts",
         carry="ts",
+        left_pred="event_type = 'purchase'",
+        right_pred="event_type = 'error'",
+        left_cols=["event_id", "user_id", "ts"],
         tolerance_seconds=3600,
     )
