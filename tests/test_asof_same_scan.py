@@ -82,6 +82,51 @@ def test_same_scan_matches_union_form(events, kw):
     assert sorted(a.collect(), key=key) == sorted(b.collect(), key=key)
 
 
+def test_same_scan_null_left_pred_carries(spark):
+    # round-15 ADVICE fix: when the two predicates reference DIFFERENT
+    # columns, a right row (right_pred TRUE) whose left_pred evaluates
+    # to NULL must still contribute its carry. Before the fix the
+    # carry tag was NOT(left_pred) = NOT(NULL) = NULL and the carry was
+    # silently dropped, diverging from the union form.
+    rows = [
+        # left row: is_purchase=true
+        (1, 1, "2024-01-01 11:00:00", True, None),
+        # right row: is_purchase=NULL (left_pred NULL), is_error=true
+        (2, 1, "2024-01-01 10:00:00", None, True),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts string,"
+        " is_purchase boolean, is_error boolean",
+    ).selectExpr(
+        "event_id",
+        "user_id",
+        "CAST(ts AS TIMESTAMP) AS ts",
+        "is_purchase",
+        "is_error",
+    )
+    left = ev.filter("is_purchase").select("event_id", "user_id", "ts")
+    right = ev.filter("is_error").select("user_id", "ts")
+    union = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts", carry="ts"
+    )
+    same = asof_join_same_scan(
+        ev,
+        key="user_id",
+        ts="ts",
+        carry="ts",
+        left_pred="is_purchase",
+        right_pred="is_error",
+        left_cols=["event_id", "user_id", "ts"],
+    )
+    key = lambda r: r["event_id"]
+    a = sorted(union.collect(), key=key)
+    b = sorted(same.collect(), key=key)
+    assert a == b
+    # and the carry actually happened (non-NULL asof on the left row)
+    assert b[0]["asof_ts"] is not None
+
+
 def test_same_scan_single_scan_plan(events):
     # the point of the form: ONE scan of the shared source (the union
     # form plans two)

@@ -346,6 +346,13 @@ def table_file_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
         total = 0
         for dirpath, _dirnames, files in os.walk(path):
             for f in files:
+                # match the Hadoop listing's hiddenFileFilter: Spark's
+                # own readers skip _SUCCESS/_committed markers and .crc
+                # checksum files, so counting them here would inflate
+                # directory-shaped tables vs the py4j path this
+                # replaced (round-15 ADVICE fix)
+                if f.startswith((".", "_")):
+                    continue
                 total += os.path.getsize(os.path.join(dirpath, f))
         return total * replication
     from .sources.fs import _fs_and_path

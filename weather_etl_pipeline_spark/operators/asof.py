@@ -129,6 +129,13 @@ def asof_join_same_scan(
     the union form's right-side isNotNull guard.
     """
     row = "struct(" + ", ".join(f"`{c}`" for c in left_cols) + ")"
+    # side tag evaluated ONCE: NULL left_pred means "not left", i.e. a
+    # kept row (right_pred TRUE) whose left_pred is NULL must carry like
+    # the union form's right side would. A bare NOT(left_pred) yields
+    # NULL there and silently dropped the carry (round-15 ADVICE fix) —
+    # COALESCE(.., false) restores three-valued-logic parity with the
+    # union form for predicates over different columns.
+    not_left = f"NOT coalesce(({left_pred}), false)"
     tagged = df.filter(
         f"({left_pred}) OR (({right_pred}) AND `{ts}` IS NOT NULL)"
     ).selectExpr(
@@ -136,9 +143,9 @@ def asof_join_same_scan(
         f"`{ts}` AS _ts",
         f"CASE WHEN {left_pred} THEN 1 ELSE 0 END AS _is_left",
         f"CASE WHEN {left_pred} THEN {row} END AS _row",
-        f"CASE WHEN NOT ({left_pred}) THEN `{carry}` END AS _carry",
+        f"CASE WHEN {not_left} THEN `{carry}` END AS _carry",
         # _rts NULL exactly when _carry is NULL — see asof_join
-        f"CASE WHEN NOT ({left_pred}) AND `{carry}` IS NOT NULL"
+        f"CASE WHEN {not_left} AND `{carry}` IS NOT NULL"
         f" THEN `{ts}` END AS _rts",
     )
     return _carry_and_project(tagged, carry, direction, tolerance_seconds)

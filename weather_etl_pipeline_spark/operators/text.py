@@ -319,7 +319,14 @@ def quality_expr() -> "F.Column":
     round trips per invocation; the D suffix on every fractional
     literal keeps them DOUBLE like F.lit was (a bare 0.4 would parse as
     DECIMAL and change the FP promotion chain — see functions/exact.py
-    string-twin note)."""
+    string-twin note). One known plan-TEXT diff vs the old Column form:
+    the Column API canonicalized the weights to the right of each
+    multiply (``least(..) * 0.4``) where this string keeps them on the
+    left (``0.4 * least(..)``). IEEE-754 multiplication is commutative,
+    so the VALUES are bit-identical (oracle hash match across all
+    consumers), but the parsed trees are not byte-equal — the committed
+    llm_corpus_curation before/after plan pair shows exactly this diff
+    (round-15 ADVICE: claim scoped to value-identity, not tree-identity)."""
     stop = ", ".join(f"'{s}'" for s in _STOPWORDS)
     score = (
         "0.4D * least(CAST(size(tk) AS DOUBLE) / 100.0D, 1.0D)"
