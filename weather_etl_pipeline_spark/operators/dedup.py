@@ -40,7 +40,7 @@ from ..catalog import (
     spread_to_cores,
     table_file_bytes,
 )
-from ..functions.exact import hround
+from ..functions.exact import hround, spark_hround
 from ..registry import register
 
 # --- exact dedup: canonical row per content ----------------------------------
@@ -335,10 +335,11 @@ def _jaccard_scored_pairs(
     )
 
 
-def _jac_expr():
-    return F.col("n_shared").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_shared")
-    )
+# exact-jaccard over the scored-pair counts — the SQL string twin of
+# the old _jac_expr Column builder (round 15): same parse tree
+# (left-associative (n_a + n_b) - n_shared), one parser trip per
+# consumer instead of ~8 Column round trips per mention
+_JAC_SQL = "CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared)"
 
 
 @register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE, headline=True)
@@ -349,13 +350,12 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity, across blocks) plus exact-verified rep-level pairs
     at jaccard >= _JACCARD_T within (lang, source) blocks."""
     reps, star = _jaccard_collapse(spark, sf_dir)
-    jac = _jac_expr()
     pairs = (
         _jaccard_scored_pairs(spark, sf_dir, reps)
-        .filter(jac >= _JACCARD_T)
-        .select("doc_a", "doc_b", hround(jac).alias("jaccard"))
+        .filter(f"{_JAC_SQL} >= {_JACCARD_T}D")
+        .selectExpr("doc_a", "doc_b", f"{spark_hround(_JAC_SQL)} AS jaccard")
     )
-    return pairs.unionByName(star.withColumn("jaccard", F.lit(1.0)))
+    return pairs.unionByName(star.selectExpr("*", "1.0D AS jaccard"))
 
 
 # --- jaccard threshold-tuning curve ------------------------------------------
@@ -387,9 +387,9 @@ def dedup_jaccard_threshold_curve(
 ) -> DataFrame:
     return (
         _jaccard_scored_pairs(spark, sf_dir)
-        .select(F.floor(_jac_expr() * 10).alias("jaccard_decile"))
+        .selectExpr(f"FLOOR(({_JAC_SQL}) * 10) AS jaccard_decile")
         .groupBy("jaccard_decile")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.expr("COUNT(1)").alias("n_pairs"))
     )
 
 
@@ -739,21 +739,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side at this scale; sort-merge by doc_id at cluster scale)
     sh_a = sets.selectExpr("doc_id AS doc_a", "shingles AS sh_a")
     sh_b = sets.selectExpr("doc_id AS doc_b", "shingles AS sh_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union
+    # string-twin verify expressions (round 15, same discipline as the
+    # round-14 conversions): identical parsed trees — the Column form
+    # bound `inter` once in Python but spliced the SAME subtree into
+    # both consumers, which is exactly what the repeated text does
+    inter = "size(array_intersect(sh_a, sh_b))"
+    jac = f"CAST({inter} AS DOUBLE) / ((size(sh_a) + size(sh_b)) - {inter})"
     pairs = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
-        .withColumn("jaccard_shingles", hround(jac))
-        .filter(F.col("jaccard_shingles") >= _MH_VERIFY_T)
-        .select("doc_a", "doc_b", "jaccard_shingles")
+        .selectExpr("*", f"{spark_hround(jac)} AS jaccard_shingles")
+        .filter(f"jaccard_shingles >= {_MH_VERIFY_T}D")
+        .selectExpr("doc_a", "doc_b", "jaccard_shingles")
     )
     # star edges carry jaccard 1.0 BY DEFINITION (identical text ⟹
     # identical shingle set) — no verify join needed, and <3-token docs
     # (which have no shingles and can't enter LSH) are still covered
     return pairs.unionByName(
-        star.withColumn("jaccard_shingles", F.lit(1.0))
+        star.selectExpr("*", "1.0D AS jaccard_shingles")
     )
 
 

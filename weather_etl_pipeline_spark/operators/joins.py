@@ -76,11 +76,15 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    # join predicates as parsed strings (round 15 string-twin pass):
+    # all key names are globally unique across the five tables, so the
+    # by-name resolution binds the identical attributes the qualified
+    # Column form did — one parser trip per predicate
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        li.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(cust, F.expr("o_custkey = c_custkey"))
+        .join(F.broadcast(nation), F.expr("c_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
     )
     # 25 (region, nation) groups ← billions of fact rows at scale:
     # two-level scaled-LONG sum (see functions/exact.py overflow budget).
@@ -156,9 +160,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-order groups are bounded (~7 lines/order) → single-level LONG
     return (
         cust.filter("c_mktsegment = 'BUILDING'")
-        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(orders, F.expr("c_custkey = o_custkey"))
         .filter(f"o_orderdate < {cutoff}")
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(li, F.expr("l_orderkey = o_orderkey"))
         .filter(f"l_shipdate > {cutoff}")
         .groupBy("l_orderkey", "o_orderdate")
         .agg(

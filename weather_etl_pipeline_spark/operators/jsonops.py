@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
-from ..functions.exact import hround
+from ..functions.exact import hround, spark_hround
 from ..registry import register
 
 # --- path extraction + aggregate ---------------------------------------------
@@ -61,13 +61,18 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's json_extract_string → CAST: missing key, malformed
     # JSON, and non-numeric k all yield NULL.
     ev = load_table(spark, sf_dir, "events")
-    rows = ev.select(
-        "event_type", F.from_json("props", "k long").getField("k").alias("k")
+    # string-twin construction (round 15, same discipline as round 14):
+    # identical parsed trees, one parser trip per expression instead of
+    # a py4j round trip per F.* call
+    rows = ev.selectExpr(
+        "event_type", "from_json(props, 'k long').k AS k"
     )
     return rows.groupBy("event_type").agg(
-        F.sum("k").alias("sum_k"),
-        hround(F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
-        F.count(F.lit(1)).alias("n_events"),
+        F.expr("SUM(k)").alias("sum_k"),
+        F.expr(spark_hround("CAST(SUM(k) AS DOUBLE) / COUNT(k)")).alias(
+            "avg_k"
+        ),
+        F.expr("COUNT(1)").alias("n_events"),
     )
 
 

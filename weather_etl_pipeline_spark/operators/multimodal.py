@@ -268,13 +268,13 @@ def ingest_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFr
 @register("multimodal_featurize", oracle=_FEATURIZE_ORACLE, headline=True)
 def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    with_blob = docs.select(
+    # string-twin projection (round 15): named_struct parses to the
+    # identical struct(n_chars, content_type) the aliased F.struct built
+    with_blob = docs.selectExpr(
         "doc_id",
-        F.encode("text", "utf-8").alias("blob"),
-        F.struct(
-            F.length("text").alias("n_chars"),
-            F.lit("synthetic/utf8").alias("content_type"),
-        ).alias("meta"),
+        "encode(text, 'utf-8') AS blob",
+        "named_struct('n_chars', length(text),"
+        " 'content_type', 'synthetic/utf8') AS meta",
     )
     return with_blob.mapInPandas(featurize_batches, schema=_FEATURIZE_SCHEMA)
 
