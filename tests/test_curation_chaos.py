@@ -19,6 +19,11 @@ from __future__ import annotations
 
 import pytest
 
+# 40-75s per leg (3-batch stream x 2 universes each): nightly-profile
+# material — the fast converge/replay coverage lives in
+# test_curation_retention / test_streaming (round-15 verify budget)
+pytestmark = pytest.mark.slow
+
 SCHEMA = "doc_id long, text string, e array<double>, src string"
 
 

@@ -10,6 +10,7 @@ import pytest
 
 
 @pytest.mark.parametrize("family", ["minhash"])
+@pytest.mark.slow  # multi-batch CLI loop ~40-70s; bootstrap/refusal tests keep CLI coverage in the default profile
 def test_curate_cli_end_to_end(spark, tmp_path, family):
     # NB: reuses the session fixture's JVM — the CLI calls get_spark,
     # which returns the active session; --timeout drains then stops
@@ -64,6 +65,7 @@ def test_curate_cli_end_to_end(spark, tmp_path, family):
     assert 4 in ids and 3 not in ids, ids
 
 
+@pytest.mark.slow  # multi-batch CLI loop ~40-70s; bootstrap/refusal tests keep CLI coverage in the default profile
 def test_retain_batches_flag_prunes_committed_evidence(spark, tmp_path):
     """--retain-batches wires prune_replay_evidence into the service:
     after a second batch commits, the first batch's replay evidence is
@@ -300,6 +302,7 @@ def test_trigger_defaults_to_amortized_micro_batches(spark, tmp_path, monkeypatc
     assert seen["reader_opts"]["maxFilesPerTrigger"] == 7
 
 
+@pytest.mark.slow  # multi-batch CLI loop ~40-70s; bootstrap/refusal tests keep CLI coverage in the default profile
 def test_audit_cli_reports_curation_state(spark, tmp_path, capsys):
     """`weather-etl-audit` (round 14): JSON report over a curate root —
     store watermarks, per-batch rows, IVF cell stats (the skew

@@ -14,6 +14,7 @@ PATH_NOT_FOUND).
 from __future__ import annotations
 
 import os
+import pytest
 
 SCHEMA = "doc_id long, text string, e array<double>, src string"
 
@@ -48,6 +49,7 @@ def _evidence_dirs(rej: str, batch_id: int) -> list[str]:
     return out
 
 
+@pytest.mark.slow  # multi-batch prune/replay loop ~25-36s; the commit-marker refusal test keeps retention coverage default
 def test_prune_then_replay_short_circuits_without_evidence(spark, tmp_path):
     from weather_etl_pipeline_spark.operators.dedup_store import (
         build_signature_store,
@@ -156,6 +158,7 @@ def test_prune_refuses_batch_without_commit_marker(spark, tmp_path):
     assert 2 in report2["pruned"]
 
 
+@pytest.mark.slow  # multi-batch prune/replay loop ~25-36s; the commit-marker refusal test keeps retention coverage default
 def test_redelivery_after_prune_and_compaction(spark, tmp_path):
     """The sequence that broke the _SUCCESS-keyed design (round-11
     self-review): prune evidence, THEN compact the lake (dynamic
@@ -252,6 +255,7 @@ def test_zorder_rewrite_preserves_commit_markers(spark, tmp_path):
     assert rows_after == rows_before
 
 
+@pytest.mark.slow  # multi-batch prune/replay loop ~25-36s; the commit-marker refusal test keeps retention coverage default
 def test_curation_audit_report(spark, tmp_path):
     """The audit report is the consumer of the evidence window: stage
     quarantine counts, lake rows, marker/evidence flags per batch, and
@@ -329,6 +333,7 @@ def test_curation_audit_report(spark, tmp_path):
     assert {"batch_id": 3, "kind": "marker_no_lake"} in rep4["anomalies"]
 
 
+@pytest.mark.slow  # multi-batch prune/replay loop ~25-36s; the commit-marker refusal test keeps retention coverage default
 def test_prune_spares_live_laggard_lock_lease_then_ages_it_out(spark, tmp_path):
     """Pruning a committed batch's lakelock sidecars must delete ONLY
     dead ones (release tombstones, expired generations). A still-LIVE

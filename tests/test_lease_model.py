@@ -222,6 +222,9 @@ class S3LeaseMachine(_LeaseMachine):
 
 TestS3LeaseModel = S3LeaseMachine.TestCase
 TestS3LeaseModel.settings = _SETTINGS
+# ~1 min of moto round trips per machine: nightly profile; the local
+# machine keeps the protocol model in the default run (round 15)
+TestS3LeaseModel.pytestmark = [pytest.mark.slow]
 
 
 # --- two-actor machine (round 14) -------------------------------------------
@@ -439,9 +442,13 @@ class S3TwoActorMachine(_TwoActorMachine):
 
 TestS3TwoActorModel = S3TwoActorMachine.TestCase
 TestS3TwoActorModel.settings = _SETTINGS
+TestS3TwoActorModel.pytestmark = [pytest.mark.slow]
 
 
-@pytest.mark.parametrize("machine", ["local", "s3"])
+@pytest.mark.parametrize(
+    "machine",
+    ["local", pytest.param("s3", marks=pytest.mark.slow)],
+)
 def test_two_actor_machine_has_teeth(machine, monkeypatch):
     """Seed the mutual-exclusion bug the arbitration exists to prevent
     — a create-if-absent that claims victory even when the name

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -405,6 +406,7 @@ _store_docs = st.lists(
 @given(_store_docs, st.data())
 @settings(max_examples=3, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # hypothesis-randomized store equivalence ~1 min; deterministic twin in test_training_ops stays default
 def test_store_append_equals_rebuild_randomized(spark, docs, data):
     import pytest as _pytest
 

@@ -4,6 +4,7 @@ completion synchronously per the batch-equivalence contract."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -458,6 +459,7 @@ def test_stream_stream_left_outer_emits_deferred_nulls(spark, tmp_path):
     assert by_signup[101] is None         # deferred null emission
 
 
+@pytest.mark.slow  # many-batch loop ~0.5-2.2 min; the crash-replay and loop e2e tests stay default
 def test_stream_ingest_dedup_probe_then_append(spark, tmp_path):
     """The streaming ingest-dedup loop: each micro-batch is probed
     against the signature store, dups are quarantined with evidence,
@@ -1137,6 +1139,7 @@ def test_curation_loop_bootstrap_preserves_assign_m(spark, tmp_path):
     assert (wm, m, trained) == (1, 2, True)
 
 
+@pytest.mark.slow  # many-batch loop ~0.5-2.2 min; the crash-replay and loop e2e tests stay default
 def test_curated_lake_compaction_after_many_batches(spark, tmp_path):
     """Round-10 maintenance wiring (judge item 4): the unified loop
     writes one ``batch_id=N`` dir per micro-batch with one file per
