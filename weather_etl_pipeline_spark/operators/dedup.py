@@ -701,7 +701,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (profile_registry.py / driver); callers embedding this in a
     # longer session should unpersist after materializing.
     sets = shingle_arrays(docs, spread=False)
-    if table_file_bytes(spark, sf_dir, "documents") >= _MINHASH_CACHE_MIN_BYTES:
+    # ONE metadata listing feeds both size gates (cache + verify
+    # broadcast), mirroring _jaccard_scored_pairs
+    doc_bytes = table_file_bytes(spark, sf_dir, "documents")
+    if doc_bytes >= _MINHASH_CACHE_MIN_BYTES:
         sets = sets.cache()
     sigs = sets.select("doc_id", _fold_signature().alias("sig"))
     # band bucket = hash of the band's slice of the signature vector —
@@ -739,6 +742,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side at this scale; sort-merge by doc_id at cluster scale)
     sh_a = sets.selectExpr("doc_id AS doc_a", "shingles AS sh_a")
     sh_b = sets.selectExpr("doc_id AS doc_b", "shingles AS sh_b")
+    # size-gated broadcast of the verify arrays — the exact
+    # _jaccard_scored_pairs pattern and gate (round 15): while the
+    # documents table is small enough that the per-doc shingle arrays
+    # fit an executor, both verify joins are map-side over the
+    # candidate stream (interleaved A/B at sf0.1: best 0.76 vs 0.99,
+    # 7 -> 6 AQE jobs; @x10: 1.09 vs 1.22 — outputs identical both
+    # scales); past the gate the plan falls back to shuffle joins
+    # keyed on doc_id, bounded by the capped candidate count.
+    if doc_bytes <= _JACCARD_BC_MAX_BYTES:
+        sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
     # string-twin verify expressions (round 15, same discipline as the
     # round-14 conversions): identical parsed trees — the Column form
     # bound `inter` once in Python but spliced the SAME subtree into

@@ -15,7 +15,7 @@ partitions, which is also WHY they can be exact here).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -23,13 +23,21 @@ from ..functions.exact import davg, hround, oracle_davg, oracle_hround
 from ..registry import register
 
 
-def _m(col: Column, typ: str) -> Column:
-    """Exact decimal moment, rounded to scale 0, surfaced as double."""
-    return F.round(F.sum(col.cast(typ)), 0).cast("double")
+def _descale_sum(expr: str, d: int) -> str:
+    """Exact moment over scaled-LONG terms: SUM in DECIMAL(38,0), one
+    HALF_UP descale round, surfaced as double — value-identical to the
+    oracle's ROUND(SUM(decimal-products), 0) at a fraction of the
+    per-row cost (round 15: a LONG multiply + decimal add per row
+    instead of a BigDecimal multiply + add; interleaved A/B at sf0.1
+    read 0.66 vs 0.86 best / 0.79 vs 1.00 median on the corr moments,
+    values bit-identical). Inputs must be non-negative — the repo-wide
+    scaled_long FLOOR(x*10^d + 0.5D) half-up convention; quantities,
+    prices and event values all are."""
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,0))) / {10**d}, 0)"
+        " AS DOUBLE)"
+    )
 
-
-_QTY = "decimal(18,2)"
-_QTY2 = "decimal(28,4)"
 
 _CORR_ORACLE = """
 WITH m AS (
@@ -52,16 +60,24 @@ FROM m
 
 @register("stats_corr_moments", oracle=_CORR_ORACLE)
 def stats_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import spark_scaled_long
+
     li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast(_QTY)
-    y = F.col("l_extendedprice").cast(_QTY)
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        _m(F.col("l_quantity"), _QTY).alias("sx"),
-        _m(F.col("l_extendedprice"), _QTY).alias("sy"),
-        F.round(F.sum(x * x), 0).cast("double").alias("sxx"),
-        F.round(F.sum(y * y), 0).cast("double").alias("syy"),
-        F.round(F.sum(x * y), 0).cast("double").alias("sxy"),
+    # scaled-long projection once, long products per row, exact
+    # DECIMAL(38,0) sums — see _descale_sum (values identical to the
+    # decimal-multiply form the oracle spells)
+    scaled = li.selectExpr(
+        "l_returnflag",
+        f"{spark_scaled_long('l_quantity')} AS _xl",
+        f"{spark_scaled_long('l_extendedprice')} AS _yl",
+    )
+    m = scaled.groupBy("l_returnflag").agg(
+        F.expr("COUNT(1)").alias("n"),
+        F.expr(_descale_sum("_xl", 2)).alias("sx"),
+        F.expr(_descale_sum("_yl", 2)).alias("sy"),
+        F.expr(_descale_sum("_xl * _xl", 4)).alias("sxx"),
+        F.expr(_descale_sum("_yl * _yl", 4)).alias("syy"),
+        F.expr(_descale_sum("_xl * _yl", 4)).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
@@ -107,12 +123,20 @@ WHERE abs(e.value - s.mean) > 2 * s.sd
 """,
 )
 def stats_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import spark_scaled_long
+
     ev = load_table(spark, sf_dir, "events")
-    x = F.col("value").cast("decimal(18,2)")
-    m = ev.groupBy("event_type").agg(
-        F.count("value").alias("n"),
-        F.round(F.sum(x), 0).cast("double").alias("sx"),
-        F.round(F.sum(x * x), 0).cast("double").alias("sxx"),
+    # scaled-long moments (see _descale_sum); COUNT(value) — not
+    # COUNT(1) — keeps the oracle's NULL-skipping count, and the
+    # scaled term must stay NULL for NULL values for the sums to match
+    m = ev.selectExpr(
+        "event_type",
+        "value",
+        f"{spark_scaled_long('value')} AS _vl",
+    ).groupBy("event_type").agg(
+        F.expr("COUNT(value)").alias("n"),
+        F.expr(_descale_sum("_vl", 2)).alias("sx"),
+        F.expr(_descale_sum("_vl * _vl", 4)).alias("sxx"),
     )
     stats = m.select(
         "event_type",
@@ -184,17 +208,21 @@ FROM m
 
 @register("stats_regression_moments", oracle=_REGR_ORACLE)
 def stats_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.exact import hround
+    from ..functions.exact import hround, spark_scaled_long
 
     li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast(_QTY)
-    y = F.col("l_extendedprice").cast(_QTY)
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        _m(F.col("l_quantity"), _QTY).alias("sx"),
-        _m(F.col("l_extendedprice"), _QTY).alias("sy"),
-        F.round(F.sum(x * x), 0).cast("double").alias("sxx"),
-        F.round(F.sum(x * y), 0).cast("double").alias("sxy"),
+    # scaled-long moments — see _descale_sum (round 15)
+    scaled = li.selectExpr(
+        "l_returnflag",
+        f"{spark_scaled_long('l_quantity')} AS _xl",
+        f"{spark_scaled_long('l_extendedprice')} AS _yl",
+    )
+    m = scaled.groupBy("l_returnflag").agg(
+        F.expr("COUNT(1)").alias("n"),
+        F.expr(_descale_sum("_xl", 2)).alias("sx"),
+        F.expr(_descale_sum("_yl", 2)).alias("sy"),
+        F.expr(_descale_sum("_xl * _xl", 4)).alias("sxx"),
+        F.expr(_descale_sum("_xl * _yl", 4)).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread_to_cores
-from ..functions.exact import hround
+from ..functions.exact import hround, spark_hround
 from ..registry import register
 
 # --- term frequency per language ---------------------------------------------
@@ -739,18 +739,24 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = shingle_arrays(docs).select(
         "doc_id", F.explode("shingles").alias("s")
     )
-    first = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    # first-appearance via a window over ONE pass (round 15): the old
+    # groupBy(s) + join-back planned the scan+shingle subtree TWICE
+    # (no exchange reuse across the aggregated branch) and joined the
+    # exploded rows against a distinct-shingle table that is
+    # corpus-sized at scale — min(doc_id) OVER (PARTITION BY s)
+    # computes the identical first_doc on the single exploded pass:
+    # one scan (was 2), one shuffle by s (was shuffle + join), same
+    # values row-for-row (oracle hash-exact).
+    marked = ex.selectExpr(
+        "doc_id", "min(doc_id) OVER (PARTITION BY s) AS first_doc"
     )
-    return (
-        ex.join(first, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            novel.alias("n_novel"),
-            hround(novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
-        )
+    novel = "SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+    return marked.groupBy("doc_id").agg(
+        F.expr("COUNT(1)").alias("n_shingles"),
+        F.expr(novel).alias("n_novel"),
+        F.expr(
+            spark_hround(f"CAST({novel} AS DOUBLE) / COUNT(1)")
+        ).alias("novelty"),
     )
 
 
