@@ -276,12 +276,10 @@ def _jaccard_scored_pairs(
     # the groupBy reuses the window's (lang, source, token) exchange, so
     # the capped posting arrays cost no extra shuffle and are bounded by
     # construction
-    capped = inv.withColumn(
-        "rn",
-        F.expr(
-            "row_number() OVER (PARTITION BY lang, source, token"
-            " ORDER BY doc_id)"
-        ),
+    capped = inv.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY lang, source, token"
+        " ORDER BY doc_id) AS rn",
     ).filter(f"rn <= {_JACCARD_POSTING_CAP}")
     posting = capped.groupBy("lang", "source", "token").agg(
         F.expr("sort_array(collect_list(doc_id))").alias("ds")
@@ -518,11 +516,10 @@ def _capped_bucket_pairs(
 
     rn = temp_col(keyed, "rn")
     key_list = ", ".join(keys)
-    capped = keyed.withColumn(
-        rn,
-        F.expr(
-            f"row_number() OVER (PARTITION BY {key_list} ORDER BY doc_id)"
-        ),
+    capped = keyed.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY {key_list} ORDER BY doc_id)"
+        f" AS {rn}",
     ).filter(f"{rn} <= {cap}")
     posting = capped.groupBy(*keys).agg(
         F.expr("sort_array(collect_list(doc_id))").alias("ds")
@@ -721,9 +718,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(_MH_BANDS)
     )
-    bands = sigs.select(
-        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = sigs.selectExpr(
+        "doc_id", f"explode(array({structs})) AS bb"
+    ).selectExpr("doc_id", "bb.band", "bb.bucket")
     # candidate pairs per (band, bucket) with the same bounded-membership
     # pattern as the jaccard posting lists: a bucket holding m co-hashed
     # docs would otherwise emit m² pairs — quadratic in co-bucket
