@@ -44,6 +44,12 @@ from ..functions.exact import (
 )
 from ..registry import register
 
+# broadcast gate for q3's filtered cust⋈orders side — same 64 MB
+# file-metadata gate the dedup verify joins use (an executor holds the
+# built relation comfortably below it; past it AQE keeps the runtime
+# strategy choice)
+_Q3_BC_MAX_BYTES = 64 * 1024 * 1024
+
 # --- star join: revenue per region/nation ------------------------------------
 # lineitem ⨝ orders (fact-fact, shuffle on orderkey) then customer →
 # nation → region. nation/region are constant-size (25/5 rows) at ANY
@@ -153,15 +159,31 @@ LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_file_bytes
+
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cutoff = "TIMESTAMP '1995-03-15 00:00:00'"
-    # per-order groups are bounded (~7 lines/order) → single-level LONG
-    return (
+    co = (
         cust.filter("c_mktsegment = 'BUILDING'")
         .join(orders, F.expr("c_custkey = o_custkey"))
         .filter(f"o_orderdate < {cutoff}")
+    )
+    # size-gated broadcast of the filtered cust⋈orders side (round 15,
+    # same gate style as the dedup verify joins): the INITIAL plan is
+    # already 2 BroadcastHashJoin at this scale, but AQE re-derives it
+    # from runtime stats, serializing the lineitem join behind the
+    # cust⋈orders stage barrier — the static hint skips that wait
+    # (interleaved A/B best 0.48 vs 0.83, median 0.61 vs 0.97 at
+    # sf0.1; outputs identical). Gated on the UNFILTERED orders bytes
+    # (filters/projection only shrink the side), so past 64 MB the
+    # hint disappears and AQE keeps the runtime choice.
+    if table_file_bytes(spark, sf_dir, "orders") <= _Q3_BC_MAX_BYTES:
+        co = F.broadcast(co)
+    # per-order groups are bounded (~7 lines/order) → single-level LONG
+    return (
+        co
         .join(li, F.expr("l_orderkey = o_orderkey"))
         .filter(f"l_shipdate > {cutoff}")
         .groupBy("l_orderkey", "o_orderdate")
